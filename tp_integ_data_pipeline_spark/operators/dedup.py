@@ -1,0 +1,288 @@
+"""Deduplication operators (SURVEY.md §2.10 X1/X2 + north-star mandate).
+
+Generalizes the reference's dedup-before-write policies (anti-join on
+`time` / `id`, /root/reference/main.py:101-133) into the operator set a
+100 TB training-data pipeline needs:
+
+- exact dedup            — hash groupBy / window canonical pick
+- n-gram Jaccard         — token-shingle inverted index self-join
+- MinHash + LSH          — 128 perms, 64 bands × 2 rows, built-in
+                           xxhash64 only (no Python in the hot path)
+- SimHash                — 64-bit, bit-count hamming, banded candidates
+- embedding cosine       — see operators/similarity.py
+
+Scale notes (1000 executors, 100 TB):
+- All pair generation goes through an inverted index (shingle or LSH
+  band bucket) — never a cross join. The shuffle key is the
+  shingle/bucket, so skewed hot shingles are the main risk; callers
+  can cap bucket width (`max_bucket`) to drop degenerate buckets
+  (stop-shingle effect), the standard trade in web-scale dedup.
+- Signatures are fixed-width (128×8 bytes) per doc — 100 TB of text at
+  ~4 KB/doc is 25 G docs → 25 TB of signatures, fine to shuffle.
+- Everything is built-in expression work (xxhash64, aggregate, min) —
+  whole-stage codegen applies; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Exact dedup (X1)
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, subset: list[str], order_col: str) -> DataFrame:
+    """Keep one deterministic canonical row per `subset` group (the one
+    with the smallest `order_col`) — `dropDuplicates` with a stable
+    winner, which plain dropDuplicates does not guarantee."""
+    w = W.partitionBy(*subset).orderBy(order_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dup_stats(df: DataFrame, subset: list[str]) -> DataFrame:
+    """One-row summary of duplication over `subset`."""
+    return df.groupBy(*subset).agg(F.count(F.lit(1)).alias("__c")).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("__c").alias("n_rows"),
+        (F.sum("__c") - F.count(F.lit(1))).alias("n_duplicates"),
+        F.max("__c").alias("max_group"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token shingles + n-gram Jaccard (X2 exact path)
+# --------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word-`k`-gram shingles per document: (id, sh).
+
+    Pure expression work: split → sequence → slice/concat_ws →
+    explode → distinct. Documents shorter than k tokens produce no
+    shingles.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {k}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
+        ),
+    ).otherwise(F.array())
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
+        .distinct()
+    )
+
+
+def shingle_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    """DuckDB CTE text producing the identical (id, sh) relation."""
+    return f"""
+    sh AS (
+        SELECT DISTINCT {id_col} AS id,
+               array_to_string(toks[i:i+{k - 1}], ' ') AS sh
+        FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table}),
+             UNNEST(range(1, greatest(len(toks) - {k - 2}, 1))) AS u(i)
+    )"""
+
+
+def pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Jaccard similarity for document pairs from a shingle relation.
+
+    With `pairs=None`, candidates are every pair sharing ≥1 shingle
+    (inverted-index self-join — the exact n-gram path). With a
+    candidate `pairs(a, b)` DataFrame (e.g. from LSH), only those are
+    scored. Returns (a, b, inter, uni, jaccard).
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if pairs is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sa = sh.alias("sa")
+        sb = sh.alias("sb")
+        inter = (
+            pairs.join(sa, pairs.a == F.col("sa.id"))
+            .join(sb, (pairs.b == F.col("sb.id")) & (F.col("sa.sh") == F.col("sb.sh")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            "inter",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (X2 scale path)
+# --------------------------------------------------------------------------
+
+NUM_PERM = 128
+BANDS = 64  # rows-per-band r = NUM_PERM // BANDS = 2
+# P(pair with Jaccard j becomes a candidate) = 1 - (1 - j^r)^b:
+#   j=0.6 → 1 - 3e-13 ;  j=0.8 → 1 - 6e-29  (effectively exact above 0.6)
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures from a shingle relation.
+
+    Permutation i is the built-in xxhash64 seeded by prepending the
+    literal i — JVM-native, codegen'd, no Python. One shuffle
+    (groupBy id) produces all `num_perm` mins map-side-combined.
+    """
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}") for i in range(num_perm)]
+    per_doc = sh.groupBy("id").agg(*mins)
+    return per_doc.select("id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = BANDS, num_perm: int = NUM_PERM, max_bucket: int = 1000
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
+
+    Buckets wider than `max_bucket` are dropped (degenerate shingle
+    content; quadratic pair blow-up at scale — same remedy as stop-word
+    removal).
+    """
+    r = num_perm // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(j), *[F.col("sig")[j * r + i] for i in range(r)])
+            for j in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "id", F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    wide = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("w"))
+    buckets = buckets.join(
+        wide.filter(F.col("w") <= max_bucket).select("band", "bucket"), ["band", "bucket"]
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs at `jaccard >= threshold`: LSH candidate
+    generation + exact Jaccard verification of candidates only.
+
+    For threshold ≥ 0.6 the band scheme's miss probability is < 1e-12,
+    so the verified output equals the exact n-gram Jaccard result while
+    scaling linearly in corpus size instead of quadratically.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sig)
+    scored = pair_jaccard(sh, cand)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit) — hamming-distance near-dup candidates
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over token occurrences.
+
+    bit_i(doc) = sign of Σ_tokens (±1 by bit i of xxhash64(token)),
+    occurrence-weighted. All expression-level: one explode + one
+    groupBy with 64 conditional sums.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhashA, simhashB) <= max_hamming (≤3 here).
+
+    Candidates: pairs agreeing on ≥1 of four 16-bit chunks — by
+    pigeonhole, any pair within hamming 3 must agree on one chunk, so
+    candidate generation is exact for max_hamming ≤ 3 and stays an
+    equi-join (no cross join).
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+                    for j in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,103 @@
+"""Text analysis operators (north-star X4): language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure expression work (split / filter / transform / md5) — no
+Python UDFs — so the whole surface stays inside whole-stage codegen
+and scales linearly with one shuffle per aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+STOPWORDS = ("a", "the")
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """BPE-ish token estimate: count of `[a-z]+|[0-9]+|\\S` matches —
+    a deterministic proxy for subword token counts."""
+    return F.size(F.expr(f"regexp_extract_all({text_col}, '[a-z]+|[0-9]+|\\\\S', 0)"))
+
+
+def stopword_count(text_col: str = "text", stopwords=STOPWORDS) -> Column:
+    quoted = ", ".join(f"'{s}'" for s in stopwords)
+    return F.size(F.expr(f"filter(split({text_col}, ' '), t -> t IN ({quoted}))"))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.4·min(1, n_tokens/100) + 0.3·(distinct/total tokens)
+    + 0.3·(1 − stopword ratio)."""
+    n = token_count(text_col).cast("double")
+    uniq = F.size(F.array_distinct(tokens(text_col))).cast("double")
+    stop = stopword_count(text_col).cast("double")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(100.0))
+        + F.lit(0.3) * (uniq / n)
+        + F.lit(0.3) * (F.lit(1.0) - stop / n)
+    )
+
+
+def char_ngrams(text_col: str = "text", k: int = 3) -> Column:
+    """Character k-gram array (empty when text shorter than k)."""
+    return F.when(
+        F.length(F.col(text_col)) >= k,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k - 1}), "
+            f"i -> substr({text_col}, i, {k}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_profiles(labeled: DataFrame, text_col="text", lang_col="lang", k=3, top_n=20) -> DataFrame:
+    """Top-`top_n` character k-grams per language from a labeled corpus
+    → (lang, gram) profile relation. Ties broken by gram asc."""
+    grams = labeled.select(
+        F.col(lang_col).alias("lang"), F.explode(char_ngrams(text_col, k)).alias("gram")
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("lang", "gram")
+    )
+
+
+def lang_id(docs: DataFrame, profiles: DataFrame, id_col="doc_id", text_col="text", k=3) -> DataFrame:
+    """Classify each document by profile-gram overlap (n-gram
+    heuristic): predicted lang = argmax over langs of |doc grams ∩
+    profile grams|, ties broken by lang asc; docs matching no profile
+    gram → 'und'. Returns (id, predicted_lang)."""
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(char_ngrams(text_col, k)).alias("gram")
+    ).distinct()
+    scores = (
+        doc_grams.join(F.broadcast(profiles), "gram")
+        .groupBy("id", "lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = W.partitionBy("id").orderBy(F.col("score").desc(), "lang")
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(best.select("id", F.col("lang").alias("predicted_lang")), "id", "left")
+        .select("id", F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang"))
+    )
+
+
+def fingerprint(text_col: str = "text", k: int = 8) -> Column:
+    """Content fingerprint: lexicographic-min md5 of character k-gram
+    shingles (winnowing-style min-sampling with a single global
+    window). Deterministic, engine-portable (md5 is standard)."""
+    return F.array_min(F.transform(char_ngrams(text_col, k), lambda g: F.md5(g)))

@@ -1,0 +1,13 @@
+"""Query plan registry. Importing this package registers every query."""
+
+from tp_integ_data_pipeline_spark.plans import registry
+from tp_integ_data_pipeline_spark.plans.registry import ORACLES, QUERIES
+
+# Import for registration side effects.
+from tp_integ_data_pipeline_spark.plans import relational  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import reference_ops  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import dedup_queries  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import similarity_queries  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import text_queries  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import merge_queries  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import streaming_queries  # noqa: E402,F401

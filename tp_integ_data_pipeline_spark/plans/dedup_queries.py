@@ -1,0 +1,115 @@
+"""Dedup queries (X1/X2) over the `documents` / `embeddings` fixtures.
+
+Oracle note: the LSH query's oracle is the EXACT pairwise Jaccard —
+valid because the band scheme's miss probability at the 0.6 threshold
+is < 1e-12 (operators/dedup.py), i.e. LSH+verify equals exact output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.dedup import (
+    dup_stats,
+    minhash_near_dup_pairs,
+    pair_jaccard,
+    shingles,
+    simhash_near_dup_pairs,
+)
+from tp_integ_data_pipeline_spark.operators.similarity import cosine_pairs
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+# DuckDB CTEs mirroring operators.dedup.shingles / pair_jaccard (k=3).
+_SHINGLE_CTES = """
+WITH sh AS (
+    SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 1, 1))) AS u(i)
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+p AS (
+    SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.a, p.b, p.inter,
+           sa.n + sb.n - p.inter AS uni,
+           CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+    FROM p JOIN sizes sa ON p.a = sa.id JOIN sizes sb ON p.b = sb.id
+)
+"""
+
+
+@query(
+    "q40_dedup_exact_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_distinct,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_duplicates,
+           MAX(c) AS max_group
+    FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)
+    """,
+)
+def q40_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_stats(docs, ["text"])
+
+
+@query(
+    "q41_ngram_jaccard_topk",
+    oracle=_SHINGLE_CTES
+    + """
+    SELECT a, b, inter, uni, jaccard FROM scored
+    ORDER BY jaccard DESC, a, b
+    LIMIT 20
+    """,
+)
+def q41_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", k=3)
+    return pair_jaccard(sh).orderBy(F.col("jaccard").desc(), "a", "b").limit(20)
+
+
+@query(
+    "q42_minhash_lsh_pairs",
+    oracle=_SHINGLE_CTES
+    + """
+    SELECT a, b, inter, uni, jaccard FROM scored
+    WHERE jaccard >= 0.6
+    ORDER BY a, b
+    """,
+)
+def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, "doc_id", "text", k=3, threshold=0.6).orderBy("a", "b")
+
+
+# No SQL oracle: SimHash depends on xxhash64, which DuckDB lacks;
+# driver records the rows-only check.
+@query("q43_simhash_pairs")
+def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("a", "b")
+
+
+@query(
+    "q44_embedding_near_dup",
+    oracle="""
+    SELECT a, b, round(cos, 6) AS cos6
+    FROM (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    WHERE cos >= 0.45
+    ORDER BY a, b
+    """,
+)
+def q44_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.45).orderBy("a", "b")

@@ -1,0 +1,112 @@
+"""MERGE end-state queries (SURVEY.md §2.8 M1/M2).
+
+The DuckDB oracle expresses the merge RESULT as a SELECT (set algebra
+over target/stage), which is exactly the plain-Spark rewrite's
+contract, so the two engines' end states are directly comparable.
+Merge dates are fixed literals (not current_date) for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.merge import insert_if_absent, scd1_upsert
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+
+def _customer_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SCD1 stage: updates for custkey%7==0 (new balance
+    and name), inserts for custkey%13==0 (shifted key)."""
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("_v2")).alias("c_name"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("2024-06-01").cast("date").alias("load_date"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("2024-06-01").cast("date").alias("load_date"),
+    )
+    return updates.unionByName(inserts)
+
+
+@query(
+    "q70_scd1_merge",
+    oracle="""
+    WITH stage AS (
+        SELECT c_custkey, c_name || '_v2' AS c_name, c_acctbal + 100 AS c_acctbal,
+               DATE '2024-06-01' AS load_date
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR), 0.0,
+               DATE '2024-06-01'
+        FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal,
+           CAST(NULL AS DATE) AS fecha_actualizacion_origen,
+           CAST(NULL AS DATE) AS fecha_actualizacion
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM stage)
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, s.c_acctbal, s.load_date, DATE '2024-07-01'
+    FROM stage s
+    ORDER BY c_custkey
+    """,
+)
+def q70_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    stage = _customer_stage(spark, sf_dir)
+    merged = scd1_upsert(
+        target, stage, ["c_custkey"], merge_date="2024-07-01", origin_date_col="load_date"
+    )
+    return merged.select(
+        "c_custkey", "c_name", "c_acctbal", "fecha_actualizacion_origen", "fecha_actualizacion"
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q71_insert_if_absent",
+    oracle="""
+    WITH stage AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'O', 1.5
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT s.* FROM stage s
+        WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM merged
+    """,
+)
+def q71_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    stage = o.filter(F.col("o_orderkey") % 5 == 0).unionByName(
+        o.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("O").alias("o_orderstatus"),
+            F.lit(1.5).alias("o_totalprice"),
+        )
+    )
+    merged = insert_if_absent(o, stage, ["o_orderkey"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

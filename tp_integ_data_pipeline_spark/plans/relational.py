@@ -1,0 +1,577 @@
+"""Standard relational surface (SURVEY.md §2.4, §2.5, plus P/J rows).
+
+The reference itself only exercises scans, projections, one broadcast
+left join and anti-join dedup; the engine ships the full relational
+surface (agg, window, set-ops, rollup/pivot, sort/limit) as thin
+Catalyst-native plans, each differentially tested against a DuckDB
+oracle.
+
+Determinism contract with the oracle: every floating-point aggregate
+is summed as DECIMAL (exact, order-independent) and cast back to
+DOUBLE, so Spark's partition-parallel aggregation and DuckDB's
+sequential one produce bit-identical values. Pure row-level double
+arithmetic (products of identical inputs) is already IEEE-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+
+def _dsum(expr, scale: int = 6):
+    """Exact (order-independent) sum of a double expr via decimal."""
+    return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _davg(expr, scale: int = 6):
+    """Deterministic average: exact decimal sum, then double division."""
+    return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1))
+
+
+def dsum_sql(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg_sql(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT(*)"
+
+
+# --------------------------------------------------------------------------
+# q01 — grouped aggregation (TPC-H Q1 shape; SURVEY §2.4)
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 2)} AS sum_qty,
+           {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity', 2)} AS avg_qty,
+           {davg_sql('l_extendedprice', 2)} AS avg_price,
+           {davg_sql('l_discount', 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            _davg(F.col("l_quantity"), 2).alias("avg_qty"),
+            _davg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            _davg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — filter + projection pushdown (P1-P8; predicates reach the scan)
+# --------------------------------------------------------------------------
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand,
+           CAST(p_retailprice * 1.1 AS DOUBLE) AS uplift_price
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_type IN ('PROMO', 'ECONOMY')
+      AND p_brand LIKE 'Brand#1%'
+    ORDER BY p_partkey
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_size").between(10, 30)
+            & F.col("p_type").isin("PROMO", "ECONOMY")
+            & F.col("p_brand").like("Brand#1%")
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            (F.col("p_retailprice") * F.lit(1.1)).alias("uplift_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — 3-way join + group + top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           strftime(o.o_orderdate, '%d/%m/%Y') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "dd/MM/yyyy").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — star join through region/nation (broadcast dims; TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q05_region_revenue",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — selective scan aggregate (TPC-H Q6 shape; single row)
+# --------------------------------------------------------------------------
+@query(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS promo_revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — left outer join incl. unmatched; fan-out histogram
+# --------------------------------------------------------------------------
+@query(
+    "q07_order_fanout",
+    oracle="""
+    SELECT n_items, COUNT(*) AS n_orders
+    FROM (
+        SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_items
+        FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+    )
+    GROUP BY n_items
+    ORDER BY n_items
+    """,
+)
+def q07_order_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy(o.o_orderkey)
+        .agg(F.count(l.l_orderkey).alias("n_items"))
+    )
+    return per_order.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders")).orderBy("n_items")
+
+
+# --------------------------------------------------------------------------
+# q08/q09 — semi / anti joins (J2 generalization)
+# --------------------------------------------------------------------------
+@query(
+    "q08_semi_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q09_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    ORDER BY c.c_custkey
+    """,
+)
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10/q11/q12 — window functions (§2.5)
+# --------------------------------------------------------------------------
+@query(
+    "q10_window_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 2
+    ORDER BY o_custkey, rn
+    """,
+)
+def q10_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q11_window_running_sum",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q11_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn("running_value", F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q12_window_lag_gap",
+    oracle="""
+    SELECT user_id,
+           MAX(gap_us) AS max_gap_us,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q12_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return (
+        ev.withColumn("gap_us", us - F.lag(us).over(w))
+        .groupBy("user_id")
+        .agg(F.max("gap_us").alias("max_gap_us"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13/q14 — set operations (§2.5)
+# --------------------------------------------------------------------------
+@query(
+    "q13_set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    ORDER BY user_id
+    """,
+)
+def q13_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errored = ev.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(errored).orderBy("user_id")
+
+
+@query(
+    "q14_set_except",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, day
+    """,
+)
+def q14_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signup_days = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    purchase_days = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    return signup_days.subtract(purchase_days).orderBy("user_id", "day")
+
+
+# --------------------------------------------------------------------------
+# q15 — distinct aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q15_distinct_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 2)} AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q15_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — rollup (grouping sets surface)
+# --------------------------------------------------------------------------
+@query(
+    "q16_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 2)} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — pivot (conditional aggregation in the oracle)
+# --------------------------------------------------------------------------
+@query(
+    "q17_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — order by + limit (top-k global)
+# --------------------------------------------------------------------------
+@query(
+    "q18_orderby_limit",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 15
+    """,
+)
+def q18_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — JSON field extraction (S5/F13 surface over events.props)
+# --------------------------------------------------------------------------
+@query(
+    "q19_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.max("k").alias("max_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — tumbling time-window aggregation (batch shape of T4)
+# --------------------------------------------------------------------------
+@query(
+    "q20_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value', 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+        .orderBy("win_start", "event_type")
+    )

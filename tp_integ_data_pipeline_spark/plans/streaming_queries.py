@@ -1,0 +1,85 @@
+"""Structured Streaming queries (SURVEY.md §2.7 T1-T5).
+
+These run REAL streaming plans (file micro-batch source → stateful
+operators → memory sink, availableNow trigger) synchronously and
+return the final result table, so the driver's batch-style compare
+still applies. The events file is staged into a temp dir because the
+fixture dir mixes all tables.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.plans.relational import dsum_sql
+from tp_integ_data_pipeline_spark.streaming.ingest import run_stream_to_memory
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events fixture with the same ns→µs
+    timestamp normalization as the batch loader."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
+    schema = spark.read.parquet(staging).schema
+    stream = spark.readStream.schema(schema).parquet(staging)
+    if "bigint" == dict(stream.dtypes).get("ts"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+@query(
+    "q60_stream_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value', 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q60_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T4: micro-batch tumbling-window aggregation. Complete output
+    mode + availableNow ≙ drain-everything batch parity."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+    out = run_stream_to_memory(agg, f"q60_out_{uuid.uuid4().hex[:8]}", "complete")
+    return out.orderBy("win_start", "event_type")
+
+
+@query(
+    "q61_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_distinct_users
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q61_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T5: stateful streaming dedup (dropDuplicates state across
+    micro-batches) feeding a running aggregation."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_distinct_users"))
+    out = run_stream_to_memory(agg, f"q61_out_{uuid.uuid4().hex[:8]}", "complete")
+    return out.orderBy("event_type")

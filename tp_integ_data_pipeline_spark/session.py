@@ -1,0 +1,64 @@
+"""SparkSession factory with engine defaults.
+
+Local-mode testing uses ``local[N]``; the same config block is what we
+would ship on a real cluster (AQE on, sane shuffle partitioning,
+Arrow-enabled Python interop, UTC session time zone for deterministic
+timestamp semantics vs. the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB scale, shuffle partitions should target ~128-200 MB
+# post-AQE; AQE coalescing makes the static number a ceiling, so we
+# set it near total cores locally and rely on
+# spark.sql.adaptive.coalescePartitions for the rest.
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(app_name: str = "tp_integ_data_pipeline_spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert (sources/fixtures.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to an externally-created session.
+
+    The driver harness owns its SparkSession; it may not have our
+    builder confs. Everything here is runtime-settable.
+    """
+    for key, value in (
+        ("spark.sql.shuffle.partitions", str(DEFAULT_CPUS)),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - immutable conf in some envs
+            pass
+    return spark

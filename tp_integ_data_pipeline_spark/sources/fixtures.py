@@ -1,0 +1,47 @@
+"""Loaders for the driver star-schema fixtures (TESTDATA.md).
+
+Tables live as single parquet files under ``{sf_dir}/{name}.parquet``.
+``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+reader rejects outright; with ``spark.sql.legacy.parquet.nanosAsLong``
+it surfaces as a nanosecond LongType, which we truncate to
+microseconds — exactly what DuckDB's TIMESTAMP (µs) does — so both
+engines see identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; normalizes events.ts to TimestampType."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs integer division (`div`, not `/`: double would lose
+        # precision at 1e18 ns); values are post-1970 so div == floor.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES) -> None:
+    """Register each fixture table as a temp view for spark.sql use."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
