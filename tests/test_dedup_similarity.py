@@ -1,0 +1,84 @@
+"""Property-style tests for the extension operators (X1-X3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    pair_jaccard,
+    shingles,
+    simhash_near_dup_pairs,
+)
+from tp_integ_data_pipeline_spark.operators.similarity import (
+    ann_topk_srp,
+    cosine_pairs,
+    knn_bruteforce,
+)
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+
+def test_exact_dedup_keeps_min_key(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y"), (5, "x")], ["id", "text"]
+    )
+    out = exact_dedup(df, ["text"], "id").collect()
+    assert sorted((r.text, r.id) for r in out) == [("x", 1), ("y", 2)]
+
+
+def test_shingle_edges(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b"), (3, "")], ["id", "text"])
+    got = shingles(df, "id", "text", k=3).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.id, set()).add(r.sh)
+    assert by_id.get(1) == {"a b c", "b c d"}
+    assert 2 not in by_id and 3 not in by_id  # shorter than k → no shingles
+
+
+def test_minhash_equals_exact_on_fixture(spark, sf_dir):
+    """LSH+verify must reproduce the exact ≥0.6 Jaccard pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    exact = {
+        (r.a, r.b)
+        for r in pair_jaccard(sh).filter(F.col("jaccard") >= 0.6).collect()
+    }
+    lsh = {(r.a, r.b) for r in minhash_near_dup_pairs(docs, "doc_id", "text").collect()}
+    assert lsh == exact
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "spark table join " * 10), (2, "spark table join " * 10), (3, "totally different words here now")],
+        ["id", "text"],
+    )
+    pairs = {(r.a, r.b): r.hamming for r in simhash_near_dup_pairs(df, "id", "text").collect()}
+    assert pairs.get((1, 2)) == 0
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_cosine_pairs_blocked_matches_knn(spark, sf_dir):
+    """The blocked numpy all-pairs path agrees with the expression-fold
+    knn path on shared (query, neighbor) cells."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    pairs = {
+        (r.a, r.b): r.cos6 for r in cosine_pairs(emb, threshold=-1.1, n_blocks=4).collect()
+    }
+    knn = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    assert len(pairs) == 60 * 59 / 2
+    for r in knn:
+        key = (min(r.q_id, r.n_id), max(r.q_id, r.n_id))
+        assert abs(pairs[key] - r.cos6) < 2e-6
+
+
+def test_ann_srp_is_subset_of_bruteforce_candidates(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = knn_bruteforce(emb, q, k=1).collect()
+    approx = {r.q_id: r for r in ann_topk_srp(emb, q, k=1).collect()}
+    # rank-1 recall on this fixture: SRP with 4 bands of 4 bits is
+    # permissive enough that the true top-1 is almost always a candidate
+    hits = sum(1 for r in exact if approx.get(r.q_id) and approx[r.q_id].n_id == r.n_id)
+    assert hits >= 3  # ≥60% rank-1 recall, deterministic for fixed seed

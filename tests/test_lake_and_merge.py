@@ -1,0 +1,104 @@
+"""Lake writer dedup policies (S6/S7) and MERGE idempotency (M1/M2) —
+the reference's core guarantees (SURVEY.md §5 test strategy #3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.merge import (
+    VersionedParquetTable,
+    insert_if_absent,
+    scd1_upsert,
+)
+from tp_integ_data_pipeline_spark.sources.lake import DataLake
+
+
+@pytest.fixture()
+def weather_batch(spark):
+    return spark.createDataFrame(
+        [
+            (1, "2023-07-15T10:00:00", 20.5),
+            (1, "2023-07-15T10:15:00", 21.0),
+            (1, "2023-07-16T10:30:00", 21.5),
+        ],
+        ["api_loc_id", "time", "temperature_2m"],
+    ).withColumn("time", F.to_timestamp("time")).withColumn(
+        "fecha_partic", F.date_format("time", "MM-dd-yy")
+    )
+
+
+def test_incremental_write_dedups_and_partitions(spark, weather_batch, tmp_path):
+    lake = DataLake(spark, str(tmp_path))
+    assert lake.read("regmeteor") is None  # empty-lake contract (main.py:71-75)
+    lake.write_incremental("regmeteor", weather_batch, ["fecha_partic"], ["time"])
+    # duplicate re-delivery: same batch again → nothing appended
+    lake.write_incremental("regmeteor", weather_batch, ["fecha_partic"], ["time"])
+    got = lake.read("regmeteor")
+    assert got.count() == 3
+    # hive partitioning materialized (partition pruning applies on read)
+    assert (tmp_path / "regmeteor" / "fecha_partic=07-15-23").exists()
+    pruned = got.filter(F.col("fecha_partic") == "07-15-23")
+    assert pruned.count() == 2
+
+
+def test_full_write_batch_skip_vs_row_dedup(spark, tmp_path):
+    lake = DataLake(spark, str(tmp_path))
+    first = spark.createDataFrame([(1, "La Plata"), (2, "Quilmes")], ["id", "name"])
+    second = spark.createDataFrame([(2, "Quilmes"), (3, "Tigre")], ["id", "name"])
+    lake.write_full("localid", first, ["id"])
+    # reference policy: ANY overlap → skip whole batch (main.py:127-133)
+    lake.write_full("localid", second, ["id"], batch_skip=True)
+    assert lake.read("localid").count() == 2
+    # engine default: per-row anti-join → only the new id lands
+    lake.write_full("localid", second, ["id"])
+    assert sorted(r.id for r in lake.read("localid").collect()) == [1, 2, 3]
+
+
+def test_scd1_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "La Plata", 100.0), (2, "Quilmes", 200.0)], ["id", "name", "pop"]
+    )
+    stage = spark.createDataFrame(
+        [(2, "Quilmes Oeste", 250.0, "2024-06-01"), (3, "Tigre", 50.0, "2024-06-01")],
+        ["id", "name", "pop", "load_date"],
+    ).withColumn("load_date", F.col("load_date").cast("date"))
+    merged = scd1_upsert(
+        target, stage, ["id"], merge_date="2024-07-01", origin_date_col="load_date"
+    )
+    rows = {r.id: r for r in merged.collect()}
+    assert len(rows) == 3
+    # untouched row: original attrs, null audit
+    assert rows[1].name == "La Plata" and rows[1].fecha_actualizacion is None
+    # matched row: stage attrs win; audit stamped (origin = stage load date)
+    assert rows[2].name == "Quilmes Oeste" and rows[2].pop == 250.0
+    assert str(rows[2].fecha_actualizacion_origen) == "2024-06-01"
+    assert str(rows[2].fecha_actualizacion) == "2024-07-01"
+    # inserted row present
+    assert rows[3].name == "Tigre"
+
+
+def test_merge_idempotency_on_versioned_table(spark, tmp_path):
+    """Re-running the load leaves the table unchanged (README.md:86)."""
+    tbl = VersionedParquetTable(spark, str(tmp_path / "meteor_proc"))
+    batch = spark.createDataFrame(
+        [("15/07/2023", "10:00", 20.5), ("15/07/2023", "10:15", 21.0)],
+        ["date", "time", "temperature_2m"],
+    )
+    for _ in range(3):  # M2 insert-if-absent, repeated
+        tbl.merge_insert_if_absent(batch, ["date", "time"])
+    assert tbl.read().count() == 2
+
+    stage = spark.createDataFrame([("15/07/2023", "10:00", 99.0)], ["date", "time", "temperature_2m"])
+    tbl.merge_insert_if_absent(stage, ["date", "time"])
+    # matched → DO NOTHING: the 20.5 value must survive
+    got = {(r.date, r.time): r.temperature_2m for r in tbl.read().collect()}
+    assert got[("15/07/2023", "10:00")] == 20.5
+
+
+def test_insert_if_absent_pure(spark):
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    stage = spark.createDataFrame([(1, "CHANGED"), (2, "b")], ["k", "v"])
+    out = insert_if_absent(target, stage, ["k"])
+    rows = {r.k: r.v for r in out.collect()}
+    assert rows == {1: "a", 2: "b"}

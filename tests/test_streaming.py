@@ -1,0 +1,85 @@
+"""Streaming surface tests (SURVEY.md §5 #4): multi-file micro-batch
+ingestion with cross-batch dedup, and windowed aggregation parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.sources.lake import DataLake
+from tp_integ_data_pipeline_spark.streaming.ingest import (
+    run_stream_to_memory,
+    start_microbatch_ingest,
+)
+
+
+def _write_batches(spark, src_dir):
+    """Three single-file micro-batches with overlapping keys (batch 2
+    re-delivers a row of batch 1 — the reference's duplicate-poll
+    scenario, main.py:101-107)."""
+    rows1 = [(1, "2023-07-15T10:00:00", 20.0), (2, "2023-07-15T10:15:00", 21.0)]
+    rows2 = [(2, "2023-07-15T10:15:00", 21.0), (3, "2023-07-15T10:30:00", 22.0)]
+    rows3 = [(4, "2023-07-16T09:00:00", 18.0)]
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        df = (
+            spark.createDataFrame(rows, ["seq", "time", "temperature_2m"])
+            .withColumn("time", F.to_timestamp("time"))
+            .withColumn("fecha_partic", F.date_format("time", "MM-dd-yy"))
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/batch{i}")
+
+
+def test_microbatch_ingest_dedups_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    for i in range(3):
+        (src / f"batch{i}").mkdir(parents=True, exist_ok=True)
+    _write_batches(spark, str(src))
+    # flatten batch files into one stream source dir
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(f"{src}/batch*/part-*.parquet"))):
+        shutil.copy(f, stream_dir / f"b{i}.parquet")
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    q = start_microbatch_ingest(
+        spark,
+        str(stream_dir),
+        schema,
+        lake,
+        "regmeteor",
+        partition_cols=["fecha_partic"],
+        dedup_keys=["time"],
+        interval_seconds=None,  # availableNow: drain all batches, stop
+        max_files_per_trigger=1,  # one file per micro-batch → 3 batches
+    )
+    q.awaitTermination()
+    got = lake.read("regmeteor")
+    # 5 source rows, 1 cross-batch duplicate `time` → 4 land
+    assert got.count() == 4
+    assert got.select("time").distinct().count() == 4
+    assert (tmp_path / "lake" / "regmeteor" / "fecha_partic=07-16-23").exists()
+
+
+def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
+    import shutil
+
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(str(stream_dir))
+    stream = spark.readStream.schema(static.schema).parquet(str(stream_dir))
+    fix = lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # noqa: E731
+    agg = lambda df: (  # noqa: E731
+        df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    import uuid
+
+    streamed = run_stream_to_memory(agg(fix(stream)), f"t_{uuid.uuid4().hex[:8]}", "complete")
+    batch = agg(fix(static))
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))

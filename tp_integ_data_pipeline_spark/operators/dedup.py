@@ -63,18 +63,20 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     explode → distinct. Documents shorter than k tokens produce no
     shingles.
     """
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array as a column first — referencing
+    # split() inside the position lambda would recompute it per
+    # position (O(len²) per doc).
+    toked = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
     grams = F.when(
-        F.size(toks) >= k,
+        F.size(F.col("__toks")) >= k,
         F.expr(
-            f"transform(sequence(0, size(split({text_col}, ' ')) - {k}), "
-            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {k})))"
+            f"transform(sequence(0, size(__toks) - {k}), "
+            f"i -> concat_ws(' ', slice(__toks, i + 1, {k})))"
         ),
     ).otherwise(F.array())
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
-        .distinct()
-    )
+    return toked.select("id", F.explode(grams).alias("sh")).distinct()
 
 
 def shingle_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
@@ -142,12 +144,28 @@ BANDS = 64  # rows-per-band r = NUM_PERM // BANDS = 2
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(id, sig array<long>) MinHash signatures from a shingle relation.
 
-    Permutation i is the built-in xxhash64 seeded by prepending the
-    literal i — JVM-native, codegen'd, no Python. One shuffle
-    (groupBy id) produces all `num_perm` mins map-side-combined.
+    Universal-hash permutations: perm_i(x) = (a_i·h(x) + b_i) mod p
+    over ONE xxhash64 base hash masked to 31 bits (p = 2³¹−1, a_i/b_i
+    fixed pseudo-random odd constants) — one string hash per shingle
+    instead of num_perm, with products < 2⁶² so ANSI-mode arithmetic
+    never overflows. NOTE: the simpler h1 + i·h2 double-hash scheme is
+    NOT usable here — for large i the argmin collapses onto argmin(h2),
+    destroying permutation independence (observed as LSH misses).
+    One shuffle (groupBy id) produces all mins map-side-combined.
     """
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"m{i}") for i in range(num_perm)]
-    per_doc = sh.groupBy("id").agg(*mins)
+    import random
+
+    p = (1 << 31) - 1
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, p) | 1, rng.randrange(0, p)) for _ in range(num_perm)]
+    mask = F.lit((1 << 31) - 1)
+    h = F.xxhash64(F.col("sh")).bitwiseAND(mask)
+    hashed = sh.select("id", h.alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    per_doc = hashed.groupBy("id").agg(*mins)
     return per_doc.select("id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"))
 
 
@@ -202,7 +220,9 @@ def minhash_near_dup_pairs(
     so the verified output equals the exact n-gram Jaccard result while
     scaling linearly in corpus size instead of quadratically.
     """
-    sh = shingles(df, id_col, text_col, k)
+    # The shingle relation feeds signature generation AND candidate
+    # verification (3 plan branches) — persist to scan/shingle once.
+    sh = shingles(df, id_col, text_col, k).persist()
     sig = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sig)
     scored = pair_jaccard(sh, cand)
