@@ -1,5 +1,8 @@
 from __future__ import annotations
 
+import os
+import tempfile
+
 import pytest
 
 from tp_integ_data_pipeline_spark.session import get_session
@@ -7,6 +10,8 @@ from tp_integ_data_pipeline_spark.session import get_session
 
 @pytest.fixture(scope="session")
 def spark():
+    # fresh managed-table warehouse per test session (catalog tests)
+    os.environ.setdefault("SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="wh_"))
     s = get_session("tests", cpus=4)
     yield s
 

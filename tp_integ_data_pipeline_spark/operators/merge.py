@@ -99,8 +99,12 @@ class VersionedParquetTable:
             json.dump({"current": new_dir}, fh)
 
     def merge_scd1(self, stage: DataFrame, keys: list[str], **kwargs) -> None:
+        # First write still routes through scd1_upsert (empty target) so
+        # audit columns exist from version 1, like the reference's
+        # CREATE TABLE with audit cols + first MERGE (transf.py:179-206).
         cur = self.read()
-        self.overwrite(stage if cur is None else scd1_upsert(cur, stage, keys, **kwargs))
+        target = cur if cur is not None else stage.limit(0)
+        self.overwrite(scd1_upsert(target, stage, keys, **kwargs))
 
     def merge_insert_if_absent(self, stage: DataFrame, keys: list[str]) -> None:
         cur = self.read()

@@ -37,6 +37,8 @@ def get_session(app_name: str = "tp_integ_data_pipeline_spark", cpus: int | None
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if os.environ.get("SPARK_GRAFT_WAREHOUSE"):
+        builder = builder.config("spark.sql.warehouse.dir", os.environ["SPARK_GRAFT_WAREHOUSE"])
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
