@@ -82,3 +82,15 @@ def test_ann_srp_is_subset_of_bruteforce_candidates(spark, sf_dir):
     # permissive enough that the true top-1 is almost always a candidate
     hits = sum(1 for r in exact if approx.get(r.q_id) and approx[r.q_id].n_id == r.n_id)
     assert hits >= 3  # ≥60% rank-1 recall, deterministic for fixed seed
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id) for r in knn_bruteforce(emb, q, k=5).collect()}
+    ivf = {(r.q_id, r.n_id) for r in ivf_topk(emb, q, k=5, n_cells=16, n_probe=4).collect()}
+    # probing 4/16 cells: expect well over half of the true top-5 found
+    assert len(ivf & exact) >= len(exact) * 0.5
+    assert all(len([1 for a, _ in ivf if a == qid]) == 5 for qid in range(10))

@@ -102,3 +102,15 @@ def test_insert_if_absent_pure(spark):
     out = insert_if_absent(target, stage, ["k"])
     rows = {r.k: r.v for r in out.collect()}
     assert rows == {1: "a", 2: "b"}
+
+
+def test_salted_broadcast_left_matches_plain_join(spark):
+    from tp_integ_data_pipeline_spark.operators.skew import salted_broadcast_left
+
+    fact = spark.createDataFrame([(i, i % 3) for i in range(100)], ["row_id", "k"])
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (9, "zz")], ["dk", "label"])
+    out = salted_broadcast_left(fact, dim, "k", "dk", n_salts=4)
+    plain = fact.join(dim, fact.k == dim.dk, "left")
+    assert sorted((r.row_id, r.label) for r in out.collect()) == sorted(
+        (r.row_id, r.label) for r in plain.collect()
+    )

@@ -90,15 +90,20 @@ def shingle_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
     )"""
 
 
-def pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def pair_jaccard(
+    sh: DataFrame, pairs: DataFrame | None = None, sizes: DataFrame | None = None
+) -> DataFrame:
     """Jaccard similarity for document pairs from a shingle relation.
 
     With `pairs=None`, candidates are every pair sharing ≥1 shingle
     (inverted-index self-join — the exact n-gram path). With a
     candidate `pairs(a, b)` DataFrame (e.g. from LSH), only those are
-    scored. Returns (a, b, inter, uni, jaccard).
+    scored. `sizes(id, n)` can be supplied when the caller already
+    computed per-doc shingle counts (avoids an extra aggregation over
+    `sh`). Returns (a, b, inter, uni, jaccard).
     """
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is None:
         a = sh.alias("a")
         b = sh.alias("b")
@@ -220,12 +225,32 @@ def minhash_near_dup_pairs(
     so the verified output equals the exact n-gram Jaccard result while
     scaling linearly in corpus size instead of quadratically.
     """
-    # The shingle relation feeds signature generation AND candidate
-    # verification (3 plan branches) — persist to scan/shingle once.
-    sh = shingles(df, id_col, text_col, k).persist()
-    sig = minhash_signatures(sh)
+    # One aggregation produces signatures AND shingle-set sizes (the
+    # sizes ride along into the LSH band join), so the expensive
+    # shingle scan feeds exactly: signature agg + the two verification
+    # probes. No persist: caching here leaked across calls (each call
+    # pinned a new copy, degrading later queries via GC pressure), and
+    # Spark's ReuseExchange already dedupes the identical distinct
+    # subtree within the single job.
+    sh = shingles(df, id_col, text_col, k)
+    mask = F.lit((1 << 31) - 1)
+    hashed = sh.select("id", F.xxhash64(F.col("sh")).bitwiseAND(mask).alias("h"))
+    import random
+
+    p = (1 << 31) - 1
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, p) | 1, rng.randrange(0, p)) for _ in range(NUM_PERM)]
+    agg = hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    sig = agg.select("id", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)]).alias("sig"), "n")
     cand = lsh_candidate_pairs(sig)
-    scored = pair_jaccard(sh, cand)
+    sizes = sig.select("id", "n")
+    scored = pair_jaccard(sh, cand, sizes=sizes)
     return scored.filter(F.col("jaccard") >= threshold)
 
 

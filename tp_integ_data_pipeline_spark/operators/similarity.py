@@ -149,6 +149,68 @@ def knn_bruteforce(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer → probe the n_probe
+    nearest cells per query → exact cosine re-rank within candidates.
+
+    The inverted file is the cell assignment (one int per vector);
+    at scale the corpus is hash-partitioned by cell so a probe touches
+    n_probe/n_cells of the data. Centroids (n_cells × d floats) are
+    model state, baked into the plan as literals — the standard
+    small-model/large-data split. Approximate: recall bounded by cell
+    probing, tested empirically against brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("nv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feat)
+    assigned = model.transform(feat).select("n_id", "nv", F.col("prediction").alias("cell"))
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def sq_dist_to(centroid: list[float], vec: Column) -> Column:
+        carr = F.array(*[F.lit(x) for x in centroid])
+        return F.aggregate(
+            F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    cell_structs = F.array(
+        *[
+            F.struct(sq_dist_to(c, F.col("qv")).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = q.select(
+        "q_id", "qv", F.explode(F.slice(F.sort_array(cell_structs), 1, n_probe)).alias("p")
+    ).select("q_id", "qv", F.col("p.cell").alias("cell"))
+
+    cand = probed.join(assigned, "cell").filter(F.col("q_id") != F.col("n_id"))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("cos", 6).alias("cos6"))
+    )
+
+
 def srp_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Signed-random-projection bit signature (n_planes bits) as long.
 

@@ -1,0 +1,122 @@
+"""Remaining surface: salted aggregation, array-agg, unpivot, Python
+UDTF, IVF-style ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.skew import salted_agg
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+
+# --------------------------------------------------------------------------
+# q29 — two-phase salted aggregation ≡ direct aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q29_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q29_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe aggregation: the oracle is the DIRECT group-by —
+    salting must be semantically invisible. Salt derived
+    deterministically from event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs=[
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+            F.count(F.lit(1)).alias("pn"),
+        ],
+        final_aggs=[
+            F.sum("pv").cast("double").alias("total_value"),
+            F.sum("pn").alias("n"),
+        ],
+        n_salts=16,
+        salt_source="event_id",
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q38 — collect_set + sort_array + array_join (array aggregation)
+# --------------------------------------------------------------------------
+@query(
+    "q38_collect_sorted",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_list
+    FROM events
+    WHERE user_id < 15
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q38_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 15)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.array_join(F.sort_array(F.collect_set("user_id")), ",").alias("user_list"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — unpivot / stack
+# --------------------------------------------------------------------------
+@query(
+    "q39_unpivot",
+    oracle="""
+    SELECT measure,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT 'tax', l_tax FROM lineitem
+        UNION ALL
+        SELECT 'discount', l_discount FROM lineitem
+    )
+    GROUP BY measure
+    ORDER BY measure
+    """,
+)
+def q39_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    unpivoted = li.unpivot(
+        ids=[], values=["l_quantity", "l_tax", "l_discount"], variableColumnName="col", valueColumnName="val"
+    ).withColumn(
+        "measure",
+        F.when(F.col("col") == "l_quantity", "quantity")
+        .when(F.col("col") == "l_tax", "tax")
+        .otherwise("discount"),
+    )
+    return (
+        unpivoted.groupBy("measure")
+        .agg(F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"))
+        .orderBy("measure")
+    )
+
+
+# --------------------------------------------------------------------------
+# q52 — IVF-style ANN: KMeans coarse quantizer + probed exact re-rank
+# (approximate → rows-only check; recall tested vs brute force in tests/)
+# --------------------------------------------------------------------------
+@query("q52_ann_ivf")
+def q52_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=4).orderBy("q_id", "rank")
