@@ -114,3 +114,14 @@ def test_salted_broadcast_left_matches_plain_join(spark):
     assert sorted((r.row_id, r.label) for r in out.collect()) == sorted(
         (r.row_id, r.label) for r in plain.collect()
     )
+
+
+def test_lake_read_prunes_partitions(spark, weather_batch, tmp_path):
+    """Filtering on the hive partition column must prune at scan time
+    (PartitionFilters in the physical plan), not post-scan."""
+    lake = DataLake(spark, str(tmp_path))
+    lake.write_incremental("regmeteor", weather_batch, ["fecha_partic"], ["time"])
+    pruned = lake.read("regmeteor").filter(F.col("fecha_partic") == "07-15-23")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "fecha_partic" in plan.split("PartitionFilters")[1][:200]
