@@ -125,3 +125,35 @@ def test_lake_read_prunes_partitions(spark, weather_batch, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "fecha_partic" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """bucketBy co-location: a join on the bucket key must not add a
+    shuffle exchange on either side (the 100 TB co-located join)."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(4, "l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = (
+            spark.table("b_lineitem")
+            .join(spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") >= 2
+    # the ONLY hash exchange is the groupBy above the join; the join
+    # inputs read co-located buckets directly
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange hashpartitioning") == 1, final_plan

@@ -83,3 +83,46 @@ def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
     streamed = run_stream_to_memory(agg(fix(stream)), f"t_{uuid.uuid4().hex[:8]}", "complete")
     batch = agg(fix(static))
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_counter_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches
+    (two files → two batches → second emission includes first batch)."""
+    import uuid
+
+    from tp_integ_data_pipeline_spark.streaming.stateful import stateful_user_counter
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    b1 = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], ["user_id", "value"])
+    b2 = spark.createDataFrame([(1, 2.5), (3, 7.0)], ["user_id", "value"])
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(f"{src}/f*/part-*.parquet"))):
+        shutil.copy(f, flat / f"b{i}.parquet")
+
+    schema = spark.read.parquet(str(flat)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(flat))
+    )
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_counter(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).toPandas()
+    # last emission per user is the accumulated state
+    final = out.groupby("user_id").last()
+    assert final.loc[1, "n_events"] == 3 and abs(final.loc[1, "total_value"] - 17.5) < 1e-9
+    assert final.loc[2, "n_events"] == 1
+    assert final.loc[3, "total_value"] == 7.0

@@ -83,3 +83,36 @@ def q61_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_distinct_users"))
     out = run_stream_to_memory(agg, f"q61_out_{uuid.uuid4().hex[:8]}", "complete")
     return out.orderBy("event_type")
+
+
+@query(
+    "q64_stateful_counter",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q64_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 extension: custom stateful operator (applyInPandasWithState)
+    — per-user running counters in the state store. The fixture is one
+    file → one micro-batch, so the update-mode sink holds exactly the
+    final state per key (multi-batch state carry is covered in
+    tests/test_streaming.py)."""
+    from tp_integ_data_pipeline_spark.streaming.stateful import stateful_user_counter
+
+    stream = _events_stream(spark, sf_dir)
+    name = f"q64_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_counter(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id")
