@@ -126,3 +126,31 @@ def test_stateful_counter_accumulates_across_batches(spark, tmp_path):
     assert final.loc[1, "n_events"] == 3 and abs(final.loc[1, "total_value"] - 17.5) < 1e-9
     assert final.loc[2, "n_events"] == 1
     assert final.loc[3, "total_value"] == 7.0
+
+
+def test_microbatch_ingest_checkpoint_restart(spark, tmp_path):
+    """Checkpointed ingest: a restarted query must not re-ingest
+    already-committed files (offsets) and replays are idempotent."""
+    stream_dir = tmp_path / "s"
+    stream_dir.mkdir()
+    df1 = spark.createDataFrame([(1, "2023-07-15T10:00:00", 1.0)], ["seq", "time", "v"])
+    df1 = df1.withColumn("time", F.to_timestamp("time")).withColumn(
+        "fecha_partic", F.date_format("time", "MM-dd-yy")
+    )
+    df1.coalesce(1).write.mode("append").parquet(str(tmp_path / "tmp1"))
+    import glob
+    import shutil
+
+    shutil.copy(glob.glob(f"{tmp_path}/tmp1/part-*.parquet")[0], stream_dir / "a.parquet")
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second start = restart from checkpoint
+        q = start_microbatch_ingest(
+            spark, str(stream_dir), schema, lake, "t",
+            partition_cols=["fecha_partic"], dedup_keys=["time"],
+            interval_seconds=None, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+    assert lake.read("t").count() == 1

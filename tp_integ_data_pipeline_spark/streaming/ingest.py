@@ -34,6 +34,7 @@ def start_microbatch_ingest(
     dedup_keys: list[str],
     interval_seconds: int | None = None,
     max_files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> StreamingQuery:
     """T1/T3: file-source micro-batch ingestion into the lake.
 
@@ -55,6 +56,11 @@ def start_microbatch_ingest(
         lake.write_incremental(table, batch, partition_cols, dedup_keys)
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir is not None:
+        # Restart-safe: source offsets are checkpointed, and the
+        # anti-join dedup inside the sink makes batch replay idempotent
+        # → effectively-once lake appends across crashes.
+        writer = writer.option("checkpointLocation", checkpoint_dir)
     if interval_seconds is None:
         writer = writer.trigger(availableNow=True)
     else:
