@@ -1,0 +1,133 @@
+"""Range join + null-handling and date-arithmetic batteries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+
+# --------------------------------------------------------------------------
+# q47 — range join via bucketization (guide: "bucketize the range key +
+# equi-join on bucket + filter"). Pairs of events by the same user
+# within 60 s of each other.
+# --------------------------------------------------------------------------
+@query(
+    "q47_range_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_close_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+)
+def q47_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on (user, minute-bucket ± 1) prunes the quadratic
+    candidate space to adjacent buckets, then the exact |Δt| ≤ 60 s
+    predicate filters — the scalable form of an interval self-join
+    (a raw theta-join would be O(n²) per user). Only the left side is
+    bucket-exploded (2×), so each qualifying pair appears exactly once
+    per side-bucket; distinct collapses the double-bucket hits."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    us = F.unix_micros(F.col("ts"))
+    minute = (us / F.lit(60_000_000)).cast("long")
+    left = ev.select(
+        "user_id", F.col("event_id").alias("a_id"), us.alias("a_us"), minute.alias("m")
+    ).withColumn("bucket", F.explode(F.array(F.col("m"), F.col("m") + 1))).drop("m")
+    right = ev.select(
+        "user_id", F.col("event_id").alias("b_id"), us.alias("b_us"), minute.alias("bucket")
+    )
+    pairs = (
+        left.join(right, ["user_id", "bucket"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_us") - F.col("b_us")) <= 60_000_000)
+        )
+        .select("user_id", "a_id", "b_id")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_close_pairs"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — null-handling battery
+# --------------------------------------------------------------------------
+@query(
+    "q48_null_battery",
+    oracle="""
+    SELECT
+        COUNT(*) AS n,
+        COUNT(maybe) AS n_not_null,
+        CAST(SUM(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(SUM(CAST(COALESCE(maybe, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_coalesced,
+        CAST(SUM(CAST(CASE WHEN maybe = 0.0 THEN NULL ELSE maybe END IS NULL AS INT)) AS BIGINT)
+            AS n_nullif_zero
+    FROM (
+        SELECT CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS maybe
+        FROM events
+    )
+    """,
+)
+def q48_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    maybe = F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+    src = ev.select(maybe.alias("maybe"))
+    return src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("maybe").alias("n_not_null"),
+        F.sum(F.when(F.col("maybe").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.coalesce(F.col("maybe"), F.lit(0.0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_coalesced"),
+        F.sum(F.nullif(F.col("maybe"), F.lit(0.0)).isNull().cast("int")).alias("n_nullif_zero"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — date/time arithmetic battery (portable subset)
+# --------------------------------------------------------------------------
+@query(
+    "q49_date_battery",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS y,
+           CAST(EXTRACT(month FROM l_shipdate) AS INT) AS m,
+           date_trunc('month', l_shipdate) AS month_start,
+           last_day(CAST(l_shipdate AS DATE)) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT)
+               AS days_since_epoch_start,
+           CAST((EXTRACT(dow FROM l_shipdate) + 1) AS INT) AS dow_sunday1,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-03-01'
+    GROUP BY ALL
+    ORDER BY days_since_epoch_start
+    """,
+)
+def q49_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp")
+    )
+    return (
+        li.select(
+            F.year("l_shipdate").alias("y"),
+            F.month("l_shipdate").alias("m"),
+            F.date_trunc("month", "l_shipdate").alias("month_start"),
+            F.last_day("l_shipdate").alias("month_end"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_epoch_start"
+            ),
+            F.dayofweek("l_shipdate").alias("dow_sunday1"),
+        )
+        .groupBy("y", "m", "month_start", "month_end", "days_since_epoch_start", "dow_sunday1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("days_since_epoch_start")
+    )
