@@ -56,11 +56,16 @@ def main() -> None:
     # Warmup (untimed): JVM + codegen + parquet footer caches.
     materialize(plans.QUERIES["q01_pricing_summary"](spark, sf_dir))
 
+    # Two passes, keep the min per query: single-JVM local mode has
+    # noisy GC/contention tails; min-of-2 reports plan cost, not noise.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        materialize(plans.QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            materialize(plans.QUERIES[name](spark, sf_dir))
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(

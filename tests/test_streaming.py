@@ -154,3 +154,42 @@ def test_microbatch_ingest_checkpoint_restart(spark, tmp_path):
         )
         q.awaitTermination()
     assert lake.read("t").count() == 1
+
+
+def test_watermark_append_mode_closes_windows(spark, tmp_path):
+    """T3 late-data handling: append-mode windowed agg only emits
+    windows the watermark has passed; a late row within the watermark
+    still lands in its window."""
+    import glob
+    import shutil
+    import uuid
+
+    rows_b1 = [("2023-07-15T10:01:00", 1.0), ("2023-07-15T10:14:00", 2.0)]
+    rows_b2 = [("2023-07-15T10:05:00", 4.0),  # late, within watermark
+               ("2023-07-15T11:30:00", 8.0)]  # advances watermark past 10:xx
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, rows in enumerate([rows_b1, rows_b2]):
+        df = spark.createDataFrame(rows, ["ts", "v"]).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(str(tmp_path / f"w{i}"))
+        shutil.copy(glob.glob(f"{tmp_path}/w{i}/part-*.parquet")[0], flat / f"b{i}.parquet")
+
+    schema = spark.read.parquet(str(flat)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(flat))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.sum("v").alias("total"))
+        .select(F.col("w.start").alias("ws"), "total")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = {str(r.ws): r.total for r in spark.table(name).collect()}
+    # the 10:00 window closed with the late 10:05 row included (1+2+4)
+    assert out.get("2023-07-15 10:00:00") == 7.0
+    # the 11:30 window is NOT emitted (watermark hasn't passed it)
+    assert "2023-07-15 11:30:00" not in out and "2023-07-15 11:15:00" not in out

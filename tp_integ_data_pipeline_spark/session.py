@@ -41,7 +41,44 @@ def get_session(app_name: str = "tp_integ_data_pipeline_spark", cpus: int | None
         builder = builder.config("spark.sql.warehouse.dir", os.environ["SPARK_GRAFT_WAREHOUSE"])
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS regardless of the
+    driver's cwd/PYTHONPATH.
+
+    cloudpickle serializes module-level functions (mapInPandas stubs,
+    applyInPandasWithState handlers, UDTF classes) BY REFERENCE, so the
+    worker process must be able to `import tp_integ_data_pipeline_spark`
+    itself — which fails when the harness launches from another cwd.
+    addPyFile of a package zip puts it on every worker's sys.path.
+    """
+    if getattr(spark, "_tp_integ_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "tp_integ_data_pipeline_spark_pkg.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.join(
+                        "tp_integ_data_pipeline_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # pragma: no cover - e.g. identical re-add
+        pass
+    spark._tp_integ_pkg_shipped = True
 
 
 def tune_for_session(spark: SparkSession) -> SparkSession:
@@ -50,6 +87,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     The driver harness owns its SparkSession; it may not have our
     builder confs. Everything here is runtime-settable.
     """
+    _ship_package(spark)
     for key, value in (
         ("spark.sql.shuffle.partitions", str(DEFAULT_CPUS)),
         ("spark.sql.adaptive.enabled", "true"),
