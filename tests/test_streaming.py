@@ -193,3 +193,58 @@ def test_watermark_append_mode_closes_windows(spark, tmp_path):
     assert out.get("2023-07-15 10:00:00") == 7.0
     # the 11:30 window is NOT emitted (watermark hasn't passed it)
     assert "2023-07-15 11:30:00" not in out and "2023-07-15 11:15:00" not in out
+
+
+def test_rollup_maintenance_multibatch_equals_direct(spark, tmp_path):
+    """Continuous rollup over 2 micro-batches == direct aggregation."""
+    import glob
+    import shutil
+
+    from tp_integ_data_pipeline_spark.streaming.rollup import (
+        merge_add,
+        read_rollup,
+        start_rollup_maintenance,
+    )
+
+    rows1 = [("2023-07-15T10:01:00", "click", 1.0), ("2023-07-15T10:20:00", "view", 2.0)]
+    rows2 = [("2023-07-15T10:05:00", "click", 4.0), ("2023-07-15T10:25:00", "view", 8.0)]
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    frames = []
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(rows, ["ts", "event_type", "value"]).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        frames.append(df)
+        df.coalesce(1).write.parquet(str(tmp_path / f"r{i}"))
+        shutil.copy(glob.glob(f"{tmp_path}/r{i}/part-*.parquet")[0], flat / f"b{i}.parquet")
+
+    schema = spark.read.parquet(str(flat)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(flat))
+    q = start_rollup_maintenance(spark, stream, str(tmp_path / "rollup"))
+    q.awaitTermination()
+    got = {
+        (str(r.win_start), r.event_type): (r.n, r.total_value)
+        for r in read_rollup(spark, str(tmp_path / "rollup")).collect()
+    }
+    # 10:00 window: click 1+4, view 2; 10:15 window: view 8... wait 10:20/10:25 → 10:15 window
+    assert got[("2023-07-15 10:00:00", "click")] == (2, 5.0)
+    assert got[("2023-07-15 10:15:00", "view")] == (2, 10.0)
+
+
+def test_lake_compaction_reduces_files(spark, tmp_path):
+    lake = DataLake(spark, str(tmp_path))
+    for i in range(4):  # 4 appends → many small files
+        df = spark.createDataFrame(
+            [(i * 10 + j, f"2023-07-1{5 + i % 2}") for j in range(5)], ["k", "d"]
+        )
+        lake.write_incremental("t", df, ["d"], dedup_keys=["k"])
+    import glob
+
+    before = len(glob.glob(f"{tmp_path}/t/*/*.parquet"))
+    total_before = lake.read("t").count()
+    lake.compact("t", target_partitions=1)
+    after = len(glob.glob(f"{tmp_path}/t/*/*.parquet"))
+    assert lake.read("t").count() == total_before  # content invariant
+    assert after < before
+    assert after <= 2  # one file per hive partition (2 dates)

@@ -131,3 +131,25 @@ def q49_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("days_since_epoch_start")
     )
+
+
+# --------------------------------------------------------------------------
+# q69 — correlated scalar subquery (Catalyst decorrelates to a join)
+# --------------------------------------------------------------------------
+_Q69_SQL = """
+    SELECT p.p_partkey, p.p_type, p.p_retailprice,
+           round(CAST((SELECT AVG(p2.p_retailprice) FROM part p2
+                 WHERE p2.p_type = p.p_type) AS DOUBLE), 6) AS type_avg
+    FROM part p
+    WHERE p.p_retailprice > 1.02 * (SELECT AVG(p3.p_retailprice) FROM part p3
+                                    WHERE p3.p_type = p.p_type)
+    ORDER BY p.p_partkey
+"""
+
+
+@query("q69_scalar_subquery", oracle=_Q69_SQL)
+def q69_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_integ_data_pipeline_spark.sources.fixtures import register_views
+
+    register_views(spark, sf_dir, tables=("part",))
+    return spark.sql(_Q69_SQL)

@@ -116,3 +116,31 @@ def q64_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("user_id")
+
+
+@query(
+    "q68_continuous_rollup",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value', 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q68_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: streaming maintenance
+    merge-adds per-batch partials into a rollup table; the final rollup
+    must equal the direct batch aggregation (the oracle)."""
+    from tp_integ_data_pipeline_spark.streaming.rollup import (
+        read_rollup,
+        start_rollup_maintenance,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    rollup_path = tempfile.mkdtemp(prefix="rollup_q68_")
+    q = start_rollup_maintenance(spark, stream, rollup_path)
+    q.awaitTermination()
+    return read_rollup(spark, rollup_path).orderBy("win_start", "event_type")

@@ -82,3 +82,42 @@ class DataLake:
             else:
                 df = df.join(existing.select(*dedup_keys).distinct(), dedup_keys, "left_anti")
         df.write.mode("append").parquet(self._path(table))
+
+
+    def compact(self, table: str, target_partitions: int = 1) -> None:
+        """Small-files compaction: rewrite the table to
+        `target_partitions` files per hive partition (incremental
+        appends leave one file-set per micro-batch — at 100 TB the
+        file count, not the byte count, kills scan planning).
+        Copy-on-write: rewrite to a fresh dir, then swap."""
+        import shutil
+        import tempfile
+
+        current = self.read(table)
+        if current is None:
+            return
+        partition_cols = [
+            f.name
+            for f in current.schema.fields
+            if f.name in self._partition_dirs(table)
+        ]
+        staging = tempfile.mkdtemp(prefix=f"compact_{table}_")
+        writer = current.repartition(target_partitions, *partition_cols) if partition_cols else current.coalesce(target_partitions)
+        w = writer.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(staging)
+        live = self._path(table)
+        backup = live + ".old"
+        shutil.move(live, backup)
+        shutil.move(staging, live)
+        shutil.rmtree(backup)
+
+    def _partition_dirs(self, table: str) -> set[str]:
+        """Partition column names inferred from hive-style dir names."""
+        cols: set[str] = set()
+        for dirpath, dirnames, _files in os.walk(self._path(table)):
+            for d in dirnames:
+                if "=" in d:
+                    cols.add(d.split("=", 1)[0])
+        return cols

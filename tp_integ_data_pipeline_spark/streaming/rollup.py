@@ -1,0 +1,72 @@
+"""Continuous aggregate (hypertable-rollup-style) maintenance.
+
+A rollup table holds per-(window, key) MERGEABLE partial aggregates
+(count + decimal sum here); each micro-batch folds its partials into
+the table — the streaming materialized-view pattern. Queries against
+the rollup never rescan raw history, which is the point at 100 TB:
+the raw `events` stream is append-heavy, the rollup stays
+O(windows × keys).
+
+Merge-add semantics: existing (window, key) rows combine by summing
+counters — not MERGE-overwrite (M1) nor insert-if-absent (M2), but the
+third classic merge, implemented with the same end-state algebra
+(full outer combine via unionByName + re-aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
+
+ROLLUP_COLS = ("win_start", "event_type", "n", "total_value")
+
+
+def _partials(batch: DataFrame) -> DataFrame:
+    return (
+        batch.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+def merge_add(rollup: DataFrame, partial: DataFrame) -> DataFrame:
+    """Fold new partials into the rollup: counters sum per key."""
+    return (
+        rollup.unionByName(partial)
+        .groupBy("win_start", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total_value").alias("total_value"))
+    )
+
+
+def start_rollup_maintenance(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """T1-shape maintenance loop: per micro-batch, aggregate the batch
+    and merge-add into the versioned rollup table."""
+    table = VersionedParquetTable(spark, rollup_path)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = _partials(batch_df)
+        current = table.read()
+        table.overwrite(partial if current is None else merge_add(current, partial))
+
+    writer = events_stream.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    df = VersionedParquetTable(spark, rollup_path).read()
+    return df.select(
+        "win_start", "event_type", "n", F.col("total_value").cast("double").alias("total_value")
+    )
