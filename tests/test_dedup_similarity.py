@@ -63,11 +63,15 @@ def test_cosine_pairs_blocked_matches_knn(spark, sf_dir):
     """The blocked numpy all-pairs path agrees with the expression-fold
     knn path on shared (query, neighbor) cells."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
-    pairs = {
-        (r.a, r.b): r.cos6 for r in cosine_pairs(emb, threshold=-1.1, n_blocks=4).collect()
-    }
+    rows = cosine_pairs(emb, threshold=-1.1, n_blocks=4).collect()
+    pairs = {(r.a, r.b): r.cos6 for r in rows}
     knn = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    # every unordered pair exactly ONCE (a list-level check: a dict
+    # would silently hide duplicate emissions, e.g. the sequence(0,-1)
+    # descending-range bug that double-counted diagonal-block pairs)
+    assert len(rows) == 60 * 59 / 2
     assert len(pairs) == 60 * 59 / 2
+    assert all(a < b for a, b in pairs)
     for r in knn:
         key = (min(r.q_id, r.n_id), max(r.q_id, r.n_id))
         assert abs(pairs[key] - r.cos6) < 2e-6

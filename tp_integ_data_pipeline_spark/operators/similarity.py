@@ -81,11 +81,17 @@ def cosine_pairs(
         ).alias("p"),
         F.lit("L").alias("side"),
     )
+    # NOT sequence(0, blk-1): Spark's sequence(0, -1) DESCENDS ([0,-1])
+    # for blk=0, which would re-add block-0 rows to the diagonal group
+    # as side R and duplicate its pairs. Filter an ascending range.
     right = e.select(
         "id",
         "v",
         F.explode(
-            F.expr("transform(sequence(0, blk - 1), i -> struct(i AS pa, blk AS pb))")
+            F.expr(
+                f"transform(filter(sequence(0, {n_blocks - 1}), i -> i < blk), "
+                f"i -> struct(i AS pa, blk AS pb))"
+            )
         ).alias("p"),
         F.lit("R").alias("side"),
     )
