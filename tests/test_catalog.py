@@ -28,3 +28,17 @@ def test_database_idempotent(spark):
     Catalog(spark, database="orion_test")
     Catalog(spark, database="orion_test")
     assert spark.catalog.databaseExists("orion_test")
+
+
+def test_analyze_table_collects_stats(spark, catalog):
+    from tp_integ_data_pipeline_spark.sources.catalog import analyze_table
+
+    catalog.create_table("stats_t", {"k": "BIGINT", "v": "DOUBLE"})
+    catalog.insert_append(
+        "stats_t", spark.createDataFrame([(i, float(i)) for i in range(50)], ["k", "v"])
+    )
+    analyze_table(spark, "orion_test.stats_t", columns=["k"])
+    desc = {r.col_name: r.data_type for r in spark.sql(
+        "DESCRIBE TABLE EXTENDED orion_test.stats_t"
+    ).collect()}
+    assert "Statistics" in desc  # rowCount/sizeInBytes recorded

@@ -248,3 +248,40 @@ def test_lake_compaction_reduces_files(spark, tmp_path):
     assert lake.read("t").count() == total_before  # content invariant
     assert after < before
     assert after <= 2  # one file per hive partition (2 dates)
+
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: the streaming fact side enriched by a
+    static dim each micro-batch (the streaming form of J1)."""
+    import shutil
+    import uuid
+
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static_schema = spark.read.parquet(str(stream_dir)).schema
+    stream = spark.readStream.schema(static_schema).parquet(str(stream_dir))
+    dim = spark.createDataFrame(
+        [(t, t.upper()) for t in ["click", "view", "purchase", "signup", "error"]],
+        ["event_type", "label"],
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.label: r.n for r in spark.table(name).collect()}
+    batch = {
+        r.event_type.upper(): r.cnt
+        for r in spark.read.parquet(str(stream_dir)).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    assert got == batch

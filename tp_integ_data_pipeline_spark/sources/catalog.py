@@ -88,3 +88,15 @@ def jdbc_append(df: DataFrame, url: str, table: str, batchsize: int = 1000, **op
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def analyze_table(spark: SparkSession, qualified_name: str, columns: list[str] | None = None) -> None:
+    """Collect table/column statistics for Catalyst's cost-based
+    optimizer (join reordering, broadcast decisions at planning time —
+    complements AQE's runtime stats). At 100 TB, ANALYZE after large
+    loads is what keeps CBO's join orders sane."""
+    spark.sql(f"ANALYZE TABLE {qualified_name} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {qualified_name} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )
