@@ -98,3 +98,27 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # probing 4/16 cells: expect well over half of the true top-5 found
     assert len(ivf & exact) >= len(exact) * 0.5
     assert all(len([1 for a, _ in ivf if a == qid]) == 5 for qid in range(10))
+
+
+def test_dup_clusters_chain_and_island(spark):
+    # chain 1-2-3-4 (diameter 3), island 10-11, plus nodes only on one
+    # side of an edge; every node must map to its component's min id.
+    from tp_integ_data_pipeline_spark.operators.dedup import cluster_sizes, dup_clusters
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    out = {r.id: r.cluster for r in dup_clusters(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    sizes = {r.cluster: r.n_docs for r in cluster_sizes(dup_clusters(edges)).collect()}
+    assert sizes == {1: 4, 10: 2}
+
+
+def test_dup_clusters_converges_on_long_path(spark):
+    # 16-node path: worst-case diameter for min-propagation; checks the
+    # convergence loop actually iterates past round one.
+    from tp_integ_data_pipeline_spark.operators.dedup import dup_clusters
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(15)], ["a", "b"])
+    out = {r.id: r.cluster for r in dup_clusters(edges).collect()}
+    assert out == {i: 0 for i in range(16)}

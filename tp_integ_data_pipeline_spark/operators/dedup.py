@@ -331,3 +331,71 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution (X2 follow-through): near-dup PAIRS →
+# connected components → one cluster id per document.
+# --------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list ``pairs(a, b)``
+    → ``(id, cluster)`` where ``cluster`` is the minimum node id
+    reachable from ``id`` (the canonical-representative convention used
+    to collapse near-duplicate groups to one kept document).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds. Near-dup graphs are overwhelmingly tiny
+    cliques/chains (diameter ≤ ~4), so this beats the O(log n)
+    large-star/small-star alternating algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) in
+    practice — fewer shuffles per round and no edge rewriting. Each
+    round is one shuffle on node id; labels are persisted and the
+    lineage truncated per round so plans stay flat at scale. The
+    convergence probe is an aggregate count, not a collect.
+
+    Only nodes appearing in ``pairs`` are returned — callers union in
+    singletons (cluster = own id) if they need total coverage.
+    """
+    edges = pairs.select("a", "b")
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("cluster", F.col("id"))
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            neighbor = sym.join(labels, sym.b == labels.id).select(
+                F.col("a").alias("id"), F.col("cluster")
+            )
+            new_labels = (
+                labels.union(neighbor)
+                .groupBy("id")
+                .agg(F.min("cluster").alias("cluster"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("cluster", "__old"), "id"
+                )
+                .filter(F.col("cluster") != F.col("__old"))
+                .count()
+            )
+            labels.unpersist()
+            # Truncate lineage: without this each round's plan embeds
+            # every prior round's join (exponential plan growth).
+            labels = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            if changed == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()
+
+
+def cluster_sizes(clusters: DataFrame) -> DataFrame:
+    """(cluster, n_docs) summary of a dup_clusters result."""
+    return clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tp_integ_data_pipeline_spark.operators.dedup import (
+    dup_clusters,
     dup_stats,
     minhash_near_dup_pairs,
     pair_jaccard,
@@ -113,3 +114,29 @@ def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.45).orderBy("a", "b")
+
+
+@query(
+    "q87_dup_clusters",
+    # Transitive closure via recursive CTE over the exact-Jaccard edge
+    # list (same ≥0.6 edges as q42; LSH misses nothing there, see the
+    # band-probability note at the top of operators/dedup.py), then
+    # cluster id = min reachable node — identical convention to
+    # dup_clusters' min-label propagation.
+    oracle=_SHINGLE_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """
+    , edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.6),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+        SELECT a AS src, a AS dst FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    )
+    SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src
+    ORDER BY id
+    """,
+)
+def q87_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    return dup_clusters(pairs.select("a", "b")).orderBy("id")
