@@ -153,3 +153,88 @@ def q69_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("part",))
     return spark.sql(_Q69_SQL)
+
+
+# --------------------------------------------------------------------------
+# q88 — statistics battery (corr / stddev / covariance per group).
+# Spark's corr()/stddev() stream doubles in partition order, so their
+# low bits differ from DuckDB's sequential pass. Both engines get the
+# IDENTICAL result here by computing the raw moments (n, Σx, Σy, Σxy,
+# Σx², Σy²) as exact DECIMAL sums and deriving the statistics with the
+# same double expression tree — every operation is then an IEEE
+# correctly-rounded function of identical inputs.
+#
+# The inputs must be cast to DECIMAL *before* multiplying: casting the
+# double PRODUCT (e.g. price²) rounds an arbitrary double to scale 4,
+# and the engines implement that conversion differently (exact
+# BigDecimal vs scaled-double), which showed up as a 1-ULP corr
+# mismatch. The raw columns are 2-decimal-clean (verified: max
+# |v·100 − round(v·100)| ≤ 1e-9 over the fixture), so DECIMAL(18,2)
+# casts are exact and every product/sum after them is exact integer
+# arithmetic in both engines. Same map-side-combine shuffle shape as
+# any groupBy; the moment trick costs nothing.
+# --------------------------------------------------------------------------
+_MOM = {
+    "n": "COUNT(*)",
+    "sx": "CAST(SUM(x) AS DOUBLE)",
+    "sy": "CAST(SUM(y) AS DOUBLE)",
+    "sxy": "CAST(SUM(x * y) AS DOUBLE)",
+    "sxx": "CAST(SUM(x * x) AS DOUBLE)",
+    "syy": "CAST(SUM(y * y) AS DOUBLE)",
+}
+
+
+@query(
+    "q88_stats_moments",
+    oracle=f"""
+    SELECT l_returnflag,
+           n,
+           sx / n AS mean_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+    FROM (
+        SELECT l_returnflag,
+               {_MOM['n']} AS n, {_MOM['sx']} AS sx, {_MOM['sy']} AS sy,
+               {_MOM['sxy']} AS sxy, {_MOM['sxx']} AS sxx, {_MOM['syy']} AS syy
+        FROM (SELECT l_returnflag,
+                     CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+              FROM lineitem)
+        GROUP BY l_returnflag
+    )
+    ORDER BY l_returnflag
+    """,
+)
+def q88_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    mom = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return mom.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
