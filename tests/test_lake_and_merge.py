@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tp_integ_data_pipeline_spark.operators.merge import (
+    BucketedParquetTable,
     VersionedParquetTable,
     insert_if_absent,
     scd1_upsert,
@@ -40,6 +41,31 @@ def test_incremental_write_dedups_and_partitions(spark, weather_batch, tmp_path)
     assert (tmp_path / "regmeteor" / "fecha_partic=07-15-23").exists()
     pruned = got.filter(F.col("fecha_partic") == "07-15-23")
     assert pruned.count() == 2
+
+
+def test_incremental_dedup_probe_is_partition_pruned(spark, weather_batch, tmp_path):
+    """The dedup anti-join must scan ONLY the partitions the incoming
+    batch touches (PartitionFilters on the existing-side scan), not the
+    whole lake — O(batch partitions) probe, not O(lake)."""
+    lake = DataLake(spark, str(tmp_path))
+    lake.write_incremental("regmeteor", weather_batch, ["fecha_partic"], ["time"])
+    incoming = weather_batch.filter(F.col("fecha_partic") == "07-16-23")
+    deduped = lake._dedup_against_existing(
+        incoming, lake.read("regmeteor"), ["time"], ["fecha_partic"]
+    )
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    # the existing-side scan carries a non-empty partition filter
+    seg = plan.split("PartitionFilters: [")
+    assert len(seg) >= 2
+    assert any(s.split("]")[0].strip() and "fecha_partic" in s.split("]")[0] for s in seg[1:]), plan
+    # and dedup semantics are unchanged: re-delivered rows are dropped
+    assert deduped.count() == 0
+    fresh = weather_batch.withColumn("time", F.col("time") + F.expr("INTERVAL 2 DAYS")).withColumn(
+        "fecha_partic", F.date_format("time", "MM-dd-yy")
+    )
+    assert lake._dedup_against_existing(
+        fresh, lake.read("regmeteor"), ["time"], ["fecha_partic"]
+    ).count() == 3
 
 
 def test_full_write_batch_skip_vs_row_dedup(spark, tmp_path):
@@ -94,6 +120,64 @@ def test_merge_idempotency_on_versioned_table(spark, tmp_path):
     # matched → DO NOTHING: the 20.5 value must survive
     got = {(r.date, r.time): r.temperature_2m for r in tbl.read().collect()}
     assert got[("15/07/2023", "10:00")] == 20.5
+
+
+def test_bucketed_merge_rewrites_only_dirty_buckets(spark, tmp_path):
+    """Partition-scoped MERGE: a merge touching one key must leave every
+    clean bucket's directory untouched on disk (same path, same bytes)
+    — the O(dirty/total) copy-on-write the 100 TB design needs."""
+    import hashlib
+    import os
+
+    tbl = BucketedParquetTable(spark, str(tmp_path / "wh"), keys=["k"], n_buckets=8)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(200)], ["k", "v"])
+    tbl.merge_insert_if_absent(base)
+    dirs_before = tbl.bucket_dirs()
+    assert len(dirs_before) > 1  # data spread over several buckets
+
+    def dir_digest(d):
+        h = hashlib.sha256()
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".parquet"):
+                h.update(name.encode())
+                h.update(open(os.path.join(d, name), "rb").read())
+        return h.hexdigest()
+
+    digests_before = {b: dir_digest(d) for b, d in dirs_before.items()}
+
+    one = spark.createDataFrame([(0, "UPDATED"), (1000, "NEW")], ["k", "v"])
+    tbl.merge_scd1(one, merge_date="2024-07-01")
+    dirs_after = tbl.bucket_dirs()
+
+    stage_b = tbl._with_bucket(one)
+    dirty = {r[0] for r in stage_b.select(tbl.BUCKET_COL).distinct().collect()}
+    clean = set(dirs_before) - dirty
+    assert clean, "test needs at least one clean bucket"
+    for b in clean:
+        assert dirs_after[b] == dirs_before[b]  # carried forward by reference
+        assert dir_digest(dirs_after[b]) == digests_before[b]  # bytes identical
+    for b in dirty & set(dirs_before):
+        assert dirs_after[b] != dirs_before[b]  # dirty buckets rewritten
+
+    # end-state semantics match the full-rewrite path
+    rows = {r.k: r.v for r in tbl.read().collect()}
+    assert rows[0] == "UPDATED" and rows[1000] == "NEW" and rows[5] == "v5"
+    assert tbl.read().count() == 201
+
+
+def test_bucketed_merge_matches_versioned_end_state(spark, tmp_path):
+    """Same stage sequence through both tables → same end state."""
+    vt = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    bt = BucketedParquetTable(spark, str(tmp_path / "bt"), keys=["k"], n_buckets=4)
+    s1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    s2 = spark.createDataFrame([(2, "CHANGED"), (3, "c")], ["k", "v"])
+    vt.merge_insert_if_absent(s1, ["k"])
+    vt.merge_insert_if_absent(s2, ["k"])
+    bt.merge_insert_if_absent(s1)
+    bt.merge_insert_if_absent(s2)
+    assert sorted((r.k, r.v) for r in vt.read().collect()) == sorted(
+        (r.k, r.v) for r in bt.read().collect()
+    )
 
 
 def test_insert_if_absent_pure(spark):

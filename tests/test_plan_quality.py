@@ -28,6 +28,38 @@ def test_q00_broadcasts_dims(spark):
     assert "struct<c_custkey:bigint,c_nationkey:int>" in plan
 
 
+def test_maybe_broadcast_gates_on_size(spark, sf_dir):
+    """The stats gate, unit level: hint under threshold, no hint above."""
+    from tp_integ_data_pipeline_spark.operators.joins import maybe_broadcast, plan_size_bytes
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    size = plan_size_bytes(c)
+    assert size is not None and size > 0
+    assert maybe_broadcast(c) is not c  # fixture-scale customer fits: hinted
+    assert maybe_broadcast(c, threshold_bytes=1) is c  # oversized: unhinted
+
+
+def test_small_sf_retains_bhj(spark):
+    """At fixture scale the gated customer join must still plan as BHJ."""
+    plan = _formatted(plans.QUERIES["q03_shipping_priority"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_oversized_dim_degrades_to_shuffle_join(spark):
+    """Simulate the 100 TB regime where customer exceeds broadcast range
+    (threshold -1): the gated plan must fall back to a shuffle join
+    (SMJ/SHJ) instead of forcing a broadcast through a stale hint."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _formatted(plans.QUERIES["q03_shipping_priority"](spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_q06_all_predicates_pushed(spark):
     plan = _formatted(plans.QUERIES["q06_forecast_revenue"](spark, "/root/testdata/sf0.001"))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]

@@ -232,6 +232,32 @@ def test_rollup_maintenance_multibatch_equals_direct(spark, tmp_path):
     assert got[("2023-07-15 10:15:00", "view")] == (2, 10.0)
 
 
+def test_rollup_replay_is_idempotent(spark, tmp_path):
+    """Crash-after-overwrite, before checkpoint commit → the replayed
+    epoch must NOT be merge-added a second time (no double counting)."""
+    from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
+    from tp_integ_data_pipeline_spark.streaming.rollup import fold_batch, read_rollup
+
+    batch = spark.createDataFrame(
+        [("2023-07-15T10:01:00", "click", 1.0), ("2023-07-15T10:05:00", "click", 4.0)],
+        ["ts", "event_type", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    table = VersionedParquetTable(spark, str(tmp_path / "rollup"))
+    ckpt = str(tmp_path / "ckpt")
+
+    assert fold_batch(table, batch, epoch_id=0, checkpoint_dir=ckpt) is True
+    # replay of the same epoch (restart after crash): skipped
+    assert fold_batch(table, batch, epoch_id=0, checkpoint_dir=ckpt) is False
+    got = read_rollup(spark, str(tmp_path / "rollup")).collect()
+    assert len(got) == 1 and got[0].n == 2 and got[0].total_value == 5.0
+
+    # next epoch applies; a fresh checkpoint scope resets the guard
+    assert fold_batch(table, batch, epoch_id=1, checkpoint_dir=ckpt) is True
+    assert fold_batch(table, batch, epoch_id=0, checkpoint_dir=str(tmp_path / "ckpt2")) is True
+    got = {r.n for r in read_rollup(spark, str(tmp_path / "rollup")).collect()}
+    assert got == {6}  # 3 applied folds of n=2
+
+
 def test_lake_compaction_reduces_files(spark, tmp_path):
     lake = DataLake(spark, str(tmp_path))
     for i in range(4):  # 4 appends → many small files

@@ -31,26 +31,54 @@ class EngineConfig:
 
     @classmethod
     def from_ini(cls, path: str) -> "EngineConfig":
+        """Load a verbatim reference config.ini (README.md:29-45):
+
+            [endpoint]       tiempo / localidad
+            [parametros]     tiempo_actual
+            [postgres_tpint] alias host port db user pwd schema
+
+        The reference key names are primary (main.py:196-198, 226,
+        343-345); engine-era names (geocoding / parametros / intervalo /
+        database) are accepted as fallbacks. ``pwd`` maps to the JDBC
+        ``password`` option and ``schema`` to the warehouse schema, so
+        a reference user's file drives the JDBC sink unchanged.
+        """
         parser = configparser.ConfigParser()
         with open(path) as fh:
             parser.read_file(fh)
         cfg = cls()
+
+        def _get(section: str, *keys: str, default: str | None = None) -> str | None:
+            for k in keys:
+                if parser.has_option(section, k):
+                    return parser.get(section, k)
+            return default
+
         if parser.has_section("endpoint"):
-            cfg.weather_base = parser.get("endpoint", "tiempo", fallback=cfg.weather_base)
-            cfg.geocoding_base = parser.get("endpoint", "geocoding", fallback=cfg.geocoding_base)
-        if parser.has_section("parametros"):
-            cfg.weather_params = parser.get("parametros", "parametros", fallback=cfg.weather_params)
-            cfg.poll_interval_seconds = parser.getint(
-                "parametros", "intervalo", fallback=cfg.poll_interval_seconds
+            cfg.weather_base = _get("endpoint", "tiempo", default=cfg.weather_base)
+            cfg.geocoding_base = _get(
+                "endpoint", "localidad", "geocoding", default=cfg.geocoding_base
             )
+        if parser.has_section("parametros"):
+            cfg.weather_params = _get(
+                "parametros", "tiempo_actual", "parametros", default=cfg.weather_params
+            )
+            interval = _get("parametros", "intervalo")
+            if interval is not None:
+                cfg.poll_interval_seconds = int(interval)
         if parser.has_section("postgres_tpint"):
-            host = parser.get("postgres_tpint", "host", fallback="localhost")
-            port = parser.get("postgres_tpint", "port", fallback="5432")
-            db = parser.get("postgres_tpint", "database", fallback="postgres")
+            host = _get("postgres_tpint", "host", default="localhost")
+            port = _get("postgres_tpint", "port", default="5432")
+            db = _get("postgres_tpint", "db", "database", default="postgres")
             cfg.jdbc_url = f"jdbc:postgresql://{host}:{port}/{db}"
+            schema = _get("postgres_tpint", "schema")
+            if schema is not None:
+                cfg.warehouse_schema = schema
+            rename = {"pwd": "password"}
+            skip = {"host", "port", "db", "database", "alias", "schema"}
             cfg.jdbc_options = {
-                k: v
+                rename.get(k, k): v
                 for k, v in parser.items("postgres_tpint")
-                if k not in ("host", "port", "database")
+                if k not in skip
             }
         return cfg

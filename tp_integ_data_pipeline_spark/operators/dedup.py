@@ -391,6 +391,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             new_labels.unpersist()
             if changed == 0:
                 break
+        else:
+            # Exhausting the round budget silently would split any
+            # component with diameter > max_iter into several clusters.
+            raise RuntimeError(
+                f"dup_clusters did not converge within max_iter={max_iter} "
+                f"rounds ({changed} labels still changing). The component "
+                "diameter exceeds the budget — raise max_iter, or use "
+                "alternating large-star/small-star (O(log n) rounds) for "
+                "long-chain graphs."
+            )
         return labels
     finally:
         sym.unpersist()

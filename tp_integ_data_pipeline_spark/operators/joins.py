@@ -12,6 +12,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_DEFAULT_BROADCAST_THRESHOLD = 10 * 1024 * 1024  # Spark's autoBroadcastJoinThreshold default
+
+
+def _parse_size_bytes(value) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '-1') to bytes."""
+    s = str(value).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for the frame's optimized plan.
+
+    For parquet scans this is file-size based, so it tracks the actual
+    data volume (scale factor) rather than a guess made at code-write
+    time. Returns None when the estimate is unavailable.
+    """
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
+def maybe_broadcast(df: DataFrame, threshold_bytes: int | None = None) -> DataFrame:
+    """Stats-gated broadcast hint.
+
+    A hardcoded ``F.broadcast()`` on a table that grows with data volume
+    is the classic 100×-scale defect: correct and fast at test SF,
+    executor OOM at the 100 TB design point (a TPC-H ``customer`` at
+    SF100k is terabytes). This helper consults Catalyst's size estimate
+    for the plan and adds the hint only when the estimate fits under the
+    session's ``spark.sql.autoBroadcastJoinThreshold`` (or an explicit
+    byte threshold). Above the threshold — or when no estimate exists —
+    it returns the frame unhinted and lets the planner/AQE pick
+    SMJ/SHJ, which degrades gracefully instead of OOMing.
+
+    Truly bounded dims (nation=25 rows, region=5, 1-row scalar
+    aggregates) keep their explicit ``F.broadcast`` hints at call sites;
+    this gate is for anything whose cardinality is data-dependent.
+    """
+    if threshold_bytes is None:
+        try:
+            raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            threshold_bytes = _parse_size_bytes(raw)
+        except Exception:
+            threshold_bytes = _DEFAULT_BROADCAST_THRESHOLD
+    if threshold_bytes <= 0:
+        return df  # broadcast disabled session-wide
+    size = plan_size_bytes(df)
+    if size is None or size > threshold_bytes:
+        return df
+    return F.broadcast(df)
+
 
 def enrich(
     fact: DataFrame,
@@ -20,20 +80,24 @@ def enrich(
     dim_key: str,
     dim_cols: list[str] | None = None,
     how: str = "left",
-    broadcast_dim: bool = True,
+    broadcast_dim: bool | str = "auto",
 ) -> DataFrame:
     """J1: fact ⟕ dim with projection pushdown on the dim side.
 
     The reference manually projects the dim to 3 columns before the
     merge; Catalyst prunes automatically, but we keep the explicit
-    projection as documentation of intent. Bounded dims are broadcast
-    (no shuffle of the 100 TB fact side).
+    projection as documentation of intent. ``broadcast_dim="auto"``
+    (default) routes through the stats-gated :func:`maybe_broadcast`,
+    so bounded dims broadcast (no shuffle of the 100 TB fact side) and
+    oversized ones fall back to a shuffle join instead of OOMing.
     """
     cols = dim_cols if dim_cols is not None else dim.columns
     if dim_key not in cols:
         cols = [dim_key, *cols]
     d = dim.select(*cols)
-    if broadcast_dim:
+    if broadcast_dim == "auto":
+        d = maybe_broadcast(d)
+    elif broadcast_dim:
         d = F.broadcast(d)
     return fact.join(d, fact[fact_key] == d[dim_key], how)
 

@@ -82,21 +82,32 @@ class VersionedParquetTable:
     def _manifest(self) -> str:
         return os.path.join(self.path, "_MANIFEST.json")
 
-    def current_version_dir(self) -> str | None:
+    def _read_manifest(self) -> dict:
         if not os.path.exists(self._manifest()):
-            return None
+            return {}
         with open(self._manifest()) as fh:
-            return json.load(fh)["current"]
+            return json.load(fh)
+
+    def current_version_dir(self) -> str | None:
+        return self._read_manifest().get("current")
+
+    def meta(self) -> dict:
+        """Writer-supplied metadata from the last committed version
+        (e.g. the streaming rollup's last-applied epoch)."""
+        return self._read_manifest().get("meta", {})
 
     def read(self) -> DataFrame | None:
         cur = self.current_version_dir()
         return self.spark.read.parquet(cur) if cur else None
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
         new_dir = os.path.join(self.path, f"v{time.time_ns()}")
         df.write.mode("overwrite").parquet(new_dir)
+        manifest = {"current": new_dir}
+        if meta is not None:
+            manifest["meta"] = meta
         with open(self._manifest(), "w") as fh:
-            json.dump({"current": new_dir}, fh)
+            json.dump(manifest, fh)
 
     def merge_scd1(self, stage: DataFrame, keys: list[str], **kwargs) -> None:
         # First write still routes through scd1_upsert (empty target) so
@@ -109,3 +120,96 @@ class VersionedParquetTable:
     def merge_insert_if_absent(self, stage: DataFrame, keys: list[str]) -> None:
         cur = self.read()
         self.overwrite(stage if cur is None else insert_if_absent(cur, stage, keys))
+
+
+class BucketedParquetTable:
+    """Partition-scoped MERGE on plain parquet — the 100 TB path.
+
+    ``VersionedParquetTable`` rewrites the WHOLE table per merge (the
+    price of no transaction log); at 100 TB a full copy-on-write per
+    1000-row stage batch is a scale-killer. This variant hash-buckets
+    the table on the merge key — ``pmod(xxhash64(keys), n_buckets)`` —
+    and a merge rewrites ONLY the buckets the stage touches: every
+    clean bucket's data directory is carried forward by reference in
+    the manifest, byte-identical on disk. With a well-sized
+    ``n_buckets``, merge I/O drops from O(table) to
+    O(table × dirty_buckets / n_buckets) ≈ O(stage × table/bucket).
+
+    The one driver action per merge is collecting the stage's DISTINCT
+    bucket ids — bounded by ``n_buckets`` (it's a partition-pruning
+    list, same role as Delta's file-skipping stats, not a data
+    collect). Same documented limitation as the versioned table: no
+    concurrent writers.
+    """
+
+    BUCKET_COL = "__bucket"
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str], n_buckets: int = 64):
+        self.spark = spark
+        self.path = path
+        self.keys = keys
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "_MANIFEST.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest()):
+            return {"buckets": {}}
+        with open(self._manifest()) as fh:
+            return json.load(fh)
+
+    def bucket_dirs(self) -> dict[int, str]:
+        return {int(k): v for k, v in self._read_manifest()["buckets"].items()}
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.BUCKET_COL,
+            F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    def _read_buckets(self, dirs: list[str]) -> DataFrame | None:
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def read(self) -> DataFrame | None:
+        return self._read_buckets(list(self.bucket_dirs().values()))
+
+    def _merge(self, stage: DataFrame, combine) -> None:
+        stage_b = self._with_bucket(stage)
+        # bounded driver action: ≤ n_buckets ids (partition pruning list)
+        dirty = sorted(
+            r[0] for r in stage_b.select(self.BUCKET_COL).distinct().collect()
+        )
+        manifest = self._read_manifest()
+        buckets = manifest.get("buckets", {})
+        cur_dirty_dirs = [buckets[str(b)] for b in dirty if str(b) in buckets]
+        target = self._read_buckets(cur_dirty_dirs)
+        merged = combine(target, stage_b.drop(self.BUCKET_COL))
+        new_dir = os.path.join(self.path, f"v{time.time_ns()}")
+        # one hive-partitioned write; each dirty bucket becomes its own
+        # subdir the manifest can point at individually
+        self._with_bucket(merged).write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(
+            new_dir
+        )
+        for b in dirty:
+            buckets[str(b)] = os.path.join(new_dir, f"{self.BUCKET_COL}={b}")
+        manifest["buckets"] = buckets
+        with open(self._manifest(), "w") as fh:
+            json.dump(manifest, fh)
+
+    def merge_scd1(self, stage: DataFrame, **kwargs) -> None:
+        self._merge(
+            stage,
+            lambda target, stg: scd1_upsert(
+                target if target is not None else stg.limit(0), stg, self.keys, **kwargs
+            ),
+        )
+
+    def merge_insert_if_absent(self, stage: DataFrame) -> None:
+        self._merge(
+            stage,
+            lambda target, stg: stg if target is None else insert_if_absent(target, stg, self.keys),
+        )

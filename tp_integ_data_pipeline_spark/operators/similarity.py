@@ -68,10 +68,13 @@ def cosine_pairs(
     import numpy as np
     import pandas as pd
 
+    # pmod, not %: Spark's % takes the dividend's sign, so a negative id
+    # would get a negative blk that no routing branch pairs with the
+    # non-negative blocks — those pairs would be silently dropped.
     e = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        (F.col(id_col) % n_blocks).alias("blk"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("blk"),
     )
     left = e.select(
         "id",

@@ -19,6 +19,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, n_salts: int, salt_source: str | None = None) -> Column:
+    """Deterministic per-row salt in [0, n_salts).
+
+    `F.rand()` as a shuffle/group/join key is unsafe at scale: on
+    fetch-failure recomputation a re-executed map task re-draws salts,
+    so rows can be double-counted or lost (the same hazard that forced
+    Spark to sort before round-robin repartition — routine with retries
+    on a 1000-executor cluster). Hashing the row content (or a
+    designated source column) is stable across retries. `pmod`, not
+    `%`: xxhash64 is signed and Spark's `%` keeps the dividend's sign,
+    which would emit salts outside [0, n_salts).
+    """
+    src = [F.col(salt_source)] if salt_source else [F.col(c) for c in df.columns]
+    return F.pmod(F.xxhash64(*src), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -31,15 +47,13 @@ def salted_agg(
 
     `partial_aggs` aggregate within (keys, salt); `final_aggs`
     re-combine the partials per key (e.g. partial `sum(x) AS s` →
-    final `sum(s) AS s`). The salt is derived from a uniformly
-    distributed source column when given (deterministic), else from a
-    per-row random — both spread a hot key across `n_salts` reducers.
+    final `sum(s) AS s`). The salt hashes a uniformly distributed
+    source column when given, else the whole row — both spread a hot
+    key across `n_salts` reducers, deterministically under task retry.
+    (Fully duplicate rows share a salt; aggregation stays correct, the
+    spread just needs any varying column.)
     """
-    salt = (
-        (F.xxhash64(F.col(salt_source)) % n_salts)
-        if salt_source
-        else (F.rand() * n_salts).cast("int")
-    )
+    salt = _row_salt(df, n_salts, salt_source)
     phase1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
     return phase1.groupBy(*keys).agg(*final_aggs)
 
@@ -53,7 +67,7 @@ def salted_broadcast_left(
 ) -> DataFrame:
     """Left join with the dim replicated across n_salts and the fact
     side salted — every reducer sees 1/n of the hot key's rows."""
-    salted_fact = fact.withColumn("__salt", (F.rand() * n_salts).cast("int"))
+    salted_fact = fact.withColumn("__salt", _row_salt(fact, n_salts))
     replicated = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

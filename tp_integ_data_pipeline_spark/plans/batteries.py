@@ -173,6 +173,13 @@ def q69_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # casts are exact and every product/sum after them is exact integer
 # arithmetic in both engines. Same map-side-combine shuffle shape as
 # any groupBy; the moment trick costs nothing.
+#
+# Derived statistics are reported at 10 dp (round() in both engines):
+# the moments are identical, but each engine's DECIMAL→DOUBLE cast of
+# the huge Σxy/Σx²/Σy² decimals is separately rounded and can differ
+# in the last bit, which surfaced as a 1-ULP corr mismatch at
+# sf0.001. 10 dp is far inside double precision for these magnitudes
+# and matches the q54 round-before-compare contract.
 # --------------------------------------------------------------------------
 _MOM = {
     "n": "COUNT(*)",
@@ -189,12 +196,12 @@ _MOM = {
     oracle=f"""
     SELECT l_returnflag,
            n,
-           sx / n AS mean_qty,
-           (sxx - sx * sx / n) / (n - 1) AS var_qty,
-           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
-           (sxy - sx * sy / n)
-             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+           round(sx / n, 10) AS mean_qty,
+           round((sxx - sx * sx / n) / (n - 1), 10) AS var_qty,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 10) AS stddev_qty,
+           round((sxy - sx * sy / n) / (n - 1), 10) AS covar_qty_price,
+           round((sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 10) AS corr_qty_price
     FROM (
         SELECT l_returnflag,
                {_MOM['n']} AS n, {_MOM['sx']} AS sx, {_MOM['sy']} AS sy,
@@ -229,12 +236,13 @@ def q88_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "l_returnflag",
         "n",
-        (sx / n).alias("mean_qty"),
-        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
-        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
-        (
+        F.round(sx / n, 10).alias("mean_qty"),
+        F.round((sxx - sx * sx / n) / (n - 1), 10).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 10).alias("stddev_qty"),
+        F.round((sxy - sx * sy / n) / (n - 1), 10).alias("covar_qty_price"),
+        F.round(
             (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            10,
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")

@@ -85,12 +85,18 @@ def q54_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.select("doc_id", "tok").distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # scalar model parameter, baked into the plan
-    scored = tf.join(F.broadcast(df), "tok").select(
+    # N travels as a 1-row broadcast aggregate (the plan Catalyst emits
+    # for an uncorrelated scalar subquery) — no eager docs.count() on
+    # the driver during plan build. The vocabulary-sized df relation
+    # joins via plain shuffle: at 100 TB the vocabulary is billions of
+    # tokens, far past broadcast range, and tf is already shuffled on
+    # tok's co-key so this stays one exchange.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df, "tok").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "tok",
         F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
         ).alias("score"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")

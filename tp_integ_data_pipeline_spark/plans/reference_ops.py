@@ -22,6 +22,7 @@ from tp_integ_data_pipeline_spark.functions.reference import (
     wind_cardinal,
     wind_cardinal_sql,
 )
+from tp_integ_data_pipeline_spark.operators.joins import maybe_broadcast
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.plans.relational import _dsum, dsum_sql
 from tp_integ_data_pipeline_spark.sources.fixtures import load_table
@@ -61,7 +62,7 @@ def q00_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .withColumn("order_date", date_ddmmyyyy("o_orderdate"))

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tp_integ_data_pipeline_spark.operators.joins import maybe_broadcast
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.plans.relational import _dsum, dsum_sql
 from tp_integ_data_pipeline_spark.sources.fixtures import load_table
@@ -104,7 +105,7 @@ def q73_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey).agg(
         (F.lit(100.0) * _dsum(promo_rev) / _dsum(rev)).alias("promo_share_pct"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -134,7 +135,7 @@ def q74_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(_dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n"))
     )

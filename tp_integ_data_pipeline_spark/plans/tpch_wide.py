@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from tp_integ_data_pipeline_spark.operators.joins import maybe_broadcast
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.plans.relational import _dsum, davg_sql, dsum_sql
 from tp_integ_data_pipeline_spark.sources.fixtures import load_table
@@ -61,7 +62,7 @@ def q77_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
@@ -140,7 +141,7 @@ def q79_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = rev.withColumn("max_rev", F.max("total_revenue").over(W.partitionBy()))
     return (
         rev.filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(maybe_broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -181,7 +182,7 @@ def q80_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
         .join(l, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -226,9 +227,9 @@ def q81_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -269,8 +270,8 @@ def q82_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -378,7 +379,7 @@ def q84_lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        lone.join(F.broadcast(s), F.col("x.l_suppkey") == s.s_suppkey)
+        lone.join(maybe_broadcast(s), F.col("x.l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

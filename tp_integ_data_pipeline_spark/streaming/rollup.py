@@ -44,6 +44,43 @@ def merge_add(rollup: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+def fold_batch(
+    table: VersionedParquetTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    checkpoint_dir: str | None = None,
+) -> bool:
+    """Fold one micro-batch's partials into the rollup; returns whether
+    the batch was applied (False = replay skipped).
+
+    Merge-add is NOT idempotent (a batch folded twice double-counts
+    n/total_value), and Structured Streaming re-delivers the last batch
+    if the job dies after the sink ran but before the checkpoint
+    commit. The manifest therefore records the last-applied epoch_id
+    atomically with the data flip, and replayed epochs are skipped —
+    the standard foreachBatch exactly-once recipe (epoch-keyed
+    transactional sink). Epoch numbering is a property of the
+    checkpoint: a fresh checkpoint restarts at 0 (the guard would
+    wrongly skip), and with no checkpoint there is no replay to guard
+    against — so the guard is scoped to ``checkpoint_dir``.
+    """
+    if checkpoint_dir is not None:
+        meta = table.meta()
+        if (
+            meta.get("epoch_scope") == checkpoint_dir
+            and meta.get("last_epoch") is not None
+            and epoch_id <= meta["last_epoch"]
+        ):
+            return False  # replayed batch — already folded into the rollup
+    partial = _partials(batch_df)
+    current = table.read()
+    table.overwrite(
+        partial if current is None else merge_add(current, partial),
+        meta={"last_epoch": epoch_id, "epoch_scope": checkpoint_dir or ""},
+    )
+    return True
+
+
 def start_rollup_maintenance(
     spark: SparkSession,
     events_stream: DataFrame,
@@ -51,13 +88,12 @@ def start_rollup_maintenance(
     checkpoint_dir: str | None = None,
 ) -> StreamingQuery:
     """T1-shape maintenance loop: per micro-batch, aggregate the batch
-    and merge-add into the versioned rollup table."""
+    and merge-add into the versioned rollup table. Replay-safe via
+    :func:`fold_batch`'s epoch guard (see its docstring)."""
     table = VersionedParquetTable(spark, rollup_path)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        partial = _partials(batch_df)
-        current = table.read()
-        table.overwrite(partial if current is None else merge_add(current, partial))
+        fold_batch(table, batch_df, epoch_id, checkpoint_dir)
 
     writer = events_stream.writeStream.foreachBatch(sink).outputMode("update")
     if checkpoint_dir:
