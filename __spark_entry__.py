@@ -31,6 +31,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.QUERIES["q00_flagship"](spark, SMOKE_SF_DIR)
 
 
+# Round-1's driver correctness run recorded exactly the FIRST 50 dict
+# entries, leaving 39 registered queries without hard signal (they are
+# verified locally by scripts/check_oracle.py — full-run log committed).
+# Rotate those 39 to the front so a capped driver run covers them this
+# round; combined with round 1, every query then has driver evidence.
+_R1_UNCHECKED = (
+    "q23 q24 q25 q26 q27 q28 q36 q37 q62 q63 q29 q38 q39 q52 q46 q45 q47 "
+    "q48 q49 q69 q88 q04 q72 q73 q74 q53 q54 q75 q76 q77 q78 q79 q80 q81 "
+    "q82 q83 q84 q85 q86 q89"
+).split()
+
+
+def _ordered_names() -> list[str]:
+    first = [n for n in plans.QUERIES if n.split("_")[0] in _R1_UNCHECKED]
+    rest = [n for n in plans.QUERIES if n.split("_")[0] not in _R1_UNCHECKED]
+    return first + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,8 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, fn in plans.QUERIES.items()}
+    return {name: wrap(plans.QUERIES[name]) for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(plans.ORACLES)
+    return {n: plans.ORACLES[n] for n in _ordered_names() if n in plans.ORACLES}

@@ -47,6 +47,86 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def scale_probe(spark, sf_dir: str) -> dict:
+    """Opt-in (SPARK_GRAFT_SCALE_PROBE=1) 10× data probes for the two
+    superlinear-risk operators, so a regression from near-linear to
+    quadratic scaling is caught every round, not just at test SF.
+
+    - MinHash-LSH near-dup: 10 disjoint corpus copies (every token
+      tagged with its copy id → shingle universes are disjoint, so the
+      true-pair structure replicates exactly 10× — the linear
+      reference point).
+    - Blocked-cosine near-dup: 10 copies with the embedding rolled by
+      the copy id (norms and within-copy structure preserved; lag-i
+      autocorrelation of random embeddings ≈ 0, so no cross-copy pair
+      explosion).
+    """
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from tp_integ_data_pipeline_spark.operators.similarity import cosine_pairs
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    probe: dict[str, float] = {}
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tagged = []
+    for i in range(10):
+        tagged.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.concat_ws(
+                    " ", F.expr(f"transform(split(text, ' '), t -> concat(t, '_{i}'))")
+                ).alias("text"),
+            )
+        )
+    docs10 = tagged[0]
+    for t in tagged[1:]:
+        docs10 = docs10.unionByName(t)
+
+    t0 = time.time()
+    materialize(minhash_near_dup_pairs(docs, "doc_id", "text"))
+    probe["minhash_1x_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    materialize(minhash_near_dup_pairs(docs10, "doc_id", "text"))
+    probe["minhash_10x_sec"] = round(time.time() - t0, 2)
+    probe["minhash_ratio"] = round(probe["minhash_10x_sec"] / probe["minhash_1x_sec"], 2)
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    rolled = []
+    for i in range(10):
+        shift = i % dim
+        roll = (
+            F.col("embedding")
+            if shift == 0
+            else F.concat(
+                F.slice("embedding", shift + 1, dim - shift), F.slice("embedding", 1, shift)
+            )
+        )
+        rolled.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                roll.alias("embedding"),
+            )
+        )
+    emb10 = rolled[0]
+    for r in rolled[1:]:
+        emb10 = emb10.unionByName(r)
+
+    t0 = time.time()
+    materialize(cosine_pairs(emb))
+    probe["cosine_1x_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    # 10× rows in the same number of blocks → each block-pair task sees
+    # 10× vectors; bump n_blocks to hold per-task memory constant, as a
+    # real deployment would (n_blocks ≈ sqrt scaling rule in docstring).
+    materialize(cosine_pairs(emb10, n_blocks=26))
+    probe["cosine_10x_sec"] = round(time.time() - t0, 2)
+    probe["cosine_ratio"] = round(probe["cosine_10x_sec"] / probe["cosine_1x_sec"], 2)
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -68,17 +148,16 @@ def main() -> None:
                 timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE") == "1":
+        payload["scale_probe"] = scale_probe(spark, sf_dir)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -86,6 +86,60 @@ def q61_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q89_stream_late_dedup",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 2)} AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q89_stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 under late duplicate delivery: the staging dir holds the
+    events file PLUS a re-delivery file duplicating a 10% sample;
+    maxFilesPerTrigger=1 splits them into separate micro-batches, so
+    the duplicates arrive late — after the watermark advanced past
+    their event times. ``dropDuplicatesWithinWatermark`` keys on
+    event_id with a 35-day delay (covers the fixture's 30-day span, so
+    every duplicate lands within state lifetime and is dropped;
+    state stays bounded by watermark eviction beyond the span — the
+    generalization of the reference's duplicate-poll suppression,
+    main.py:101-107). The streamed result must equal the plain batch
+    aggregation over the original events (the oracle)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    staging = tempfile.mkdtemp(prefix="events_late_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(staging, "a_events.parquet"))
+    raw = spark.read.parquet(staging)
+    dup_tmp = tempfile.mkdtemp(prefix="events_dup_")
+    raw.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode("overwrite").parquet(dup_tmp)
+    part = next(f for f in os.listdir(dup_tmp) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(dup_tmp, part), os.path.join(staging, "z_redelivery.parquet"))
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    if "bigint" == dict(stream.dtypes).get("ts"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = stream.withWatermark("ts", "35 days").dropDuplicatesWithinWatermark(["event_id"])
+    out = run_stream_to_memory(
+        deduped.select("event_id", "event_type", "value"),
+        f"q89_out_{uuid.uuid4().hex[:8]}",
+        "append",
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    ).orderBy("event_type")
+
+
+@query(
     "q64_stateful_counter",
     oracle="""
     SELECT user_id,
