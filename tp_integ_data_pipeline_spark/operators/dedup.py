@@ -60,8 +60,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     """Distinct word-`k`-gram shingles per document: (id, sh).
 
     Pure expression work: split → sequence → slice/concat_ws →
-    explode → distinct. Documents shorter than k tokens produce no
-    shingles.
+    array_distinct → explode. Documents shorter than k tokens produce
+    no shingles. Dedup is ROW-LOCAL (array_distinct before the
+    explode): a relational `.distinct()` here would shuffle every
+    shingle OCCURRENCE across the cluster just to drop within-doc
+    repeats; the row-local form dedups inside the scan stage for free,
+    so downstream consumers pay only their own algorithmic shuffle
+    (groupBy id for signatures, shuffle on sh for the inverted index).
     """
     # Materialize the token array as a column first — referencing
     # split() inside the position lambda would recompute it per
@@ -76,7 +81,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
             f"i -> concat_ws(' ', slice(__toks, i + 1, {k})))"
         ),
     ).otherwise(F.array())
-    return toked.select("id", F.explode(grams).alias("sh")).distinct()
+    return toked.select("id", F.explode(F.array_distinct(grams)).alias("sh"))
 
 
 def shingle_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:

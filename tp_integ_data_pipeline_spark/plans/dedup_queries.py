@@ -140,3 +140,56 @@ def q87_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
     return dup_clusters(pairs.select("a", "b")).orderBy("id")
+
+
+@query(
+    "q90_corpus_dedup",
+    # End-to-end near-dup REMOVAL — the user-facing training-data op:
+    # LSH pairs → connected components → keep the min-id doc per
+    # cluster (singletons untouched) → corpus summary.
+    oracle=_SHINGLE_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """
+    , edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.6),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+        SELECT a AS src, a AS dst FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    clusters AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+    removed AS (SELECT id FROM clusters WHERE id <> cluster),
+    kept AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM removed))
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) AS n_kept,
+           (SELECT COUNT(*) FROM documents) - COUNT(*) AS n_removed,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_checksum
+    FROM kept
+    """,
+)
+def q90_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline a 100 TB corpus runs before training:
+    bucketed LSH candidates (no all-pairs), estimate-filtered exact
+    verification, distributed connected components, then an anti-join
+    drop of non-canonical members — every stage shuffle-bounded; the
+    only driver actions are the component-convergence counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    clusters = dup_clusters(pairs.select("a", "b"))
+    drop = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = docs.join(drop, "doc_id", "left_anti")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        kept.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_checksum"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_removed"),
+            "kept_id_checksum",
+        )
+    )
