@@ -241,3 +241,36 @@ def test_bucketed_join_avoids_shuffle(spark):
     # inputs read co-located buckets directly
     final_plan = plan.split("== Initial Plan ==")[0]
     assert final_plan.count("Exchange hashpartitioning") == 1, final_plan
+
+
+def test_zorder_tightens_file_envelopes_in_both_dims(spark, sf_dir, tmp_path):
+    """Z-order layout: files written from the re-clustered frame must
+    have min/max envelopes simultaneously tight in BOTH z-columns
+    (the parquet-stats data-skipping precondition), unlike a naive
+    single-column sort which only tightens its own column."""
+    from tp_integ_data_pipeline_spark.operators.layout import zorder_dataframe
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("double").alias("t")
+    )
+    n_files = 8
+    zdir, ndir = str(tmp_path / "z"), str(tmp_path / "n")
+    zorder_dataframe(ev, ["user_id", "t"], n_files).write.parquet(zdir)
+    ev.repartition(n_files).write.parquet(ndir)  # round-robin baseline
+
+    def mean_file_span(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        return per_file.agg(F.avg("span")).first()[0]
+
+    g_user = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    g_t = ev.agg(F.max("t") - F.min("t")).first()[0]
+    for col, g in (("user_id", g_user), ("t", g_t)):
+        z_span = mean_file_span(zdir, col) / g
+        n_span = mean_file_span(ndir, col) / g
+        assert n_span > 0.9  # round-robin files cover ~the full range
+        assert z_span < 0.6 * n_span, (col, z_span, n_span)

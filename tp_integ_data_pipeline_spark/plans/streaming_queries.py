@@ -140,6 +140,55 @@ def q89_stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q91_stream_stream_join",
+    oracle=f"""
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c_user) AS n_users,
+           {dsum_sql('c_value', 2)} AS click_value
+    FROM (
+        SELECT c.user_id AS c_user, c.value AS c_value
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    """,
+)
+def q91_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition and
+    watermarks on BOTH sides — the condition bounds join state (each
+    side can discard rows once the other side's watermark passes
+    ts + 30 min), which is what keeps state finite on an unbounded
+    100 TB/day stream. Append-mode pairs land in the memory sink and a
+    batch aggregation summarizes them (same sink pattern as q89)."""
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_stream_to_memory(
+        joined.select("user_id", "c_value"), f"q91_out_{uuid.uuid4().hex[:8]}", "append"
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("c_value").cast("decimal(18,2)")).cast("double").alias("click_value"),
+    )
+
+
+@query(
     "q64_stateful_counter",
     oracle="""
     SELECT user_id,
