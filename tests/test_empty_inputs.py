@@ -65,3 +65,35 @@ def test_merge_ops_with_empty_sides(spark):
     assert insert_if_absent(empty, t, ["k"]).count() == 1
     merged = scd1_upsert(t, empty, ["k"], merge_date="2024-01-01")
     assert merged.count() == 1  # all rows untouched
+
+
+def test_bucketed_merge_empty_stage_is_noop(spark, tmp_path):
+    from tp_integ_data_pipeline_spark.operators.merge import BucketedParquetTable
+
+    tbl = BucketedParquetTable(spark, str(tmp_path / "wh"), keys=["k"], n_buckets=4)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    tbl.merge_insert_if_absent(base)
+    before = tbl.bucket_dirs()
+    tbl.merge_insert_if_absent(base.limit(0))
+    assert tbl.bucket_dirs() == before  # no bucket touched
+    assert tbl.read().count() == 2
+
+
+def test_zorder_empty_and_degenerate(spark):
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.operators.layout import zorder_dataframe
+
+    empty = spark.createDataFrame([], "a long, b double")
+    assert zorder_dataframe(empty, ["a", "b"], 4).count() == 0
+    # degenerate: constant column (min==max) must not divide by zero
+    const = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["a", "b"])
+    out = zorder_dataframe(const, ["a", "b"], 2)
+    assert sorted(r.a for r in out.collect()) == [1, 2]
+
+
+def test_dup_clusters_empty_pairs(spark):
+    from tp_integ_data_pipeline_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert dup_clusters(pairs).count() == 0

@@ -172,7 +172,11 @@ class BucketedParquetTable:
     def _read_buckets(self, dirs: list[str]) -> DataFrame | None:
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        # mergeSchema: clean buckets keep the schema they were written
+        # with; a later merge that adds columns (e.g. scd1 audit cols
+        # after an insert-only load) must not silently drop them for
+        # rows read from pre-evolution bucket files.
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def read(self) -> DataFrame | None:
         return self._read_buckets(list(self.bucket_dirs().values()))
