@@ -120,3 +120,37 @@ def q52_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries_df, k=5, n_cells=16, n_probe=4).orderBy("q_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# q92 — VARIANT semi-structured handling (Spark 4 parse_json /
+# variant_get): shredded-at-read JSON beats per-query string parsing at
+# 100 TB (binary variant encoding, pushdown-friendly), complementing
+# q19's get_json_object string path.
+# --------------------------------------------------------------------------
+@query(
+    "q92_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q92_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
