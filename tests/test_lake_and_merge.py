@@ -274,3 +274,35 @@ def test_zorder_tightens_file_envelopes_in_both_dims(spark, sf_dir, tmp_path):
         n_span = mean_file_span(ndir, col) / g
         assert n_span > 0.9  # round-robin files cover ~the full range
         assert z_span < 0.6 * n_span, (col, z_span, n_span)
+
+
+def test_compact_with_zorder_clusters_files(spark, sf_dir, tmp_path):
+    """compact(zorder_cols=...) = compaction + OPTIMIZE ZORDER in one
+    rewrite: fewer files AND tight per-file envelopes on the z-columns."""
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    lake = DataLake(spark, str(tmp_path))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("t")
+    )
+    # several appends -> several file sets
+    for i in range(6):
+        lake.write_full("ev", ev.filter(F.col("event_id") % 6 == i), ["event_id"])
+    import glob
+
+    before = len(glob.glob(f"{tmp_path}/ev/*.parquet"))
+    n = lake.read("ev").count()
+    # 4 range-splits of the z-value cut the top bit of BOTH dimensions
+    # (2 files would only cut the leading dimension's bit)
+    lake.compact("ev", target_partitions=4, zorder_cols=["user_id", "t"])
+    after = glob.glob(f"{tmp_path}/ev/*.parquet")
+    assert lake.read("ev").count() == n  # content invariant
+    assert len(after) <= 4 < before
+    # clustered: mean per-file user_id span well under the global span
+    per_file = (
+        spark.read.parquet(str(tmp_path / "ev"))
+        .groupBy(F.input_file_name())
+        .agg((F.max("user_id") - F.min("user_id")).alias("span"))
+    )
+    g = lake.read("ev").agg(F.max("user_id") - F.min("user_id")).first()[0]
+    assert per_file.agg(F.avg("span")).first()[0] < 0.7 * g

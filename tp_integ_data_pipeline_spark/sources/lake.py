@@ -126,12 +126,20 @@ class DataLake:
         df.write.mode("append").parquet(self._path(table))
 
 
-    def compact(self, table: str, target_partitions: int = 1) -> None:
+    def compact(
+        self, table: str, target_partitions: int = 1, zorder_cols: list[str] | None = None
+    ) -> None:
         """Small-files compaction: rewrite the table to
         `target_partitions` files per hive partition (incremental
         appends leave one file-set per micro-batch — at 100 TB the
         file count, not the byte count, kills scan planning).
-        Copy-on-write: rewrite to a fresh dir, then swap."""
+        Copy-on-write: rewrite to a fresh dir, then swap.
+
+        `zorder_cols` additionally clusters rows on the interleaved
+        z-value during the rewrite (operators/layout.py), so the
+        compacted files carry tight parquet min/max envelopes on every
+        listed column — compaction and OPTIMIZE ZORDER in one pass,
+        like Delta's."""
         import shutil
         import tempfile
 
@@ -144,7 +152,14 @@ class DataLake:
             if f.name in self._partition_dirs(table)
         ]
         staging = tempfile.mkdtemp(prefix=f"compact_{table}_")
-        writer = current.repartition(target_partitions, *partition_cols) if partition_cols else current.coalesce(target_partitions)
+        if zorder_cols:
+            from tp_integ_data_pipeline_spark.operators.layout import zorder_dataframe
+
+            writer = zorder_dataframe(current, zorder_cols, target_partitions)
+        elif partition_cols:
+            writer = current.repartition(target_partitions, *partition_cols)
+        else:
+            writer = current.coalesce(target_partitions)
         w = writer.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
