@@ -1,0 +1,318 @@
+"""Corpus-curation operators: the remaining everyday verbs of a
+100 TB training-data pipeline — benchmark decontamination, heuristic
+quality filtering, token-budget chunking, deterministic sharding, and
+an end-to-end curation pass composing them with dedup + splits.
+
+Scale notes (design point: 1000 executors, 100 TB corpus):
+
+* Decontamination broadcasts the BENCHMARK gram set, never the corpus
+  side. Unlike customer/supplier (which grow with SF and must stay
+  stats-gated — see operators/joins.maybe_broadcast), an eval
+  benchmark is a fixed, human-curated artifact: thousands of docs,
+  bounded forever. Broadcasting it is the correct plan at any corpus
+  scale; the corpus side streams through a semi-join probe with no
+  shuffle of the heavy text at all.
+* Everything else is expression-level (split / transform / aggregate
+  inside whole-stage codegen) or a single keyed shuffle; no Python
+  rows, no driver actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+
+def _words(text_col: str = "text") -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def word_ngrams(words_col, n: int) -> F.Column:
+    """Word-level n-grams as space-joined strings; [] for short docs.
+
+    Expression-level (sequence + slice + array_join inside codegen):
+    no explode until the caller chooses to, so row-local dedup via
+    array_distinct stays cheap.
+    """
+    w = F.col(words_col) if isinstance(words_col, str) else words_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — benchmark decontamination (word-8-gram overlap)
+# --------------------------------------------------------------------------
+@query(
+    "q93_decontam",
+    oracle="""
+    WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, lang,
+               [array_to_string(w[i:i+7], ' ')
+                for i in range(1, greatest(len(w) - 6, 1))] AS g
+        FROM words
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+    hits AS (
+        SELECT DISTINCT c.doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM corpus) c
+        JOIN bench USING (gram)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE hits.doc_id IS NOT NULL) AS n_contaminated
+    FROM corpus LEFT JOIN hits USING (doc_id)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q93_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus docs sharing any word-8-gram with a benchmark set
+    (GPT-3-style n-gram decontamination; docs with doc_id % 97 == 0
+    stand in for the eval suite). The benchmark gram set is broadcast
+    — bounded by the benchmark, not the corpus — and the corpus makes
+    one pass: explode row-local-distinct grams, semi-join, re-group.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", word_ngrams(_words(), 8).alias("g")
+    )
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct("g")).alias("gram"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        corpus.select("doc_id", F.explode(F.array_distinct("g")).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q94 — heuristic quality filter (Gopher-style word rules)
+# --------------------------------------------------------------------------
+@query(
+    "q94_quality_filter",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE keep) AS n_keep,
+           CAST(SUM(n_chars) FILTER (WHERE keep) AS BIGINT) AS kept_chars
+    FROM (
+        SELECT source, n_chars,
+               len(w) >= 10
+               AND (list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w))
+                   BETWEEN 3.0 AND 10.0
+               AND (len(list_distinct(w)) * 1.0 / len(w)) >= 0.3 AS keep
+        FROM (SELECT source, n_chars, string_split(text, ' ') AS w FROM documents)
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q94_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level quality gate (doc length, mean word length band,
+    distinct-word ratio — the repetition signal) applied per source.
+    All expression-level: one codegen'd projection, one group-by; the
+    two ratios are single IEEE divisions of exact integers, so the
+    threshold comparisons are bit-stable across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = sum_len * F.lit(1.0) / n_words
+    distinct_ratio = F.size(F.array_distinct(w)) * F.lit(1.0) / n_words
+    keep = (
+        (n_words >= 10)
+        & mean_wl.between(3.0, 10.0)
+        & (distinct_ratio >= 0.3)
+    )
+    return (
+        docs.select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars"))).cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q95 — token-budget chunking (width 64, stride 56)
+# --------------------------------------------------------------------------
+@query(
+    "q95_chunking",
+    oracle="""
+    SELECT doc_id, i AS chunk_start,
+           len(w[i:i+63]) AS chunk_len,
+           w[i] AS first_tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         LATERAL unnest(range(1, greatest(len(w), 1) + 1, 56)) AS t(i)
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def q95_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into ≤64-token windows overlapping by 8
+    (stride 56) — the context-packing transform feeding a tokenizer.
+    Chunk starts come from `sequence`, the window from `slice`: pure
+    expression work, parallel in the docs' existing partitioning, no
+    shuffle at all (the final orderBy is presentation-only).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _words().alias("w"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(56))
+    return (
+        docs.select("doc_id", "w", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size(F.slice("w", F.col("chunk_start"), 64)).cast("long").alias("chunk_len"),
+            F.element_at("w", F.col("chunk_start")).alias("first_tok"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# q96 — deterministic shard assignment + balance stats
+# --------------------------------------------------------------------------
+@query(
+    "q96_shard_stats",
+    oracle="""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 16
+               AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q96_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable shard id from md5(doc_id) — the write-side
+    partitioner for training shards. Hash-based like q76's split:
+    membership survives re-runs and resharding. The stats double as a
+    balance audit (a skewed shard here means a straggling data-loader
+    at training time)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"),
+        F.lit(16),
+    )
+    return (
+        docs.select(shard.alias("shard"), "n_chars", "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — end-to-end curation pass (dedup → quality → split → shard)
+# --------------------------------------------------------------------------
+@query(
+    "q97_curation_pipeline",
+    oracle="""
+    WITH canon AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, n_chars,
+               len(w) >= 10
+               AND (list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w))
+                   BETWEEN 3.0 AND 10.0
+               AND (len(list_distinct(w)) * 1.0 / len(w)) >= 0.3 AS keep
+        FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+              FROM canon WHERE rn = 1)
+    )
+    SELECT CASE WHEN d < 12 THEN 'train' WHEN d < 14 THEN 'val' ELSE 'test' END
+               AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT CAST(('0x' || substr(h, 1, 2)) AS INT) % 16) AS n_shards
+    FROM (SELECT n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INT) AS d
+          FROM quality WHERE keep)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q97_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pass as ONE lazy plan: exact-dedup canonical
+    pick (window over text), quality gate (q94's rules), hash split
+    (q76's digits), shard assignment (q96's) — Catalyst fuses the
+    post-dedup steps into the same stage, so the corpus is shuffled
+    exactly once (on text) before the final group-by."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = (
+        docs.withColumn(
+            "rn", F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w = _words()
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    keep = (
+        (n_words >= 10)
+        & (sum_len * F.lit(1.0) / n_words).between(3.0, 10.0)
+        & (F.size(F.array_distinct(w)) * F.lit(1.0) / n_words >= 0.3)
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    d = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    split = F.when(d < 12, "train").when(d < 14, "val").otherwise("test")
+    shard = F.pmod(F.conv(F.substring(h, 1, 2), 16, 10).cast("int"), F.lit(16))
+    return (
+        canon.filter(keep)
+        .select(split.alias("split"), "n_chars", shard.alias("shard"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("shard").alias("n_shards"),
+        )
+        .orderBy("split")
+    )
