@@ -1,0 +1,84 @@
+"""Boundary semantics for the corpus-curation operators
+(plans/curation.py): n-gram windows, chunk strides, shard stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.plans.curation import (
+    q93_decontam,
+    q95_chunking,
+    q96_shard_stats,
+    q97_curation_pipeline,
+    word_ngrams,
+)
+
+
+def _grams(spark, text: str, n: int) -> list[str]:
+    df = spark.createDataFrame([(text,)], "text string").select(
+        word_ngrams(F.split("text", " "), n).alias("g")
+    )
+    return df.collect()[0].g
+
+
+def test_word_ngrams_exact_window(spark):
+    # 8 words -> exactly one 8-gram; 7 words -> none (not null, empty)
+    eight = "a b c d e f g h"
+    assert _grams(spark, eight, 8) == [eight]
+    assert _grams(spark, "a b c d e f g", 8) == []
+
+
+def test_word_ngrams_count_and_order(spark):
+    g = _grams(spark, "w1 w2 w3 w4 w5", 3)
+    assert g == ["w1 w2 w3", "w2 w3 w4", "w3 w4 w5"]
+
+
+def test_chunking_stride_boundaries(spark, sf_dir):
+    rows = q95_chunking(spark, sf_dir).collect()
+    n_toks = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_toks)  # every doc chunked, even short ones
+    for doc, chunks in by_doc.items():
+        starts = [c.chunk_start for c in chunks]
+        # stride is exactly 56, starting at 1, covering all tokens
+        assert starts == list(range(1, n_toks[doc] + 1, 56))
+        # each window takes min(64, remaining) tokens from its start
+        for c in chunks:
+            assert c.chunk_len == min(64, n_toks[doc] - c.chunk_start + 1)
+
+
+def test_shard_assignment_stable_and_total(spark, sf_dir):
+    a = {r.shard: (r.n_docs, r.total_chars) for r in q96_shard_stats(spark, sf_dir).collect()}
+    b = {r.shard: (r.n_docs, r.total_chars) for r in q96_shard_stats(spark, sf_dir).collect()}
+    assert a == b  # content-hash shards: identical across runs
+    assert set(a) <= set(range(16))
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(v[0] for v in a.values()) == n_docs
+
+
+def test_decontam_benchmark_overlap_detected(spark, sf_dir):
+    # every benchmark doc (doc_id % 97 == 0) shares all its grams with
+    # itself; corpus contamination counts must be <= group sizes and
+    # the lang partition must cover the whole corpus side
+    out = q93_decontam(spark, sf_dir).collect()
+    assert all(0 <= r.n_contaminated <= r.n_docs for r in out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_corpus = docs.filter(F.col("doc_id") % 97 != 0).count()
+    assert sum(r.n_docs for r in out) == n_corpus
+
+
+def test_curation_pipeline_conserves_docs(spark, sf_dir):
+    out = {r.split: r for r in q97_curation_pipeline(spark, sf_dir).collect()}
+    assert set(out) <= {"train", "val", "test"}
+    # kept docs cannot exceed distinct texts (dedup ran first)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_distinct = docs.select("text").distinct().count()
+    assert sum(r.n_docs for r in out.values()) <= n_distinct
+    assert all(1 <= r.n_shards <= 16 for r in out.values())
