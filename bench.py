@@ -40,6 +40,8 @@ HEADLINE = [
     "q60_stream_tumbling_window",
     "q66_decode_stub",
     "q70_scd1_merge",
+    "q93_decontam",
+    "q97_curation_pipeline",
 ]
 
 
