@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R1_UNCHECKED = (
     "q23 q24 q25 q26 q27 q28 q36 q37 q62 q63 q29 q38 q39 q52 q46 q45 q47 "
     "q48 q49 q69 q88 q04 q72 q73 q74 q53 q54 q75 q76 q77 q78 q79 q80 q81 "
-    "q82 q83 q84 q85 q86 q89 q90 q91 q92 q93 q94 q95 q96 q97"
+    "q82 q83 q84 q85 q86 q89 q90 q91 q92 q93 q94 q95 q96 q97 q98 q99"
 ).split()
 
 

@@ -316,3 +316,110 @@ def q97_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# q98 — blocklist/PII-style regex redaction audit
+# --------------------------------------------------------------------------
+_REDACT_PAT = r"\b(customer|merge)\b"
+
+
+@query(
+    "q98_redaction_audit",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_hits > 0) AS n_redacted_docs,
+           CAST(SUM(n_hits) AS BIGINT) AS total_redactions,
+           CAST(SUM(length(text) - length(redacted)) AS BIGINT) AS chars_removed
+    FROM (
+        SELECT lang, text,
+               len(regexp_extract_all(text, '\b(customer|merge)\b')) AS n_hits,
+               regexp_replace(text, '\b(customer|merge)\b', '■', 'g') AS redacted
+        FROM documents
+    )
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q98_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrub pass — the shape of PII/blocklist redaction at
+    corpus scale (here a stand-in term blocklist; swap the pattern for
+    email/phone/SSN regexes in production). Match counting and
+    replacement are JVM-side regexp expressions in one codegen'd
+    projection; the audit is a single group-by. chars_removed is
+    measured from actual before/after lengths, so the redaction
+    transform itself is what's being checked, not just the counter."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_hits = F.size(F.regexp_extract_all("text", F.lit(_REDACT_PAT), F.lit(0)))
+    redacted = F.regexp_replace("text", _REDACT_PAT, "■")
+    return (
+        docs.select(
+            "lang",
+            n_hits.alias("n_hits"),
+            (F.length("text") - F.length(redacted)).alias("removed"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_hits") > 0, 1)).alias("n_redacted_docs"),
+            F.sum("n_hits").cast("long").alias("total_redactions"),
+            F.sum("removed").cast("long").alias("chars_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q99 — phrase-level repetition profile (duplicate word-3-gram fraction)
+# --------------------------------------------------------------------------
+@query(
+    "q99_repetition_profile",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_grams > 0 AND
+               (n_grams - n_distinct) * 1.0 / n_grams > 0.2) AS n_repetitive,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_grams - n_distinct) AS BIGINT) AS dup_grams
+    FROM (
+        SELECT source, len(g) AS n_grams, len(list_distinct(g)) AS n_distinct
+        FROM (
+            SELECT source,
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in range(1, greatest(len(w) - 1, 1))] AS g
+            FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+        )
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q99_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-phrase signal: fraction of word-3-grams
+    that are duplicates within the doc. Entirely expression-level
+    (n-grams, array_distinct, one IEEE division for the threshold) —
+    zero shuffle before the per-source rollup; the integer gram
+    totals make the aggregate bit-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = word_ngrams(_words(), 3)
+    n_grams = F.size(g)
+    n_distinct = F.size(F.array_distinct(g))
+    dup_frac = (n_grams - n_distinct) * F.lit(1.0) / n_grams
+    repetitive = (n_grams > 0) & (dup_frac > 0.2)
+    return (
+        docs.select(
+            "source",
+            n_grams.alias("n_grams"),
+            (n_grams - n_distinct).alias("n_dup"),
+            repetitive.alias("rep"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("rep"), 1)).alias("n_repetitive"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("n_dup").cast("long").alias("dup_grams"),
+        )
+        .orderBy("source")
+    )
