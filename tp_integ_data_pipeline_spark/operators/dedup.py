@@ -6,7 +6,7 @@ Generalizes the reference's dedup-before-write policies (anti-join on
 
 - exact dedup            — hash groupBy / window canonical pick
 - n-gram Jaccard         — token-shingle inverted index self-join
-- MinHash + LSH          — 128 perms, 64 bands × 2 rows, built-in
+- MinHash + LSH          — 64 perms, 32 bands × 2 rows, built-in
                            xxhash64 only (no Python in the hot path)
 - SimHash                — 64-bit, bit-count hamming, banded candidates
 - embedding cosine       — see operators/similarity.py
@@ -17,7 +17,7 @@ Scale notes (1000 executors, 100 TB):
   shingle/bucket, so skewed hot shingles are the main risk; callers
   can cap bucket width (`max_bucket`) to drop degenerate buckets
   (stop-shingle effect), the standard trade in web-scale dedup.
-- Signatures are fixed-width (128×8 bytes) per doc — 100 TB of text at
+- Signatures are fixed-width (NUM_PERM×8 bytes) per doc — 100 TB of text at
   ~4 KB/doc is 25 G docs → 25 TB of signatures, fine to shuffle.
 - Everything is built-in expression work (xxhash64, aggregate, min) —
   whole-stage codegen applies; no Python UDFs.
@@ -145,10 +145,17 @@ def pair_jaccard(
 # MinHash + LSH (X2 scale path)
 # --------------------------------------------------------------------------
 
-NUM_PERM = 128
-BANDS = 64  # rows-per-band r = NUM_PERM // BANDS = 2
+NUM_PERM = 64
+BANDS = 32  # rows-per-band r = NUM_PERM // BANDS = 2
 # P(pair with Jaccard j becomes a candidate) = 1 - (1 - j^r)^b:
-#   j=0.6 → 1 - 3e-13 ;  j=0.8 → 1 - 6e-29  (effectively exact above 0.6)
+#   j=0.6 → 1 - 6e-7 ;  j=0.7 → 1 - 4e-10  (effectively exact above 0.6;
+#   the 0.6-threshold property test passes at all three SFs).
+# 64/32 was 128/64 in round 1: halving the sketch at the same r keeps
+# candidate precision identical and costs ~6e-7 recall per true pair,
+# while halving BOTH the signature aggregation work and — measured the
+# bigger win at bench scale — the whole-stage-codegen compile time of
+# the unrolled per-permutation min aggregates (q42 cold 14.5→9.8 s,
+# warm 9.3→4.5 s at sf0.1; identical 256-pair output).
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
@@ -226,7 +233,9 @@ def estimate_filter_candidates(
     also extremely permissive downward (a j=0.2 pair is a candidate
     with p≈0.93), so the candidate set is dominated by junk — measured
     at sf0.1: 7,374 of 7,630 candidates estimate below 0.25 while every
-    true pair estimates ≥0.75. Estimating from the two 128-long
+    true pair estimates ≥0.75 (measured with the round-1 128-perm
+    sketch; the junk/true separation is perm-count-invariant).
+    Estimating from the two NUM_PERM-long
     signature arrays (`zip_with` + `aggregate`, whole-stage-codegen'd,
     one row per pair) is ~30× cheaper than the exact shingle-relation
     probe (hundreds of rows per doc, two joins), so pre-filtering here
@@ -265,7 +274,8 @@ def minhash_near_dup_pairs(
     threshold − est_sigmas·σ where σ = sqrt(t(1−t)/num_perm) — each
     permutation's match is an independent Bernoulli(j), so by
     Hoeffding a TRUE ≥threshold pair is wrongly pruned with
-    p ≤ exp(−2·(est_sigmas·σ)²·num_perm) ≈ 6e-5 at t=0.6/128 perms
+    p ≤ exp(−2·(est_sigmas·σ)²·num_perm) ≈ 6e-5 at t=0.6 (the σ
+    definition makes the bound perm-count-invariant)
     (borderline pairs; higher-j pairs are exponentially safer).
     ``None`` disables the pre-filter for exact-recall-certain runs.
     """
