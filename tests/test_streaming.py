@@ -353,3 +353,58 @@ def test_transform_with_state_counter(spark, tmp_path):
     q.awaitTermination()
     got = {r.user_id: (r.n_events, r.total_value) for r in spark.table(name).collect()}
     assert got == {1: (2, 15.0), 2: (1, 1.0)}
+
+
+def test_microbatch_ingest_with_curation_transform(spark, tmp_path):
+    """Streaming curation: a per-batch transform (quality gate + token
+    count) runs before dedup/append, and replaying the stream from
+    scratch against the same lake adds nothing (transform determinism
+    preserves the idempotence contract)."""
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    rows1 = [(1, "good text with plenty of distinct words here", "s0"),
+             (2, "a a a a a a a a a a a a", "s0")]        # repetitive -> dropped
+    rows2 = [(2, "a a a a a a a a a a a a", "s1"),         # re-delivered dup
+             (3, "another reasonably varied document body text", "s1"),
+             (4, "xx", "s1")]                              # too short -> dropped
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, ["doc_id", "text", "source"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/b{i}")
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(f"{tmp_path}/b*/part-*.parquet"))):
+        shutil.copy(f, stream_dir / f"f{i}.parquet")
+
+    def curate(batch):
+        w = F.split("text", " ")
+        keep = (F.size(w) >= 5) & (
+            F.size(F.array_distinct(w)) * F.lit(1.0) / F.size(w) >= 0.3
+        )
+        return batch.filter(keep).withColumn("n_tokens", F.size(w))
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    lake = DataLake(spark, str(tmp_path / "lake"))
+
+    def drain():
+        q = start_microbatch_ingest(
+            spark,
+            str(stream_dir),
+            schema,
+            lake,
+            "docs",
+            partition_cols=["source"],
+            dedup_keys=["doc_id"],
+            interval_seconds=None,
+            max_files_per_trigger=1,
+            transform=curate,
+        )
+        q.awaitTermination()
+
+    drain()
+    got = lake.read("docs")
+    assert {r.doc_id for r in got.select("doc_id").collect()} == {1, 3}
+    assert {r.n_tokens for r in got.collect()} == {8, 6}  # transform column landed
+    drain()  # full replay: same transform output -> anti-join adds nothing
+    assert lake.read("docs").count() == 2

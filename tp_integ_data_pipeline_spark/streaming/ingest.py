@@ -17,6 +17,8 @@ Structured Streaming:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -35,6 +37,7 @@ def start_microbatch_ingest(
     interval_seconds: int | None = None,
     max_files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
     """T1/T3: file-source micro-batch ingestion into the lake.
 
@@ -44,6 +47,14 @@ def start_microbatch_ingest(
     availableNow (drain everything, then stop), the test/backfill mode;
     a positive interval reproduces the reference's 900 s polling
     cadence.
+
+    ``transform`` (optional) is a DataFrame→DataFrame function applied
+    to each micro-batch BEFORE dedup and append — the hook that turns
+    plain ingestion into streaming curation (quality gate, redaction,
+    enrichment from plans/curation.py) without re-reading the corpus
+    later. It must be deterministic: the replay-idempotence guarantee
+    (checkpoint + anti-join dedup) only holds if a replayed batch
+    produces the same rows it produced the first time.
     """
     stream = (
         spark.readStream.schema(schema)
@@ -52,7 +63,8 @@ def start_microbatch_ingest(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch = batch_df.dropDuplicates(dedup_keys)
+        batch = batch_df if transform is None else transform(batch_df)
+        batch = batch.dropDuplicates(dedup_keys)
         lake.write_incremental(table, batch, partition_cols, dedup_keys)
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
