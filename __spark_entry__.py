@@ -31,11 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.QUERIES["q00_flagship"](spark, SMOKE_SF_DIR)
 
 
-# Round-1's driver correctness run recorded exactly the FIRST 50 dict
-# entries, leaving 39 registered queries without hard signal (they are
-# verified locally by scripts/check_oracle.py — full-run log committed).
-# Rotate those 39 to the front so a capped driver run covers them this
-# round; combined with round 1, every query then has driver evidence.
+# The driver's correctness run records exactly the FIRST 50 dict
+# entries. Rotate queries without prior driver evidence to the front
+# so the capped run covers them; combined with earlier rounds, every
+# query then has hard signal. As of round-2 end this list holds the
+# 50 queries round 1 did NOT record (39 from round 1 + q89-q99 added
+# in round 2 — exactly the cap; all are also green in the committed
+# scripts/oracle_full_run_sf0.01_r2.log). NEXT ROUND: rebuild the list
+# from whatever CORRECTNESS_r02.json actually covered.
 _R1_UNCHECKED = (
     "q23 q24 q25 q26 q27 q28 q36 q37 q62 q63 q29 q38 q39 q52 q46 q45 q47 "
     "q48 q49 q69 q88 q04 q72 q73 q74 q53 q54 q75 q76 q77 q78 q79 q80 q81 "
