@@ -32,23 +32,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness run records exactly the FIRST 50 dict
-# entries. Rotate queries without prior driver evidence to the front
-# so the capped run covers them; combined with earlier rounds, every
-# query then has hard signal. As of round-2 end this list holds the
-# 50 queries round 1 did NOT record (39 from round 1 + q89-q99 added
-# in round 2 — exactly the cap; all are also green in the committed
-# scripts/oracle_full_run_sf0.01_r2.log). NEXT ROUND: rebuild the list
-# from whatever CORRECTNESS_r02.json actually covered.
-_R1_UNCHECKED = (
-    "q23 q24 q25 q26 q27 q28 q36 q37 q62 q63 q29 q38 q39 q52 q46 q45 q47 "
-    "q48 q49 q69 q88 q04 q72 q73 q74 q53 q54 q75 q76 q77 q78 q79 q80 q81 "
-    "q82 q83 q84 q85 q86 q89 q90 q91 q92 q93 q94 q95 q96 q97 q98 q99"
+# entries. Rotate the queries whose driver evidence is STALEST to the
+# front so the capped run re-validates them on current code; combined
+# with earlier rounds, every query then has hard signal. Round 2
+# covered the 50 queries round 1 missed (CORRECTNESS_r02.json), but
+# round-2 plan changes (stats-gated broadcast, 64-perm MinHash,
+# row-local gram dedup) touched exactly the round-1-checked half — so
+# round 3 rotates the CORRECTNESS_r01.json key set back to the front
+# to re-earn its signal on current code. NEXT ROUND: rotate back to
+# the CORRECTNESS_r02.json key set (alternate each round).
+_ROTATE_FRONT = (
+    "q01 q02 q03 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 q16 q17 q18 "
+    "q19 q20 q00 q30 q31 q32 q33 q34 q35 q40 q41 q42 q43 q44 q87 q50 q51 "
+    "q55 q56 q57 q58 q59 q65 q66 q67 q70 q71 q60 q61 q64 q68 q21 q22"
 ).split()
 
 
 def _ordered_names() -> list[str]:
-    first = [n for n in plans.QUERIES if n.split("_")[0] in _R1_UNCHECKED]
-    rest = [n for n in plans.QUERIES if n.split("_")[0] not in _R1_UNCHECKED]
+    first = [n for n in plans.QUERIES if n.split("_")[0] in _ROTATE_FRONT]
+    rest = [n for n in plans.QUERIES if n.split("_")[0] not in _ROTATE_FRONT]
     return first + rest
 
 
