@@ -89,15 +89,53 @@ def test_ann_srp_is_subset_of_bruteforce_candidates(spark, sf_dir):
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
-    from tp_integ_data_pipeline_spark.operators.similarity import ivf_topk
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_fit, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
+    centroids = ivf_fit(emb, n_cells=16)
     exact = {(r.q_id, r.n_id) for r in knn_bruteforce(emb, q, k=5).collect()}
-    ivf = {(r.q_id, r.n_id) for r in ivf_topk(emb, q, k=5, n_cells=16, n_probe=4).collect()}
+    ivf = {(r.q_id, r.n_id) for r in ivf_topk(emb, q, centroids, k=5, n_probe=4).collect()}
     # probing 4/16 cells: expect well over half of the true top-5 found
     assert len(ivf & exact) >= len(exact) * 0.5
     assert all(len([1 for a, _ in ivf if a == qid]) == 5 for qid in range(10))
+
+
+def test_ivf_query_path_is_training_free(spark, sf_dir, monkeypatch):
+    """The query path must never train: with the model table supplied,
+    ivf_topk works even when KMeans.fit is poisoned."""
+    from pyspark.ml.clustering import KMeans
+
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_fit, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_fit(emb, n_cells=8).collect()  # offline, before poisoning
+    centroids_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    def boom(self, *a, **kw):  # pragma: no cover - should never run
+        raise AssertionError("KMeans.fit called inside the IVF query path")
+
+    monkeypatch.setattr(KMeans, "fit", boom)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(emb, q, centroids_df, k=3, n_probe=2).collect()
+    assert {r.q_id for r in out} == {0, 1, 2}
+
+
+def test_ivf_plan_size_independent_of_n_cells(spark, sf_dir):
+    """Centroids travel as broadcast data, not plan literals: the
+    optimized plan must not grow with the cell count."""
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_fit, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    def plan_len(n_cells):
+        c = ivf_fit(emb, n_cells=n_cells)
+        df = ivf_topk(emb, q, c, k=3, n_probe=2)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    small, big = plan_len(4), plan_len(32)
+    assert abs(big - small) < 0.05 * small
 
 
 def test_dup_clusters_chain_and_island(spark):

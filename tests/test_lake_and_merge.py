@@ -68,6 +68,29 @@ def test_incremental_dedup_probe_is_partition_pruned(spark, weather_batch, tmp_p
     ).count() == 3
 
 
+def test_incremental_dedup_safe_when_keys_dont_determine_partition(spark, tmp_path):
+    """Default probe must catch a re-delivered key arriving under a
+    DIFFERENT partition value (keys ⊅ partition ⇒ no pruning): the
+    pruned probe would only scan the new partition and re-append."""
+    lake = DataLake(spark, str(tmp_path))
+    b1 = spark.createDataFrame([(1, "web", "x")], ["doc_id", "source", "payload"])
+    lake.write_incremental("docs", b1, ["source"], dedup_keys=["doc_id"])
+    # same key, different partition value — a duplicate, must be dropped
+    b2 = spark.createDataFrame([(1, "api", "x")], ["doc_id", "source", "payload"])
+    lake.write_incremental("docs", b2, ["source"], dedup_keys=["doc_id"])
+    assert lake.read("docs").count() == 1
+
+
+def test_incremental_dedup_probes_null_partition(spark, tmp_path):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__; the
+    pruned probe must use null-safe equality to re-probe it."""
+    lake = DataLake(spark, str(tmp_path))
+    batch = spark.createDataFrame([(None, "k1", 1.0)], "p string, k string, v double")
+    lake.write_incremental("t", batch, ["p"], dedup_keys=["k", "p"])
+    lake.write_incremental("t", batch, ["p"], dedup_keys=["k", "p"])  # re-delivery
+    assert lake.read("t").count() == 1
+
+
 def test_full_write_batch_skip_vs_row_dedup(spark, tmp_path):
     lake = DataLake(spark, str(tmp_path))
     first = spark.createDataFrame([(1, "La Plata"), (2, "Quilmes")], ["id", "name"])
@@ -178,6 +201,91 @@ def test_bucketed_merge_matches_versioned_end_state(spark, tmp_path):
     assert sorted((r.k, r.v) for r in vt.read().collect()) == sorted(
         (r.k, r.v) for r in bt.read().collect()
     )
+
+
+def test_concurrent_bucketed_merges_serialize_no_lost_buckets(spark, tmp_path):
+    """Two writers racing on the same table: the loser of the CAS commit
+    must re-merge against the winner's state — both writers' rows land,
+    no bucket is silently dropped (the pre-CAS last-writer-wins bug)."""
+    path = str(tmp_path / "wh")
+    t1 = BucketedParquetTable(spark, path, keys=["k"], n_buckets=8)
+    t2 = BucketedParquetTable(spark, path, keys=["k"], n_buckets=8)
+    base = spark.createDataFrame([(i, "base") for i in range(10)], ["k", "v"])
+    t1.merge_insert_if_absent(base)
+
+    stage_a = spark.createDataFrame([(200, "a")], ["k", "v"])
+    stage_b = spark.createDataFrame([(100, "b")], ["k", "v"])
+
+    # Deterministic interleaving: t1 snapshots state, then — before its
+    # commit lands — t2 commits a full merge. t1's CAS must fail once
+    # and its retry must observe t2's row.
+    from tp_integ_data_pipeline_spark.operators import merge as merge_mod
+
+    real_commit = merge_mod._try_commit
+    fired = {"done": False}
+
+    def racing_commit(p, expected_version, manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.merge_insert_if_absent(stage_b)  # t2 wins the race
+        return real_commit(p, expected_version, manifest)
+
+    merge_mod._try_commit = racing_commit
+    try:
+        t1.merge_insert_if_absent(stage_a)
+    finally:
+        merge_mod._try_commit = real_commit
+
+    rows = {(r.k, r.v) for r in t1.read().collect()}
+    assert (100, "b") in rows and (200, "a") in rows
+    assert len(rows) == 12
+    # commit log serialized: base, t2's merge, t1's retried merge
+    import os
+
+    commits = sorted(os.listdir(os.path.join(path, "_commits")))
+    assert len(commits) == 3
+
+
+def test_concurrent_versioned_merge_retries_cleanly(spark, tmp_path):
+    """Same race on the full-rewrite table; also checks the loser's
+    abandoned data directory is removed and retries are bounded."""
+    from tp_integ_data_pipeline_spark.operators import merge as merge_mod
+    from tp_integ_data_pipeline_spark.operators.merge import ConcurrentWriteError
+
+    path = str(tmp_path / "vt")
+    t1 = VersionedParquetTable(spark, path, max_retries=3)
+    t2 = VersionedParquetTable(spark, path)
+    t1.merge_insert_if_absent(spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+
+    real_commit = merge_mod._try_commit
+    fired = {"done": False}
+
+    def racing_commit(p, expected_version, manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            t2.merge_insert_if_absent(spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"])
+        return real_commit(p, expected_version, manifest)
+
+    merge_mod._try_commit = racing_commit
+    try:
+        t1.merge_insert_if_absent(spark.createDataFrame([(3, "c")], ["k", "v"]), ["k"])
+    finally:
+        merge_mod._try_commit = real_commit
+    assert {(r.k, r.v) for r in t1.read().collect()} == {(1, "a"), (2, "b"), (3, "c")}
+
+    # a writer that ALWAYS loses fails cleanly, leaving state intact
+    before = {(r.k, r.v) for r in t1.read().collect()}
+
+    def always_lose(p, expected_version, manifest):
+        return False
+
+    merge_mod._try_commit = always_lose
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t1.merge_insert_if_absent(spark.createDataFrame([(9, "z")], ["k", "v"]), ["k"])
+    finally:
+        merge_mod._try_commit = real_commit
+    assert {(r.k, r.v) for r in t1.read().collect()} == before
 
 
 def test_insert_if_absent_pure(spark):

@@ -72,7 +72,7 @@ def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(str(stream_dir))
     stream = spark.readStream.schema(static.schema).parquet(str(stream_dir))
-    fix = lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # noqa: E731
+    from tp_integ_data_pipeline_spark.plans.streaming_queries import _normalize_ts as fix
     agg = lambda df: (  # noqa: E731
         df.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -256,6 +256,29 @@ def test_rollup_replay_is_idempotent(spark, tmp_path):
     assert fold_batch(table, batch, epoch_id=0, checkpoint_dir=str(tmp_path / "ckpt2")) is True
     got = {r.n for r in read_rollup(spark, str(tmp_path / "rollup")).collect()}
     assert got == {6}  # 3 applied folds of n=2
+
+
+def test_rollup_recreated_checkpoint_resets_guard(spark, tmp_path):
+    """Deleting and RECREATING the same checkpoint path (routine
+    reprocessing) restarts epochs at 0; the guard must key on the
+    checkpoint instance, not the path, or the new run's batches are
+    silently skipped."""
+    import shutil
+
+    from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
+    from tp_integ_data_pipeline_spark.streaming.rollup import fold_batch, read_rollup
+
+    batch = spark.createDataFrame(
+        [("2023-07-15T10:01:00", "click", 1.0)], ["ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    table = VersionedParquetTable(spark, str(tmp_path / "rollup"))
+    ckpt = str(tmp_path / "ckpt")
+
+    assert fold_batch(table, batch, epoch_id=5, checkpoint_dir=ckpt) is True
+    shutil.rmtree(ckpt)  # reprocess from scratch: epochs restart at 0
+    assert fold_batch(table, batch, epoch_id=0, checkpoint_dir=ckpt) is True
+    got = read_rollup(spark, str(tmp_path / "rollup")).collect()
+    assert len(got) == 1 and got[0].n == 2  # both folds applied
 
 
 def test_lake_compaction_reduces_files(spark, tmp_path):

@@ -158,8 +158,21 @@ BANDS = 32  # rows-per-band r = NUM_PERM // BANDS = 2
 # warm 9.3→4.5 s at sf0.1; identical 256-pair output).
 
 
-def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(id, sig array<long>) MinHash signatures from a shingle relation.
+def _minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """The single source of truth for the permutation coefficients —
+    `minhash_signatures` and every consumer share these, so the
+    signature definition cannot drift between call sites."""
+    import random
+
+    p = (1 << 31) - 1
+    rng = random.Random(42)
+    return [(rng.randrange(1, p) | 1, rng.randrange(0, p)) for _ in range(num_perm)]
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = NUM_PERM, with_sizes: bool = False
+) -> DataFrame:
+    """(id, sig array<long>[, n]) MinHash signatures from a shingle relation.
 
     Universal-hash permutations: perm_i(x) = (a_i·h(x) + b_i) mod p
     over ONE xxhash64 base hash masked to 31 bits (p = 2³¹−1, a_i/b_i
@@ -169,21 +182,27 @@ def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     NOT usable here — for large i the argmin collapses onto argmin(h2),
     destroying permutation independence (observed as LSH misses).
     One shuffle (groupBy id) produces all mins map-side-combined.
-    """
-    import random
 
+    ``with_sizes=True`` rides the per-doc shingle count along in the
+    same aggregation (column ``n``) so callers that need set sizes for
+    Jaccard verification don't pay a second pass over ``sh``.
+    """
     p = (1 << 31) - 1
-    rng = random.Random(42)
-    coeffs = [(rng.randrange(1, p) | 1, rng.randrange(0, p)) for _ in range(num_perm)]
+    coeffs = _minhash_coeffs(num_perm)
     mask = F.lit((1 << 31) - 1)
     h = F.xxhash64(F.col("sh")).bitwiseAND(mask)
     hashed = sh.select("id", h.alias("h"))
-    mins = [
+    aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(f"m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    per_doc = hashed.groupBy("id").agg(*mins)
-    return per_doc.select("id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"))
+    if with_sizes:
+        aggs.append(F.count(F.lit(1)).alias("n"))
+    per_doc = hashed.groupBy("id").agg(*aggs)
+    cols = ["id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")]
+    if with_sizes:
+        cols.append(F.col("n"))
+    return per_doc.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -287,21 +306,7 @@ def minhash_near_dup_pairs(
     # Spark's ReuseExchange already dedupes the identical distinct
     # subtree within the single job.
     sh = shingles(df, id_col, text_col, k)
-    mask = F.lit((1 << 31) - 1)
-    hashed = sh.select("id", F.xxhash64(F.col("sh")).bitwiseAND(mask).alias("h"))
-    import random
-
-    p = (1 << 31) - 1
-    rng = random.Random(42)
-    coeffs = [(rng.randrange(1, p) | 1, rng.randrange(0, p)) for _ in range(NUM_PERM)]
-    agg = hashed.groupBy("id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(f"m{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
-        F.count(F.lit(1)).alias("n"),
-    )
-    sig = agg.select("id", F.array(*[F.col(f"m{i}") for i in range(NUM_PERM)]).alias("sig"), "n")
+    sig = minhash_signatures(sh, num_perm=NUM_PERM, with_sizes=True)
     cand = lsh_candidate_pairs(sig)
     if est_sigmas is not None:
         sigma = (threshold * (1 - threshold) / NUM_PERM) ** 0.5
@@ -399,71 +404,132 @@ def simhash_near_dup_pairs(
 # --------------------------------------------------------------------------
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., SoCC'14): every node's
+    strictly-larger neighbors are re-linked to the minimum of its
+    closed neighborhood. Input/output edges are min-oriented
+    ``(u, v)`` with ``u > v``."""
+    sym = edges.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+        edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    mins = (
+        sym.groupBy("x")
+        .agg(F.min("y").alias("__mn"))
+        .select("x", F.least(F.col("__mn"), F.col("x")).alias("m"))
+    )
+    # Emit (y, m) for neighbors y > x; m <= x < y keeps orientation.
+    # No distinct here: output is exactly |E| rows (one per undirected
+    # edge, from its smaller endpoint); duplicates are harmless to the
+    # small-star mins and are swept by its final distinct — one fewer
+    # exchange per round.
+    return (
+        sym.join(mins, "x")
+        .filter(F.col("y") > F.col("x"))
+        .select(F.col("y").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node's smaller neighbors (and the
+    node itself) are re-linked to its minimum smaller neighbor. Input
+    edges must be min-oriented ``(u, v)`` with ``u > v``."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    leaves = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    roots = mins.select("u", F.col("m").alias("v"))
+    return leaves.union(roots).distinct()
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over an undirected edge list ``pairs(a, b)``
     → ``(id, cluster)`` where ``cluster`` is the minimum node id
     reachable from ``id`` (the canonical-representative convention used
     to collapse near-duplicate groups to one kept document).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds. Near-dup graphs are overwhelmingly tiny
-    cliques/chains (diameter ≤ ~4), so this beats the O(log n)
-    large-star/small-star alternating algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) in
-    practice — fewer shuffles per round and no edge rewriting. Each
-    round is one shuffle on node id; labels are persisted and the
-    lineage truncated per round so plans stay flat at scale. The
-    convergence probe is an aggregate count, not a collect.
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round rewrites
+    the edge set toward a star forest rooted at each component's
+    minimum node, converging in O(log n) rounds — on the tiny
+    cliques/chains of a near-dup graph (diameter ≤ ~4) typically 2.
+    That replaces the previous O(diameter)-round min-label propagation
+    whose per-round driver ``count()`` + eager ``localCheckpoint`` made
+    q87/q90 the slowest queries at every SF. Here a round is two edge
+    rewrites (each one shuffle) plus ONE convergence probe (an
+    early-exit symmetric-difference count, not a collect). Each round
+    star-rewrites the edge set through ~8 self-references, so the
+    logical plan grows exponentially without truncation — a LAZY
+    ``localCheckpoint`` per round truncates it, with the probe's count
+    as the materializing action (no extra job, unlike the old
+    eager-checkpoint-per-round shape).
 
-    Only nodes appearing in ``pairs`` are returned — callers union in
-    singletons (cluster = own id) if they need total coverage.
+    Only nodes with at least one real (a ≠ b) edge in ``pairs`` are
+    returned — callers union in singletons (cluster = own id) if they
+    need total coverage (a self-loop-only node is a singleton).
     """
-    edges = pairs.select("a", "b")
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-    labels = (
-        sym.select(F.col("a").alias("id")).distinct().withColumn("cluster", F.col("id"))
-    ).persist()
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # Lazy checkpoint: the upstream pair producer (e.g. the whole
+    # MinHash/LSH pipeline) would otherwise be embedded ~9× in round
+    # 1's plan; materialization rides the first round's rewrite job.
+    edges = (
+        pairs.select(
+            F.greatest(F.col("a"), F.col("b")).alias("u"),
+            F.least(F.col("a"), F.col("b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    converged = False
     try:
         for _ in range(max_iter):
-            neighbor = sym.join(labels, sym.b == labels.id).select(
-                F.col("a").alias("id"), F.col("cluster")
+            new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            # Fixed-point probe: the min-oriented edge set is a star
+            # forest (rooted at component minima — the algorithm's
+            # fixed points) iff no node appears as a leaf twice or as
+            # both leaf and root. One aggregation + early-exit count —
+            # and it fires on the first round that PRODUCES a star
+            # forest, so no extra change-detection confirm round.
+            ends = new_edges.select(F.col("u").alias("x"), F.lit(1).alias("s")).union(
+                new_edges.select(F.col("v").alias("x"), F.lit(0).alias("s"))
             )
-            new_labels = (
-                labels.union(neighbor)
-                .groupBy("id")
-                .agg(F.min("cluster").alias("cluster"))
-                .persist()
-            )
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("cluster", "__old"), "id"
-                )
-                .filter(F.col("cluster") != F.col("__old"))
+            non_star = (
+                ends.groupBy("x")
+                .agg(F.sum("s").alias("n_u"), F.count(F.lit(1)).alias("n"))
+                .filter((F.col("n_u") > 1) | ((F.col("n_u") >= 1) & (F.col("n") > F.col("n_u"))))
+                .limit(1)
                 .count()
             )
-            labels.unpersist()
-            # Truncate lineage: without this each round's plan embeds
-            # every prior round's join (exponential plan growth).
-            labels = new_labels.localCheckpoint(eager=True)
-            new_labels.unpersist()
-            if changed == 0:
+            edges.unpersist()
+            edges = new_edges
+            if non_star == 0:
+                converged = True
                 break
-        else:
+        if not converged:
             # Exhausting the round budget silently would split any
-            # component with diameter > max_iter into several clusters.
+            # component into several clusters.
             raise RuntimeError(
                 f"dup_clusters did not converge within max_iter={max_iter} "
-                f"rounds ({changed} labels still changing). The component "
-                "diameter exceeds the budget — raise max_iter, or use "
-                "alternating large-star/small-star (O(log n) rounds) for "
-                "long-chain graphs."
+                "rounds. Large-star/small-star needs O(log n) rounds, so "
+                "this indicates a pathological graph — raise max_iter."
             )
-        return labels
-    finally:
-        sym.unpersist()
+    except BaseException:
+        edges.unpersist()
+        raise
+    # The returned DataFrame reads ONLY from the final checkpointed
+    # edge set (one row per non-root node — footprint bounded by the
+    # label output itself), never from `pairs`: re-reading the pair
+    # producer here would re-execute the whole upstream pipeline at the
+    # caller's action. Deliberately NOT unpersisted: dropping a
+    # localCheckpoint would orphan its truncated lineage.
+    # At the fixed point every non-root has exactly one edge, to its
+    # component's minimum node (leaf → root); roots map to themselves.
+    leaves = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+    roots = edges.select(F.col("v").alias("id"), F.col("v").alias("cluster")).distinct()
+    return leaves.union(roots)
 
 
 def cluster_sizes(clusters: DataFrame) -> DataFrame:

@@ -24,10 +24,75 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when another writer keeps committing between this writer's
+    snapshot read and its commit attempt and the retry budget runs out.
+    No partial state is published: every failed attempt's data
+    directory is removed and the manifest is untouched."""
+
+
+def _commits_dir(path: str) -> str:
+    return os.path.join(path, "_commits")
+
+
+def _load_state(path: str) -> tuple[int, dict]:
+    """(version, manifest) of the table's latest commit.
+
+    The manifest is a commit LOG: `_commits/{version:020d}.json`, the
+    live state being the highest version. Readers see only fully
+    written manifests (writers publish via hard-link of a fsync'd temp
+    file). (0, {}) for an empty table; a legacy single-file
+    `_MANIFEST.json` (pre-CAS layout) reads as version 0.
+    """
+    cdir = _commits_dir(path)
+    if os.path.isdir(cdir):
+        latest = max((f for f in os.listdir(cdir) if f.endswith(".json")), default=None)
+        if latest is not None:
+            with open(os.path.join(cdir, latest)) as fh:
+                return int(latest[: -len(".json")]), json.load(fh)
+    legacy = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(legacy):
+        with open(legacy) as fh:
+            return 0, json.load(fh)
+    return 0, {}
+
+
+def _try_commit(path: str, expected_version: int, manifest: dict) -> bool:
+    """Atomic compare-and-swap publish of `manifest` as commit
+    `expected_version + 1`.
+
+    The reference gets transactional MERGE for free from PostgreSQL
+    (transf.py:215-273 runs inside the DB engine); on plain files the
+    equivalent is optimistic concurrency: the commit slot is claimed
+    with `os.link` (fails with EEXIST if any other writer got there
+    first — atomic on POSIX), and the linked temp file is fully written
+    and fsync'd beforehand so readers can never observe a torn
+    manifest. Returns False on a lost race; the caller re-reads state
+    and retries its merge against the winner's table.
+    """
+    cdir = _commits_dir(path)
+    os.makedirs(cdir, exist_ok=True)
+    tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    slot = os.path.join(cdir, f"{expected_version + 1:020d}.json")
+    try:
+        os.link(tmp, slot)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def scd1_upsert(
@@ -69,57 +134,86 @@ class VersionedParquetTable:
     """MERGE-capable warehouse table on plain parquet.
 
     Spark cannot overwrite a parquet dir it is lazily reading, so each
-    merge writes a NEW versioned directory and flips a tiny manifest —
-    the same copy-on-write idea as a Delta commit, minus the log
-    (documented limitation: no concurrent writers, full rewrite).
+    merge writes a NEW versioned directory and publishes it through an
+    append-only commit log with compare-and-swap (`_try_commit`) — the
+    same copy-on-write + optimistic-concurrency idea as a Delta commit.
+    Concurrent merges serialize: the loser of a commit race re-reads
+    the winner's table, recomputes its merge, and retries (bounded by
+    ``max_retries``); no committed rows are ever lost. Remaining
+    limitation vs a real log: full-table rewrite per merge (see
+    BucketedParquetTable for the partition-scoped variant).
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, max_retries: int = 5):
         self.spark = spark
         self.path = path
+        self.max_retries = max_retries
         os.makedirs(path, exist_ok=True)
 
-    def _manifest(self) -> str:
-        return os.path.join(self.path, "_MANIFEST.json")
-
-    def _read_manifest(self) -> dict:
-        if not os.path.exists(self._manifest()):
-            return {}
-        with open(self._manifest()) as fh:
-            return json.load(fh)
-
     def current_version_dir(self) -> str | None:
-        return self._read_manifest().get("current")
+        return _load_state(self.path)[1].get("current")
 
     def meta(self) -> dict:
         """Writer-supplied metadata from the last committed version
         (e.g. the streaming rollup's last-applied epoch)."""
-        return self._read_manifest().get("meta", {})
+        return _load_state(self.path)[1].get("meta", {})
 
     def read(self) -> DataFrame | None:
         cur = self.current_version_dir()
         return self.spark.read.parquet(cur) if cur else None
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
+        """Blind replace (no read-modify-write): the data directory is
+        written once; only the commit is retried on a lost race, so
+        concurrent overwrites serialize as last-committed-wins with no
+        torn manifest."""
         new_dir = os.path.join(self.path, f"v{time.time_ns()}")
         df.write.mode("overwrite").parquet(new_dir)
         manifest = {"current": new_dir}
         if meta is not None:
             manifest["meta"] = meta
-        with open(self._manifest(), "w") as fh:
-            json.dump(manifest, fh)
+        for _ in range(self.max_retries):
+            version, _cur = _load_state(self.path)
+            if _try_commit(self.path, version, manifest):
+                return
+        shutil.rmtree(new_dir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"overwrite of {self.path} lost {self.max_retries} commit races"
+        )
+
+    def _merge(self, stage: DataFrame, combine) -> None:
+        for _ in range(self.max_retries):
+            version, manifest = _load_state(self.path)
+            cur_dir = manifest.get("current")
+            cur = self.spark.read.parquet(cur_dir) if cur_dir else None
+            merged = combine(cur, stage)
+            new_dir = os.path.join(self.path, f"v{time.time_ns()}")
+            merged.write.mode("overwrite").parquet(new_dir)
+            if _try_commit(self.path, version, {"current": new_dir}):
+                return
+            # Lost the race: drop this attempt's data dir and re-merge
+            # against the winner's committed state.
+            shutil.rmtree(new_dir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"merge into {self.path} lost {self.max_retries} commit races"
+        )
 
     def merge_scd1(self, stage: DataFrame, keys: list[str], **kwargs) -> None:
         # First write still routes through scd1_upsert (empty target) so
         # audit columns exist from version 1, like the reference's
         # CREATE TABLE with audit cols + first MERGE (transf.py:179-206).
-        cur = self.read()
-        target = cur if cur is not None else stage.limit(0)
-        self.overwrite(scd1_upsert(target, stage, keys, **kwargs))
+        self._merge(
+            stage,
+            lambda cur, stg: scd1_upsert(
+                cur if cur is not None else stg.limit(0), stg, keys, **kwargs
+            ),
+        )
 
     def merge_insert_if_absent(self, stage: DataFrame, keys: list[str]) -> None:
-        cur = self.read()
-        self.overwrite(stage if cur is None else insert_if_absent(cur, stage, keys))
+        self._merge(
+            stage,
+            lambda cur, stg: stg if cur is None else insert_if_absent(cur, stg, keys),
+        )
 
 
 class BucketedParquetTable:
@@ -138,30 +232,34 @@ class BucketedParquetTable:
     The one driver action per merge is collecting the stage's DISTINCT
     bucket ids — bounded by ``n_buckets`` (it's a partition-pruning
     list, same role as Delta's file-skipping stats, not a data
-    collect). Same documented limitation as the versioned table: no
-    concurrent writers.
+    collect). Commits go through the same CAS commit log as
+    `VersionedParquetTable`: a merge that loses the race re-reads the
+    winner's manifest — including any buckets the winner rewrote — and
+    re-merges, so two concurrent merges (even to disjoint buckets)
+    serialize instead of one silently dropping the other's buckets.
     """
 
     BUCKET_COL = "__bucket"
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str], n_buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        n_buckets: int = 64,
+        max_retries: int = 5,
+    ):
         self.spark = spark
         self.path = path
         self.keys = keys
         self.n_buckets = n_buckets
+        self.max_retries = max_retries
         os.makedirs(path, exist_ok=True)
 
-    def _manifest(self) -> str:
-        return os.path.join(self.path, "_MANIFEST.json")
-
-    def _read_manifest(self) -> dict:
-        if not os.path.exists(self._manifest()):
-            return {"buckets": {}}
-        with open(self._manifest()) as fh:
-            return json.load(fh)
-
     def bucket_dirs(self) -> dict[int, str]:
-        return {int(k): v for k, v in self._read_manifest()["buckets"].items()}
+        return {
+            int(k): v for k, v in _load_state(self.path)[1].get("buckets", {}).items()
+        }
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -187,22 +285,29 @@ class BucketedParquetTable:
         dirty = sorted(
             r[0] for r in stage_b.select(self.BUCKET_COL).distinct().collect()
         )
-        manifest = self._read_manifest()
-        buckets = manifest.get("buckets", {})
-        cur_dirty_dirs = [buckets[str(b)] for b in dirty if str(b) in buckets]
-        target = self._read_buckets(cur_dirty_dirs)
-        merged = combine(target, stage_b.drop(self.BUCKET_COL))
-        new_dir = os.path.join(self.path, f"v{time.time_ns()}")
-        # one hive-partitioned write; each dirty bucket becomes its own
-        # subdir the manifest can point at individually
-        self._with_bucket(merged).write.partitionBy(self.BUCKET_COL).mode("overwrite").parquet(
-            new_dir
+        for _ in range(self.max_retries):
+            version, manifest = _load_state(self.path)
+            buckets = dict(manifest.get("buckets", {}))
+            cur_dirty_dirs = [buckets[str(b)] for b in dirty if str(b) in buckets]
+            target = self._read_buckets(cur_dirty_dirs)
+            merged = combine(target, stage_b.drop(self.BUCKET_COL))
+            new_dir = os.path.join(self.path, f"v{time.time_ns()}")
+            # one hive-partitioned write; each dirty bucket becomes its
+            # own subdir the manifest can point at individually
+            self._with_bucket(merged).write.partitionBy(self.BUCKET_COL).mode(
+                "overwrite"
+            ).parquet(new_dir)
+            for b in dirty:
+                buckets[str(b)] = os.path.join(new_dir, f"{self.BUCKET_COL}={b}")
+            if _try_commit(self.path, version, {**manifest, "buckets": buckets}):
+                return
+            # Lost the race: the winner may have rewritten some of OUR
+            # dirty buckets — re-read its manifest and re-merge against
+            # the committed state before retrying.
+            shutil.rmtree(new_dir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"merge into {self.path} lost {self.max_retries} commit races"
         )
-        for b in dirty:
-            buckets[str(b)] = os.path.join(new_dir, f"{self.BUCKET_COL}={b}")
-        manifest["buckets"] = buckets
-        with open(self._manifest(), "w") as fh:
-            json.dump(manifest, fh)
 
     def merge_scd1(self, stage: DataFrame, **kwargs) -> None:
         self._merge(

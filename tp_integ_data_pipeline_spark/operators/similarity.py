@@ -158,58 +158,110 @@ def knn_bruteforce(
     )
 
 
-def ivf_topk(
+def ivf_fit(
     emb: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
     n_cells: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: KMeans coarse quantizer → probe the n_probe
-    nearest cells per query → exact cosine re-rank within candidates.
-
-    The inverted file is the cell assignment (one int per vector);
-    at scale the corpus is hash-partitioned by cell so a probe touches
-    n_probe/n_cells of the data. Centroids (n_cells × d floats) are
-    model state, baked into the plan as literals — the standard
-    small-model/large-data split. Approximate: recall bounded by cell
-    probing, tested empirically against brute force.
+    """OFFLINE IVF training: fit the KMeans coarse quantizer and return
+    the model as a small ``(cell int, centroid array<double>)`` table —
+    n_cells rows. This is the ONLY place ``KMeans.fit`` runs; persist
+    the result (it's model state, e.g. a catalog table) and hand it to
+    `ivf_assign` / `ivf_topk`, which consume it via broadcast join so
+    query plans stay O(1) in n_cells and never re-train.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = emb.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("nv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
+    feat = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feat)
-    assigned = model.transform(feat).select("n_id", "nv", F.col("prediction").alias("cell"))
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return emb.sparkSession.createDataFrame(rows, "cell int, centroid array<double>")
 
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
-    def sq_dist_to(centroid: list[float], vec: Column) -> Column:
-        carr = F.array(*[F.lit(x) for x in centroid])
-        return F.aggregate(
-            F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
-    cell_structs = F.array(
-        *[
-            F.struct(sq_dist_to(c, F.col("qv")).alias("d"), F.lit(i).alias("cell"))
-            for i, c in enumerate(centroids)
-        ]
+def _nearest_cells(vec: Column, cs: Column, n: int) -> Column:
+    """Array of the `n` nearest (sq-dist, cell) structs from the
+    broadcast centroid list `cs` — row-local higher-order-function work,
+    no shuffle, no per-centroid plan literals."""
+    scored = F.transform(
+        cs,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    c["centroid"],
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cell"].alias("cell"),
+        ),
     )
-    probed = q.select(
-        "q_id", "qv", F.explode(F.slice(F.sort_array(cell_structs), 1, n_probe)).alias("p")
-    ).select("q_id", "qv", F.col("p.cell").alias("cell"))
+    return F.slice(F.sort_array(scored), 1, n)
 
+
+def _with_centroid_list(df: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Attach the full centroid table as ONE broadcast array column
+    (`__cs`) — the model travels as data, not as plan literals, so the
+    plan size is independent of n_cells."""
+    cs = centroids.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "centroid"))).alias("__cs")
+    )
+    return df.crossJoin(F.broadcast(cs))
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-file build: ``(n_id, nv, cell)`` nearest-centroid
+    assignment. Pure map-side work (broadcast model + row-local argmin);
+    at scale, write the result partitioned/bucketed by `cell` so probes
+    scan only n_probe/n_cells of the corpus."""
+    e = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    return (
+        _with_centroid_list(e, centroids)
+        .select(
+            "n_id", "nv", _nearest_cells(F.col("nv"), F.col("__cs"), 1)[0]["cell"].alias("cell")
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN query: probe the n_probe nearest cells per query →
+    exact cosine re-rank within candidates.
+
+    `centroids` is the pre-trained model table from `ivf_fit` (train
+    offline, once). The query path is training-free: cells rank
+    row-locally against the broadcast centroid list, candidates come
+    from an equi-join on `cell`, and the plan contains no per-centroid
+    literals — at 4096 cells × 768 dims the plan is the same size as at
+    16 × 64. Approximate: recall bounded by cell probing, tested
+    empirically against brute force.
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    probed = (
+        _with_centroid_list(q, centroids)
+        .select(
+            "q_id",
+            "qv",
+            F.explode(_nearest_cells(F.col("qv"), F.col("__cs"), n_probe)).alias("p"),
+        )
+        .select("q_id", "qv", F.col("p.cell").alias("cell"))
+    )
     cand = probed.join(assigned, "cell").filter(F.col("q_id") != F.col("n_id"))
     scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))

@@ -64,10 +64,19 @@ def salted_broadcast_left(
     fact_key: str,
     dim_key: str,
     n_salts: int = 8,
+    salt_source: str | None = None,
 ) -> DataFrame:
     """Left join with the dim replicated across n_salts and the fact
-    side salted — every reducer sees 1/n of the hot key's rows."""
-    salted_fact = fact.withColumn("__salt", _row_salt(fact, n_salts))
+    side salted — every reducer sees 1/n of the hot key's rows.
+
+    The default whole-row content salt is retry-stable (see _row_salt)
+    but gives BYTE-IDENTICAL fact rows the same salt — a duplicate-heavy
+    hot key (many identical events) would then see zero spread,
+    reinstating the skew. Such callers must pass ``salt_source`` naming
+    a column that varies across those duplicates (an offset/ingest-id),
+    same escape hatch as `salted_agg`.
+    """
+    salted_fact = fact.withColumn("__salt", _row_salt(fact, n_salts, salt_source))
     replicated = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

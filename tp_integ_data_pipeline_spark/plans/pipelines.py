@@ -118,7 +118,10 @@ def run_extraction(
         fetch(weather_endpoint(weather_base, first.latitude, first.longitude, weather_params)),
         api_loc_id=first.id,
     )
-    lake.write_incremental("regmeteor", weather, ["fecha_partic"], dedup_keys=["time"])
+    # probe_partitions=True: fecha_partic = date_format(time) (main.py:213)
+    lake.write_incremental(
+        "regmeteor", weather, ["fecha_partic"], dedup_keys=["time"], probe_partitions=True
+    )
     return weather
 
 

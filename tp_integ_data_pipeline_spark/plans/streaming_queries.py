@@ -22,6 +22,18 @@ from tp_integ_data_pipeline_spark.plans.relational import dsum_sql
 from tp_integ_data_pipeline_spark.streaming.ingest import run_stream_to_memory
 
 
+def _normalize_ts(stream: DataFrame) -> DataFrame:
+    """Same ts normalization as the batch loader (sources/fixtures.py):
+    ns-as-long → µs instant, or (newer Spark) NTZ → instant — watermarks
+    require TimestampType, so streams must normalize too."""
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events fixture with the same ns→µs
     timestamp normalization as the batch loader."""
@@ -33,9 +45,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
     schema = spark.read.parquet(staging).schema
     stream = spark.readStream.schema(schema).parquet(staging)
-    if "bigint" == dict(stream.dtypes).get("ts"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _normalize_ts(stream)
 
 
 @query(
@@ -125,8 +135,7 @@ def q89_stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
-    if "bigint" == dict(stream.dtypes).get("ts"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)
     deduped = stream.withWatermark("ts", "35 days").dropDuplicatesWithinWatermark(["event_id"])
     out = run_stream_to_memory(
         deduped.select("event_id", "event_type", "value"),

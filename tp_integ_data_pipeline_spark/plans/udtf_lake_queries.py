@@ -79,8 +79,10 @@ def q45_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = li.withColumn("fecha_partic", F.date_format("l_shipdate", "MM-dd-yy"))
     lake = DataLake(spark, tempfile.mkdtemp(prefix="lake_q45_"))
     keys = ["l_orderkey", "l_linenumber"]
-    lake.write_incremental("li", staged, ["fecha_partic"], dedup_keys=keys)
-    lake.write_incremental("li", staged, ["fecha_partic"], dedup_keys=keys)  # no-op re-run
+    # probe_partitions=True: fecha_partic is derived from l_shipdate,
+    # which is fixed per (l_orderkey, l_linenumber) — key → partition FD
+    lake.write_incremental("li", staged, ["fecha_partic"], dedup_keys=keys, probe_partitions=True)
+    lake.write_incremental("li", staged, ["fecha_partic"], dedup_keys=keys, probe_partitions=True)  # no-op re-run
     back = lake.read("li")
     return (
         back.groupBy("fecha_partic")

@@ -34,10 +34,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_type == "bigint":
         # ns → µs integer division (`div`, not `/`: double would lose
         # precision at 1e18 ns); values are post-1970 so div == floor.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Newer Spark reads TIMESTAMP(NANOS) as µs-truncated NTZ even
+        # with the legacy conf; session TZ is UTC, so reinterpreting as
+        # an instant yields the same values the bigint path produced —
+        # one stable events schema across Spark minor versions.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -79,16 +79,36 @@ class DataLake:
                 for row in combos:
                     conj = F.lit(True)
                     for k in partition_cols:
-                        conj = conj & (F.col(k) == F.lit(row[k]))
+                        # eqNullSafe: a NULL partition value must still
+                        # probe the lake's null partition
+                        # (__HIVE_DEFAULT_PARTITION__); plain == yields
+                        # NULL there and would skip it, re-appending
+                        # null-keyed duplicates.
+                        conj = conj & F.col(k).eqNullSafe(F.lit(row[k]))
                     disjuncts.append(conj)
                 cond = disjuncts[0]
                 for d in disjuncts[1:]:
                     cond = cond | d
                 probe = existing.filter(cond)
-        return df.join(probe.select(*dedup_keys).distinct(), dedup_keys, "left_anti")
+        # Null-safe anti-join: dedup must treat NULL key components as
+        # equal (SQL DISTINCT semantics) — a plain equi-join's NULL ≠
+        # NULL would re-append every null-keyed re-delivery forever.
+        # eqNullSafe still plans as a hash join (EqualNullSafe is an
+        # equi-join key), so this costs nothing vs `on=dedup_keys`.
+        probe_keys = probe.select(*dedup_keys).distinct().alias("__probe")
+        incoming = df.alias("__in")
+        cond = F.lit(True)
+        for k in dedup_keys:
+            cond = cond & F.col(f"__in.{k}").eqNullSafe(F.col(f"__probe.{k}"))
+        return incoming.join(probe_keys, cond, "left_anti")
 
     def write_incremental(
-        self, table: str, df: DataFrame, partition_cols: list[str], dedup_keys: list[str]
+        self,
+        table: str,
+        df: DataFrame,
+        partition_cols: list[str],
+        dedup_keys: list[str],
+        probe_partitions: bool | None = None,
     ) -> None:
         """S6: partitioned incremental append with dedup-before-write.
 
@@ -96,12 +116,29 @@ class DataLake:
         already exists. Implemented as a left_anti join against the
         existing lake — per-row (strictly more precise than the
         reference's last-`time`-only scalar check, which its
-        append-only source made equivalent) — partition-pruned via
-        `_dedup_against_existing`.
+        append-only source made equivalent).
+
+        Partition-pruning the dedup probe is only EXACT when the dedup
+        keys determine the partition value (otherwise a re-delivered
+        key arriving under a different partition value would probe the
+        wrong partition and append a silent duplicate):
+
+        - ``probe_partitions=None`` (default): prune only when every
+          partition column is itself a dedup key — the one case the
+          dependency holds structurally.
+        - ``True``: caller asserts dedup_keys → partition functional
+          dependency (e.g. the reference's ``fecha_partic =
+          date_format(time)``, main.py:213) and opts into the
+          O(batch-partitions) probe.
+        - ``False``: always probe the full lake.
         """
         existing = self.read(table)
         if existing is not None:
-            df = self._dedup_against_existing(df, existing, dedup_keys, partition_cols)
+            if probe_partitions is None:
+                probe_partitions = set(partition_cols) <= set(dedup_keys)
+            df = self._dedup_against_existing(
+                df, existing, dedup_keys, partition_cols if probe_partitions else None
+            )
         df.write.mode("append").partitionBy(*partition_cols).parquet(self._path(table))
 
     def write_full(

@@ -38,6 +38,7 @@ def start_microbatch_ingest(
     max_files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    probe_partitions: bool | None = None,
 ) -> StreamingQuery:
     """T1/T3: file-source micro-batch ingestion into the lake.
 
@@ -55,6 +56,12 @@ def start_microbatch_ingest(
     later. It must be deterministic: the replay-idempotence guarantee
     (checkpoint + anti-join dedup) only holds if a replayed batch
     produces the same rows it produced the first time.
+
+    ``probe_partitions`` is forwarded to ``write_incremental``: leave
+    it ``None`` unless the dedup keys functionally determine the
+    partition value (see DataLake.write_incremental) — with unrelated
+    keys and partitions, a pruned probe would miss re-deliveries that
+    land under a different partition value.
     """
     stream = (
         spark.readStream.schema(schema)
@@ -65,7 +72,9 @@ def start_microbatch_ingest(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df if transform is None else transform(batch_df)
         batch = batch.dropDuplicates(dedup_keys)
-        lake.write_incremental(table, batch, partition_cols, dedup_keys)
+        lake.write_incremental(
+            table, batch, partition_cols, dedup_keys, probe_partitions=probe_partitions
+        )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir is not None:

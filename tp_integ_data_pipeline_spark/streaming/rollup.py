@@ -15,6 +15,9 @@ third classic merge, implemented with the same end-state algebra
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -22,6 +25,33 @@ from pyspark.sql.streaming import StreamingQuery
 from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
 
 ROLLUP_COLS = ("win_start", "event_type", "n", "total_value")
+
+
+def _checkpoint_instance(checkpoint_dir: str) -> str:
+    """Replay-guard scope for THIS incarnation of the checkpoint dir.
+
+    Epoch ids restart at 0 when the checkpoint directory is deleted and
+    recreated (a routine reprocessing step), so a guard keyed on the
+    PATH alone would silently skip the new run's batches until its
+    epoch id passed the old high-water mark — dropped data. A marker
+    file claimed atomically on first use pins the scope to the
+    directory instance: recreating the directory loses the marker, the
+    scope changes, and the guard resets.
+    """
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_rollup_instance_id")
+    if not os.path.exists(marker):
+        tmp = os.path.join(checkpoint_dir, f".instance-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+        try:
+            os.link(tmp, marker)  # atomic claim; loser reads the winner's
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+    with open(marker) as fh:
+        return f"{checkpoint_dir}::{fh.read().strip()}"
 
 
 def _partials(batch: DataFrame) -> DataFrame:
@@ -59,15 +89,16 @@ def fold_batch(
     commit. The manifest therefore records the last-applied epoch_id
     atomically with the data flip, and replayed epochs are skipped —
     the standard foreachBatch exactly-once recipe (epoch-keyed
-    transactional sink). Epoch numbering is a property of the
-    checkpoint: a fresh checkpoint restarts at 0 (the guard would
-    wrongly skip), and with no checkpoint there is no replay to guard
-    against — so the guard is scoped to ``checkpoint_dir``.
+    transactional sink). Epoch numbering is a property of one
+    checkpoint INSTANCE: a fresh checkpoint — same path or not —
+    restarts at 0, and with no checkpoint there is no replay to guard
+    against — so the guard is scoped via ``_checkpoint_instance``.
     """
+    scope = _checkpoint_instance(checkpoint_dir) if checkpoint_dir is not None else ""
     if checkpoint_dir is not None:
         meta = table.meta()
         if (
-            meta.get("epoch_scope") == checkpoint_dir
+            meta.get("epoch_scope") == scope
             and meta.get("last_epoch") is not None
             and epoch_id <= meta["last_epoch"]
         ):
@@ -76,7 +107,7 @@ def fold_batch(
     current = table.read()
     table.overwrite(
         partial if current is None else merge_add(current, partial),
-        meta={"last_epoch": epoch_id, "epoch_scope": checkpoint_dir or ""},
+        meta={"last_epoch": epoch_id, "epoch_scope": scope},
     )
     return True
 
