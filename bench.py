@@ -40,6 +40,8 @@ HEADLINE = [
     "q60_stream_tumbling_window",
     "q66_decode_stub",
     "q70_scd1_merge",
+    "q87_dup_clusters",
+    "q90_corpus_dedup",
     "q93_decontam",
     "q97_curation_pipeline",
 ]
@@ -123,6 +125,26 @@ def scale_probe(spark, sf_dir: str) -> dict:
     emb10 = rolled[0]
     for r in rolled[1:]:
         emb10 = emb10.unionByName(r)
+
+    # Connected-components probe: same 10× disjoint-copy corpus → the
+    # edge set replicates 10× with identical component structure, so a
+    # healthy large-star/small-star run shows ~constant rounds (the
+    # algorithm is O(log n) in the largest component, which does not
+    # grow) and near-linear wall time. Edges are pre-materialized so
+    # the probe times the CC loop itself, not the LSH pipeline.
+    from tp_integ_data_pipeline_spark.operators.dedup import dup_clusters
+
+    edges_1x = minhash_near_dup_pairs(docs, "doc_id", "text").select("a", "b").localCheckpoint()
+    edges_10x = (
+        minhash_near_dup_pairs(docs10, "doc_id", "text").select("a", "b").localCheckpoint()
+    )
+    for label, e in (("cc_1x", edges_1x), ("cc_10x", edges_10x)):
+        st: dict = {}
+        t0 = time.time()
+        materialize(dup_clusters(e, stats=st))
+        probe[f"{label}_sec"] = round(time.time() - t0, 2)
+        probe[f"{label}_rounds"] = st.get("rounds")
+    probe["cc_ratio"] = round(probe["cc_10x_sec"] / probe["cc_1x_sec"], 2)
 
     t0 = time.time()
     materialize(cosine_pairs(emb))

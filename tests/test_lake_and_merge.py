@@ -288,6 +288,61 @@ def test_concurrent_versioned_merge_retries_cleanly(spark, tmp_path):
     assert {(r.k, r.v) for r in t1.read().collect()} == before
 
 
+def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
+    """The CAS commit log doubles as a history: read(version=N) time
+    travels, vacuum() GCs unreferenced version dirs (bounded storage)
+    while respecting the retention window."""
+    import os
+
+    tbl = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    tbl.merge_insert_if_absent(spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+    tbl.merge_insert_if_absent(spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"])
+    hist = tbl.history()
+    assert [h["version"] for h in hist] == [1, 2]
+    assert tbl.read(version=1).count() == 1
+    assert tbl.read(version=2).count() == 2
+
+    # retention window: fresh dirs survive even when unreferenced
+    assert tbl.vacuum(keep_last=1, retention_seconds=3600) == []
+    removed = tbl.vacuum(keep_last=1, retention_seconds=0)
+    assert len(removed) == 1  # v1's data dir GC'd
+    assert not os.path.exists(removed[0])
+    assert tbl.read().count() == 2  # live state untouched
+    assert [h["version"] for h in tbl.history()] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tbl.read(version=1)
+
+
+def test_bucketed_table_time_travel_and_vacuum(spark, tmp_path):
+    """Bucketed vacuum must keep any version dir that still backs a
+    carried-forward clean bucket of a kept commit."""
+    import os
+
+    tbl = BucketedParquetTable(spark, str(tmp_path / "bt"), keys=["k"], n_buckets=8)
+    base = spark.createDataFrame([(i, "base") for i in range(50)], ["k", "v"])
+    tbl.merge_insert_if_absent(base)
+    tbl.merge_scd1(spark.createDataFrame([(0, "UPD")], ["k", "v"]), merge_date="2024-07-01")
+    assert tbl.read(version=1).count() == 50
+    rows_v2 = {r.k: r.v for r in tbl.read(version=2).collect()}
+    assert rows_v2[0] == "UPD"
+
+    removed = tbl.vacuum(keep_last=1, retention_seconds=0)
+    # v1's dir still backs the clean buckets referenced by commit 2
+    assert removed == []
+    # current state fully readable after vacuum
+    rows = {r.k: r.v for r in tbl.read().collect()}
+    assert rows[0] == "UPD" and len(rows) == 50
+    # a third merge orphans nothing kept → vacuum drops v-dirs only when
+    # every kept manifest stops referencing them
+    tbl.merge_scd1(base, merge_date="2024-07-02")  # rewrites ALL buckets
+    removed = tbl.vacuum(keep_last=1, retention_seconds=0)
+    assert len(removed) == 2  # v1 and v2 dirs now unreferenced
+    assert {r.v for r in tbl.read().collect()} == {"base"}
+    assert os.path.isdir(str(tmp_path / "bt"))
+
+
 def test_insert_if_absent_pure(spark):
     target = spark.createDataFrame([(1, "a")], ["k", "v"])
     stage = spark.createDataFrame([(1, "CHANGED"), (2, "b")], ["k", "v"])

@@ -65,3 +65,43 @@ def test_q06_all_predicates_pushed(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in pushed, pushed
+
+
+def test_all_query_plans_audit_gate(spark):
+    """The full-registry audit as a GATE, not a report: build every
+    registered query's physical plan at sf0.001 and assert
+
+    - no CartesianProduct anywhere;
+    - BroadcastNestedLoopJoin only where the audit allowlist documents
+      a bounded broadcast side (1-row scalar aggregate or bounded query
+      batch), and never more of them than documented.
+
+    Streaming queries run availableNow into a memory sink at build time
+    and audit as memory scans — trivially clean, kept for coverage.
+    """
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from audit_plans import BNLJ_ALLOWED, audit_query
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name in plans.QUERIES:
+        counters, plan = audit_query(spark, name, sf)
+        if counters["cartesian"]:
+            offenders.append((name, "CartesianProduct", counters["cartesian"]))
+        if counters["bnlj"] > BNLJ_ALLOWED.get(name, 0):
+            offenders.append((name, "BroadcastNestedLoopJoin", counters["bnlj"]))
+    assert not offenders, offenders
+
+
+def test_headline_scan_filters_are_pushed(spark):
+    """Selective headline queries must show non-empty PushedFilters —
+    a scan reading everything under a filter is the 100 TB failure."""
+    for name in ("q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
+                 "q05_region_revenue", "q06_forecast_revenue"):
+        plan = _formatted(plans.QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert any(
+            "PushedFilters" in l and "[]" not in l for l in plan.splitlines()
+        ), f"{name}: no pushed filters\n{plan[:2000]}"

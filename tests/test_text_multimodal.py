@@ -72,3 +72,63 @@ def test_multimodal_payload_decode_framesample(spark):
     assert frames[1].n_frames == 3  # 2500 bytes → 3 chunks
     assert len(frames[1].frames[0]) == 1024 and len(frames[1].frames[2]) == 2500 - 2048
     assert frames[2].n_frames == 1
+
+
+def _bmp_bytes(width: int, height: int) -> bytes:
+    """Minimal valid BMP: 14-byte file header + BITMAPINFOHEADER + one
+    padded pixel row (enough for a header parse)."""
+    row = (width * 3 + 3) // 4 * 4
+    pixels = b"\x00" * (row * abs(height))
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    header = b"BM" + (14 + 40 + len(pixels)).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(
+        4, "little"
+    )
+    return header + info + pixels
+
+
+def _wav_bytes(sample_rate: int, channels: int, n_frames: int, bits: int = 16) -> bytes:
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_frames * block_align)
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_batch_parses_real_bmp_and_wav_headers(spark):
+    """X5 real decode: constructed BMP/WAV payload bytes flow through
+    the same Arrow mapInPandas path and come back with the true header
+    dimensions; unknown bytes take the labeled deterministic fallback."""
+    from tp_integ_data_pipeline_spark.operators.multimodal import decode_payload
+
+    bmp = _bmp_bytes(640, 480)
+    topdown = _bmp_bytes(31, -7)  # negative height = top-down row order
+    wav = _wav_bytes(44100, 2, 1000)
+    assert decode_payload(bmp) == (640, 480, 1, "bmp")
+    assert decode_payload(topdown) == (31, 7, 1, "bmp")
+    assert decode_payload(wav) == (44100, 2, 1000, "wav")
+
+    rows = [(1, bytearray(bmp)), (2, bytearray(wav)), (3, bytearray(b"plain text"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_batch(df).collect()}
+    assert (got[1].width, got[1].height, got[1].n_frames, got[1].fmt) == (640, 480, 1, "bmp")
+    assert got[1].n_bytes == len(bmp)
+    assert got[1].digest == hashlib.md5(bmp).hexdigest()
+    assert (got[2].width, got[2].height, got[2].n_frames, got[2].fmt) == (44100, 2, 1000, "wav")
+    w, h, f = decode_stub(b"plain text")
+    assert (got[3].width, got[3].height, got[3].n_frames, got[3].fmt) == (w, h, f, "other")

@@ -443,7 +443,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return leaves.union(roots).distinct()
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
+) -> DataFrame:
     """Connected components over an undirected edge list ``pairs(a, b)``
     → ``(id, cluster)`` where ``cluster`` is the minimum node id
     reachable from ``id`` (the canonical-representative convention used
@@ -468,6 +470,9 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Only nodes with at least one real (a ≠ b) edge in ``pairs`` are
     returned — callers union in singletons (cluster = own id) if they
     need total coverage (a self-loop-only node is a singleton).
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` on return —
+    the scale probe tracks rounds-to-converge alongside wall time.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -484,8 +489,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     converged = False
+    rounds = 0
     try:
         for _ in range(max_iter):
+            rounds += 1
             new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
             # Fixed-point probe: the min-oriented edge set is a star
             # forest (rooted at component minima — the algorithm's
@@ -519,6 +526,8 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     except BaseException:
         edges.unpersist()
         raise
+    if stats is not None:
+        stats["rounds"] = rounds
     # The returned DataFrame reads ONLY from the final checkpointed
     # edge set (one row per non-root node — footprint bounded by the
     # label output itself), never from `pairs`: re-reading the pair

@@ -65,6 +65,75 @@ def _load_state(path: str) -> tuple[int, dict]:
     return 0, {}
 
 
+def _commit_history(path: str) -> list[tuple[int, dict]]:
+    """All commits, ascending by version. Empty for a fresh table; the
+    legacy single-manifest layout reads as a single version-0 entry."""
+    cdir = _commits_dir(path)
+    if os.path.isdir(cdir):
+        out = []
+        for f in sorted(os.listdir(cdir)):
+            if f.endswith(".json"):
+                with open(os.path.join(cdir, f)) as fh:
+                    out.append((int(f[: -len(".json")]), json.load(fh)))
+        if out:
+            return out
+    legacy = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(legacy):
+        with open(legacy) as fh:
+            return [(0, json.load(fh))]
+    return []
+
+
+def _manifest_data_dirs(path: str, manifest: dict) -> set[str]:
+    """Top-level version directories a manifest references (a bucketed
+    manifest points at per-bucket subdirs; their parent is the unit of
+    vacuuming)."""
+    dirs = set()
+    if manifest.get("current"):
+        dirs.add(os.path.normpath(manifest["current"]))
+    for d in manifest.get("buckets", {}).values():
+        parent = os.path.dirname(os.path.normpath(d))
+        dirs.add(parent if os.path.normpath(parent) != os.path.normpath(path) else d)
+    return dirs
+
+
+def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 3600.0) -> list[str]:
+    """GC version directories unreferenced by the last ``keep_last``
+    commits — without it every merge's copy-on-write dir lives forever.
+
+    Returns the removed directories. Mirrors Delta's VACUUM contract:
+    only dirs older than ``retention_seconds`` are eligible (a
+    concurrent writer's just-written, not-yet-committed dir must not be
+    deleted from under it — version dirs are named ``v{time_ns}``, so
+    age comes from the name). Older commit-log entries beyond the kept
+    window are pruned too; time travel then only reaches kept versions.
+    """
+    history = _commit_history(path)
+    if not history:
+        return []
+    kept = history[-keep_last:]
+    referenced: set[str] = set()
+    for _v, manifest in kept:
+        referenced |= _manifest_data_dirs(path, manifest)
+    cutoff_ns = (time.time() - retention_seconds) * 1e9
+    removed = []
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if not (entry.startswith("v") and entry[1:].isdigit() and os.path.isdir(full)):
+            continue
+        if os.path.normpath(full) in referenced or int(entry[1:]) > cutoff_ns:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(full)
+    cdir = _commits_dir(path)
+    if os.path.isdir(cdir):
+        keep_versions = {v for v, _m in kept}
+        for f in os.listdir(cdir):
+            if f.endswith(".json") and int(f[: -len(".json")]) not in keep_versions:
+                os.unlink(os.path.join(cdir, f))
+    return removed
+
+
 def _try_commit(path: str, expected_version: int, manifest: dict) -> bool:
     """Atomic compare-and-swap publish of `manifest` as commit
     `expected_version + 1`.
@@ -158,9 +227,27 @@ class VersionedParquetTable:
         (e.g. the streaming rollup's last-applied epoch)."""
         return _load_state(self.path)[1].get("meta", {})
 
-    def read(self) -> DataFrame | None:
-        cur = self.current_version_dir()
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current table state, or — time travel — the state as of
+        commit ``version`` (as listed by ``history()``; vacuumed
+        versions are gone)."""
+        if version is None:
+            cur = self.current_version_dir()
+            return self.spark.read.parquet(cur) if cur else None
+        manifests = dict(_commit_history(self.path))
+        if version not in manifests:
+            raise ValueError(
+                f"version {version} not in commit log (have {sorted(manifests)})"
+            )
+        cur = manifests[version].get("current")
         return self.spark.read.parquet(cur) if cur else None
+
+    def history(self) -> list[dict]:
+        """Commit log, ascending: version + manifest per commit."""
+        return [{"version": v, **m} for v, m in _commit_history(self.path)]
+
+    def vacuum(self, keep_last: int = 1, retention_seconds: float = 3600.0) -> list[str]:
+        return vacuum(self.path, keep_last, retention_seconds)
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
         """Blind replace (no read-modify-write): the data directory is
@@ -276,8 +363,23 @@ class BucketedParquetTable:
         # rows read from pre-evolution bucket files.
         return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
-    def read(self) -> DataFrame | None:
-        return self._read_buckets(list(self.bucket_dirs().values()))
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current table state, or the state as of commit ``version``
+        (time travel over the bucket manifests)."""
+        if version is None:
+            return self._read_buckets(list(self.bucket_dirs().values()))
+        manifests = dict(_commit_history(self.path))
+        if version not in manifests:
+            raise ValueError(
+                f"version {version} not in commit log (have {sorted(manifests)})"
+            )
+        return self._read_buckets(list(manifests[version].get("buckets", {}).values()))
+
+    def history(self) -> list[dict]:
+        return [{"version": v, **m} for v, m in _commit_history(self.path)]
+
+    def vacuum(self, keep_last: int = 1, retention_seconds: float = 3600.0) -> list[str]:
+        return vacuum(self.path, keep_last, retention_seconds)
 
     def _merge(self, stage: DataFrame, combine) -> None:
         stage_b = self._with_bucket(stage)

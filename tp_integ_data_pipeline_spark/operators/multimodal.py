@@ -2,11 +2,13 @@
 
 Images / audio / video are opaque `binary` payload columns with typed
 metadata. The Spark-side plumbing (schema, partitioning, Arrow batch
-shape through mapInPandas) is real and tested; the actual media
-decoding is STUBBED — the image/audio libraries are not in this
-container — behind `decode_stub`, a clearly-marked deterministic fake
-keyed on payload bytes. Swapping the stub body for PIL/libav calls is
-the only change needed for real decode.
+shape through mapInPandas) is real and tested; decoding is real for
+container formats parseable from raw bytes (BMP image headers, RIFF/
+WAVE audio headers — pure struct reads in `decode_payload`, no media
+libs needed), and falls back to `decode_stub`, a clearly-marked
+deterministic fake, for formats that would need PIL/libav (absent in
+this container). Swapping the fallback body for PIL/libav calls is
+the only change needed for full coverage.
 """
 
 from __future__ import annotations
@@ -18,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
-    "doc_id long, n_bytes long, width int, height int, n_frames int, digest string"
+    "doc_id long, n_bytes long, width int, height int, n_frames int, "
+    "fmt string, digest string"
 )
 
 
@@ -37,13 +40,51 @@ def payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_stub(payload: bytes) -> tuple[int, int, int]:
-    """STUB — deterministic fake decode. Real implementation would be
-    `PIL.Image.open(io.BytesIO(payload))` / libav frame iteration; the
-    libs are absent in this container, so we derive fake (width,
-    height, n_frames) from the byte length. NotImplementedError is NOT
-    raised so the Arrow plumbing stays exercisable end-to-end."""
+    """STUB — deterministic fake decode for formats needing real media
+    libs (`PIL.Image.open` / libav frame iteration; absent in this
+    container): fake (width, height, n_frames) derived from the byte
+    length. NotImplementedError is NOT raised so the Arrow plumbing
+    stays exercisable end-to-end."""
     n = len(payload)
     return (n % 640 + 1, (n * 7) % 480 + 1, n // 1000 + 1)
+
+
+def decode_payload(payload: bytes) -> tuple[int, int, int, str]:
+    """(width, height, n_frames, fmt) for one payload.
+
+    REAL header decode for byte-parseable containers:
+
+    - BMP  → (pixel width, pixel height, 1, 'bmp') from the
+      BITMAPINFOHEADER int32s at offsets 18/22 (absolute value: a
+      negative height encodes top-down row order).
+    - WAV  → (sample_rate, n_channels, n_sample_frames, 'wav') from the
+      RIFF chunk walk ('fmt ' for rate/channels/block-align, 'data'
+      size / block-align = frame count; chunks are word-aligned).
+
+    Anything else falls back to the deterministic fake with
+    fmt='other' (see decode_stub).
+    """
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        return abs(width), abs(height), 1, "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        sample_rate = channels = block_align = n_frames = 0
+        off = 12
+        while off + 8 <= len(payload):
+            cid = payload[off : off + 4]
+            size = int.from_bytes(payload[off + 4 : off + 8], "little")
+            body = payload[off + 8 : off + 8 + size]
+            if cid == b"fmt " and size >= 16:
+                channels = int.from_bytes(body[2:4], "little")
+                sample_rate = int.from_bytes(body[4:8], "little")
+                block_align = int.from_bytes(body[12:14], "little")
+            elif cid == b"data":
+                n_frames = size // block_align if block_align else 0
+            off += 8 + size + (size & 1)
+        return sample_rate, channels, n_frames, "wav"
+    w, h, f = decode_stub(payload)
+    return w, h, f, "other"
 
 
 def decode_batch(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
@@ -57,7 +98,7 @@ def decode_batch(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            meta = [decode_stub(bytes(p)) for p in payloads]
+            meta = [decode_payload(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -65,6 +106,7 @@ def decode_batch(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
                     "width": [m[0] for m in meta],
                     "height": [m[1] for m in meta],
                     "n_frames": [m[2] for m in meta],
+                    "fmt": [m[3] for m in meta],
                     "digest": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
                 }
             )

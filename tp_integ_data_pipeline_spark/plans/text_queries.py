@@ -211,12 +211,17 @@ def q65_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q66_decode_stub",
+    # Text payloads are not BMP/WAV, so the decode takes the documented
+    # deterministic fallback (fmt='other'); the real BMP/WAV header
+    # parse in the same mapInPandas path is pytest-covered with
+    # constructed payload bytes (tests/test_text_multimodal.py).
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
            CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
            CAST(octet_length(encode(text)) // 1000 + 1 AS INT) AS n_frames,
+           'other' AS fmt,
            md5(text) AS digest
     FROM documents
     ORDER BY doc_id
