@@ -92,6 +92,27 @@ def test_zorder_empty_and_degenerate(spark):
     assert sorted(r.a for r in out.collect()) == [1, 2]
 
 
+def test_vacuum_and_history_on_empty_table(spark, tmp_path):
+    from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
+
+    tbl = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    assert tbl.history() == []
+    assert tbl.vacuum(retention_seconds=0) == []
+    assert tbl.read() is None
+
+
+def test_ivf_topk_empty_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_fit, ivf_topk
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_fit(emb, n_cells=4)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 0), centroids, k=3)
+    assert out.count() == 0
+
+
 def test_dup_clusters_empty_pairs(spark):
     from tp_integ_data_pipeline_spark.operators.dedup import dup_clusters
 

@@ -54,10 +54,20 @@ def _load_state(path: str) -> tuple[int, dict]:
     """
     cdir = _commits_dir(path)
     if os.path.isdir(cdir):
-        latest = max((f for f in os.listdir(cdir) if f.endswith(".json")), default=None)
-        if latest is not None:
-            with open(os.path.join(cdir, latest)) as fh:
-                return int(latest[: -len(".json")]), json.load(fh)
+        # Retry on FileNotFoundError: a concurrent vacuum may prune a
+        # commit file between listdir and open — re-list and take the
+        # (newer) survivor.
+        for _ in range(5):
+            latest = max(
+                (f for f in os.listdir(cdir) if f.endswith(".json")), default=None
+            )
+            if latest is None:
+                break
+            try:
+                with open(os.path.join(cdir, latest)) as fh:
+                    return int(latest[: -len(".json")]), json.load(fh)
+            except FileNotFoundError:
+                continue
     legacy = os.path.join(path, "_MANIFEST.json")
     if os.path.exists(legacy):
         with open(legacy) as fh:
