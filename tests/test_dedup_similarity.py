@@ -138,7 +138,100 @@ def test_ivf_plan_size_independent_of_n_cells(spark, sf_dir):
     assert abs(big - small) < 0.05 * small
 
 
-def test_dup_clusters_chain_and_island(spark):
+def test_semantic_dedup_properties_vs_bruteforce(spark, sf_dir):
+    """SemDeDup invariants, checked against a numpy brute force:
+    within every cell the kept set is an anti-chain (no two kept
+    vectors at cosine ≥ threshold), and every dropped vector has a
+    lower-id within-cell neighbor at cosine ≥ threshold."""
+    import numpy as np
+
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_fit, semantic_dedup
+
+    t = 0.45
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_fit(emb, n_cells=8)
+    out = semantic_dedup(emb, centroids, threshold=t).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.collect()}
+
+    def cos(a, b):
+        return float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert sum(1 for r in out if not r.keep) > 0  # fixture has near-dups
+    assert len(out) == len(vecs)  # one verdict per vector
+    for cell, rows in by_cell.items():
+        kept = sorted(r.id for r in rows if r.keep)
+        dropped = sorted(r.id for r in rows if not r.keep)
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                assert cos(a, b) < t, (cell, a, b)
+        ids = sorted(r.id for r in rows)
+        for d in dropped:
+            assert any(cos(e, d) >= t for e in ids if e < d), (cell, d)
+
+
+def test_pack_sequences_matches_naive_window(spark, sf_dir):
+    """The distributed prefix sum must equal the naive global window,
+    and packing invariants must hold (budget 100 forces straddling)."""
+    from pyspark.sql import Window as W
+
+    from tp_integ_data_pipeline_spark.operators.packing import (
+        global_cumsum,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    got = {
+        r.doc_id: r.cum_before
+        for r in global_cumsum(docs, "doc_id", "n_tokens").collect()
+    }
+    naive = {
+        r.doc_id: r.c or 0
+        for r in docs.withColumn(
+            "c",
+            F.sum("n_tokens").over(
+                W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        ).collect()
+    }
+    assert got == naive
+
+    packed = pack_sequences(docs, budget=100).collect()
+    for r in packed:
+        assert r.seq_id == (naive[r.doc_id]) // 100
+        assert r.seq_offset == (naive[r.doc_id]) % 100
+    # sequences are contiguous from 0
+    seqs = sorted({r.seq_id for r in packed})
+    assert seqs[0] == 0 and seqs == list(range(len(seqs)))
+
+
+def test_global_cumsum_avoids_unpartitioned_window_on_data(spark, sf_dir):
+    """Scale guard: the only unpartitioned window may run over the tiny
+    per-partition offsets relation, never over the data itself — the
+    data-side window must be partitioned by the range-partition id."""
+    from tp_integ_data_pipeline_spark.operators.packing import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    plan = (
+        global_cumsum(docs, "doc_id", "n_tokens")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # The data-side window orders by doc_id; its spec must partition by
+    # the range-partition id. (The offsets window orders by __pid alone
+    # over the tiny groupBy output — allowed.)
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs, plan
+    for s in specs:
+        if "doc_id" in s:
+            assert "windowspecdefinition(__pid" in s, s
     # chain 1-2-3-4 (diameter 3), island 10-11, plus nodes only on one
     # side of an edge; every node must map to its component's min id.
     from tp_integ_data_pipeline_spark.operators.dedup import cluster_sizes, dup_clusters

@@ -1,0 +1,116 @@
+"""Cross-document sequence packing (training-batch assembly).
+
+Chunking (q95) windows WITHIN a document; packing assembles documents
+ACROSS the corpus into fixed token-budget training sequences — the
+"concatenate and split" step every LLM pre-training pipeline runs after
+curation. A document's sequence is `floor(tokens_before_it / budget)`
+in a deterministic global order, so the layout is reproducible across
+runs and cluster sizes.
+
+Scale shape: the naive formulation is a global running sum — a window
+with no partition key, which drags the whole corpus through ONE task.
+`global_cumsum` instead computes a distributed prefix sum:
+
+1. `repartitionByRange(order_col)` — partitions hold contiguous,
+   increasing key ranges (boundary placement is sampled and may vary
+   run to run, but the final cumsum depends only on the global order,
+   not where the cuts land);
+2. per-partition running sums — a window PARTITIONED by
+   `spark_partition_id()`, all partitions in parallel;
+3. per-partition totals (≤ num_partitions rows) get their own tiny
+   cumsum and broadcast-join back as offsets.
+
+Total cost: one range shuffle + one bounded broadcast — vs the naive
+plan's single-reducer sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def global_cumsum(
+    df: DataFrame, order_col: str, value_col: str, out_col: str = "cum_before"
+) -> DataFrame:
+    """Adds ``out_col`` = sum of ``value_col`` over all rows strictly
+    BEFORE this row in ascending ``order_col`` order (exclusive prefix
+    sum). ``order_col`` must be unique (duplicate keys would make the
+    within-tie order, and so the prefix sums, run-dependent).
+    Distributed: see module docstring; the only unpartitioned window
+    runs over ≤ num_partitions offset rows."""
+    parted = df.repartitionByRange(F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = parted.withColumn(
+        "__local_before", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    totals = parted.groupBy("__pid").agg(F.sum(value_col).alias("__ptot"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0))
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__offset") + F.col("__local_before")).cast("long"))
+        .drop("__pid", "__local_before", "__offset")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign each document to a training sequence of ``budget`` tokens:
+    ``seq_id = tokens_before / budget`` in ascending ``id_col`` order
+    (doc-granular packing — a document belongs to the sequence its
+    first token lands in; a document longer than the budget overflows
+    its sequence rather than splitting, chunk first via q95 semantics
+    if that matters). Deterministic, one range shuffle.
+
+    Returns (doc-level): id, n_tokens, seq_id, seq_offset (the doc's
+    first-token position within its sequence).
+    """
+    cum = global_cumsum(docs, id_col, token_count_col)
+    return cum.select(
+        F.col(id_col),
+        F.col(token_count_col),
+        (F.col("cum_before") / F.lit(budget)).cast("long").alias("seq_id"),
+        (F.col("cum_before") % F.lit(budget)).cast("long").alias("seq_offset"),
+    )
+
+
+def sequence_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-sequence packing audit: document count, token count, fill
+    ratio against the budget, and whether the last document straddles
+    into the next sequence (overflow > 0). A fill ratio far below 1
+    means wasted batch capacity; frequent straddle means the chunker
+    upstream should split long documents first."""
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.max(F.col("seq_offset") + F.col("n_tokens")).cast("long").alias("end_offset"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_tokens",
+            "first_doc",
+            "last_doc",
+            F.round(F.col("n_tokens") / F.lit(budget), 4).alias("fill_ratio"),
+            F.greatest(F.col("end_offset") - F.lit(budget), F.lit(0).cast("long")).alias(
+                "overflow_tokens"
+            ),
+        )
+    )

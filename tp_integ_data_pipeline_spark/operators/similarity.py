@@ -272,6 +272,55 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, and
+    within each cluster drop every vector that has a LOWER-id neighbor
+    at cosine ≥ ``threshold`` (keep-min canonical convention, matching
+    the text-dedup operators).
+
+    Scale shape: the pairwise step is confined WITHIN cells — the whole
+    point of the published method — so cost is Σ|cell|², not n², and
+    each cell's pairs come from an equi-join on `cell` (no cross join;
+    the plan-audit gate would catch one). `centroids` comes from the
+    offline `ivf_fit`; the query path never trains. Returns
+    ``(id, cell, keep)`` — one row per input vector.
+
+    Note the within-cell rule is exact for the CLUSTERING the centroids
+    induce: near-dups split across cell boundaries are missed, the
+    method's documented recall trade (raise n_probe-style recall by
+    coarsening cells or lowering n_cells).
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("cell"), F.col("n_id").alias("a_id"), F.col("nv").alias("a_v")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("n_id").alias("b_id"), F.col("nv").alias("b_v")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("a_v"), F.col("b_v")) >= F.lit(threshold))
+        .select(F.col("b_id").alias("n_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__drop", F.lit(True)), "n_id", "left")
+        .select(
+            F.col("n_id").alias("id"),
+            "cell",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def srp_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Signed-random-projection bit signature (n_planes bits) as long.
 

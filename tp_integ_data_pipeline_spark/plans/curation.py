@@ -423,3 +423,51 @@ def q99_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q100 — cross-document sequence packing (training-batch assembly)
+# --------------------------------------------------------------------------
+@query(
+    "q100_pack_sequences",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM d
+    )
+    SELECT CAST(cum_before // 512 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           ROUND(SUM(n_tokens) / 512.0, 4) AS fill_ratio,
+           CAST(GREATEST(MAX(cum_before % 512 + n_tokens) - 512, 0) AS BIGINT)
+               AS overflow_tokens
+    FROM c
+    GROUP BY 1
+    ORDER BY seq_id
+    """,
+)
+def q100_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack curated documents into 512-token training sequences
+    (operators/packing.py): seq_id = exclusive-prefix-sum // budget in
+    doc_id order, computed as a DISTRIBUTED prefix sum (range shuffle +
+    per-partition offsets) — the naive global window would drag the
+    corpus through one task. The oracle is the naive window, proving
+    the distributed decomposition exact."""
+    from tp_integ_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+        sequence_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_words()).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=512)
+    return sequence_stats(packed, budget=512).orderBy("seq_id")

@@ -173,3 +173,17 @@ def q92_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — SemDeDup-style semantic dedup (embedding-space near-dup removal)
+# (uses the offline IVF centroids; KMeans → rows-only check, properties
+# pytest-verified against brute force in tests/test_dedup_similarity.py)
+# --------------------------------------------------------------------------
+@query("q101_semantic_dedup")
+def q101_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tp_integ_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(spark, sf_dir, n_cells=16)
+    return semantic_dedup(emb, centroids, threshold=0.45).orderBy("id")
