@@ -82,3 +82,32 @@ def test_curation_pipeline_conserves_docs(spark, sf_dir):
     n_distinct = docs.select("text").distinct().count()
     assert sum(r.n_docs for r in out.values()) <= n_distinct
     assert all(1 <= r.n_shards <= 16 for r in out.values())
+
+
+def test_mixture_sample_capacity_and_determinism(spark, sf_dir):
+    """Mixture sampling: the binding source (largest n/w deficit) keeps
+    everything, other sources down-sample toward target weights, and
+    membership is content-stable across invocations; unweighted sources
+    are dropped entirely."""
+    from tp_integ_data_pipeline_spark.plans.curation import mixture_sample
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    kept = mixture_sample(docs, weights)
+    by_src = {
+        r.source: r.n for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_src) <= set(weights)  # unweighted sources gone
+    # capacity solve: T = min(n_s/w_s) = n_src0/0.5 → src0 keeps ALL its docs
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert by_src["src0"] == n0
+    # down-sampled sources keep strictly fewer than they have
+    n1 = docs.filter(F.col("source") == "src1").count()
+    assert 0 < by_src["src1"] < n1
+    # content-stable: identical id-set on re-run
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id for r in mixture_sample(docs, weights).select("doc_id").collect()
+    )
+    assert ids1 == ids2

@@ -471,3 +471,97 @@ def q100_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(docs, budget=512)
     return sequence_stats(packed, budget=512).orderBy("seq_id")
+
+
+# --------------------------------------------------------------------------
+# q102 — deterministic source-mixture sampling (data mixing)
+# --------------------------------------------------------------------------
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample a multi-source corpus to TARGET mixture proportions —
+    the "data mixing" step (Pile/Dolma-style) that turns raw source
+    counts into the training distribution.
+
+    Largest achievable corpus under the weights: T = min_s(n_s / w_s);
+    each source keeps fraction f_s = min(1, w_s·T / n_s), membership
+    decided by md5(id) (content-stable across runs, engines and
+    resharding — same convention as the q76 splits and q96 shards, as an
+    integer compare against floor(f_s·2³²)). Fully lazy: per-source
+    counts are a small aggregate, T a 1-row broadcast scalar, fractions
+    broadcast-joined back onto the corpus — no driver collect. Sources
+    absent from ``weights`` are dropped (weight 0).
+    """
+    spark = docs.sparkSession
+    w = spark.createDataFrame(
+        [(s, float(wt)) for s, wt in weights.items() if wt > 0],
+        f"{source_col} string, wt double",
+    )
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).join(w, source_col)
+    total = counts.agg(F.min(F.col("__n") / F.col("wt")).alias("__total"))
+    frac = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0), F.col("wt") * F.col("__total") / F.col("__n")
+            ).alias("__frac"),
+        )
+        .select(
+            source_col,
+            F.floor(F.col("__frac") * F.lit(4294967296.0)).cast("long").alias("__thr"),
+        )
+    )
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    return docs.join(F.broadcast(frac), source_col).filter(u < F.col("__thr")).drop("__thr")
+
+
+@query(
+    "q102_mixture_sample",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT * FROM (VALUES
+            ('src0', CAST(0.5 AS DOUBLE)),
+            ('src1', CAST(0.3 AS DOUBLE)),
+            ('src2', CAST(0.2 AS DOUBLE))
+        ) AS t(source, wt)
+    ),
+    j AS (SELECT c.source, c.n, w.wt FROM counts c JOIN w USING (source)),
+    f AS (
+        SELECT source,
+               CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                                wt * (SELECT MIN(n / wt) FROM j) / n)
+                          * 4294967296.0) AS BIGINT) AS thr
+        FROM j
+    )
+    SELECT d.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_checksum
+    FROM documents d JOIN f USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q102_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix src0/src1/src2 at 50/30/20 target proportions; the oracle
+    recomputes the same capacity solve + hash memberships in SQL, so
+    the exact kept id-set (checksummed) must match."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.sum("doc_id").cast("long").alias("kept_id_checksum"),
+        )
+        .orderBy("source")
+    )
