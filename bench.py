@@ -44,6 +44,8 @@ HEADLINE = [
     "q90_corpus_dedup",
     "q93_decontam",
     "q97_curation_pipeline",
+    "q100_pack_sequences",
+    "q103_incremental_neardup",
 ]
 
 
@@ -81,6 +83,19 @@ def scale_probe(spark, sf_dir: str) -> dict:
 
     probe: dict[str, float] = {}
 
+    def timed(fn) -> float:
+        """min-of-2, same rationale as the headline loop: a single cold
+        pass conflates codegen compile + GC tails with plan cost, and
+        the RATIOS here are the signal — noise on one side fabricates
+        a scaling regression."""
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        return round(best, 2)
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tagged = []
     for i in range(10):
@@ -96,12 +111,12 @@ def scale_probe(spark, sf_dir: str) -> dict:
     for t in tagged[1:]:
         docs10 = docs10.unionByName(t)
 
-    t0 = time.time()
-    materialize(minhash_near_dup_pairs(docs, "doc_id", "text"))
-    probe["minhash_1x_sec"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    materialize(minhash_near_dup_pairs(docs10, "doc_id", "text"))
-    probe["minhash_10x_sec"] = round(time.time() - t0, 2)
+    probe["minhash_1x_sec"] = timed(
+        lambda: materialize(minhash_near_dup_pairs(docs, "doc_id", "text"))
+    )
+    probe["minhash_10x_sec"] = timed(
+        lambda: materialize(minhash_near_dup_pairs(docs10, "doc_id", "text"))
+    )
     probe["minhash_ratio"] = round(probe["minhash_10x_sec"] / probe["minhash_1x_sec"], 2)
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -140,21 +155,15 @@ def scale_probe(spark, sf_dir: str) -> dict:
     )
     for label, e in (("cc_1x", edges_1x), ("cc_10x", edges_10x)):
         st: dict = {}
-        t0 = time.time()
-        materialize(dup_clusters(e, stats=st))
-        probe[f"{label}_sec"] = round(time.time() - t0, 2)
+        probe[f"{label}_sec"] = timed(lambda: materialize(dup_clusters(e, stats=st)))
         probe[f"{label}_rounds"] = st.get("rounds")
     probe["cc_ratio"] = round(probe["cc_10x_sec"] / probe["cc_1x_sec"], 2)
 
-    t0 = time.time()
-    materialize(cosine_pairs(emb))
-    probe["cosine_1x_sec"] = round(time.time() - t0, 2)
-    t0 = time.time()
+    probe["cosine_1x_sec"] = timed(lambda: materialize(cosine_pairs(emb)))
     # 10× rows in the same number of blocks → each block-pair task sees
     # 10× vectors; bump n_blocks to hold per-task memory constant, as a
     # real deployment would (n_blocks ≈ sqrt scaling rule in docstring).
-    materialize(cosine_pairs(emb10, n_blocks=26))
-    probe["cosine_10x_sec"] = round(time.time() - t0, 2)
+    probe["cosine_10x_sec"] = timed(lambda: materialize(cosine_pairs(emb10, n_blocks=26)))
     probe["cosine_ratio"] = round(probe["cosine_10x_sec"] / probe["cosine_1x_sec"], 2)
     # Θ(n²) work ⇒ 10× rows ≈ 100× FLOPs; normalize the time ratio by
     # the work ratio (see docstring). ≥1 = healthy.

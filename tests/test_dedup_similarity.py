@@ -253,3 +253,50 @@ def test_dup_clusters_converges_on_long_path(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(15)], ["a", "b"])
     out = {r.id: r.cluster for r in dup_clusters(edges).collect()}
     assert out == {i: 0 for i in range(16)}
+
+
+def test_neardup_index_incremental_probe(spark, sf_dir, tmp_path):
+    """Index old docs once; probing new docs finds exactly the
+    cross-split near-dup pairs (after exact verification), never
+    intra-batch pairs; re-adding the same batch is a no-op."""
+    from tp_integ_data_pipeline_spark.operators.dedup import pair_jaccard, shingles
+    from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    idx = NearDupIndex(spark, str(tmp_path / "idx"))
+    idx.add(old)
+    n_rows = spark.read.parquet(str(tmp_path / "idx" / "bands")).count()
+    idx.add(old)  # re-delivery: must not duplicate index rows
+    assert spark.read.parquet(str(tmp_path / "idx" / "bands")).count() == n_rows
+
+    got = idx.probe(new)
+    assert {r["probe_id"] >= 250 for r in got.collect()} <= {True}
+    verified = {
+        (r.a, r.b)
+        for r in pair_jaccard(
+            shingles(docs, "doc_id", "text", 3),
+            got.filter(F.col("est_jaccard") >= 0.35).select(
+                F.col("index_id").alias("a"), F.col("probe_id").alias("b")
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .collect()
+    }
+    exact = {
+        (r.a, r.b)
+        for r in pair_jaccard(shingles(docs, "doc_id", "text", 3))
+        .filter((F.col("jaccard") >= 0.6) & (F.col("a") < 250) & (F.col("b") >= 250))
+        .collect()
+    }
+    assert verified == exact
+    assert len(exact) > 0  # fixture must actually exercise the path
+
+
+def test_neardup_index_empty_probe(spark, sf_dir, tmp_path):
+    from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = NearDupIndex(spark, str(tmp_path / "idx"))
+    assert idx.probe(docs.limit(5)).count() == 0  # empty index: no candidates

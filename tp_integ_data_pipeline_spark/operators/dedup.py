@@ -9,6 +9,8 @@ Generalizes the reference's dedup-before-write policies (anti-join on
 - MinHash + LSH          — 64 perms, 32 bands × 2 rows, built-in
                            xxhash64 only (no Python in the hot path)
 - SimHash                — 64-bit, bit-count hamming, banded candidates
+- duplicate clusters     — alternating large-star/small-star connected
+                           components (O(log n) rounds)
 - embedding cosine       — see operators/similarity.py
 
 Scale notes (1000 executors, 100 TB):

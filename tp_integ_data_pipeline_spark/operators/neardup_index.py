@@ -1,0 +1,149 @@
+"""Incremental near-duplicate detection: a persisted MinHash-LSH index.
+
+`minhash_near_dup_pairs` (operators/dedup.py) dedups a corpus against
+ITSELF — an O(corpus) batch job. A growing 100 TB corpus instead needs
+the incremental contract: "is anything in this new batch a near-dup of
+anything already ingested?" without rescanning ingested text. This
+module persists the fixed-width state that question needs — one
+(id, sig, n) row per document plus its LSH band buckets — and answers
+probes by joining the BATCH's band buckets against the stored ones:
+cost O(batch × matching buckets), independent of corpus text size.
+
+Storage: plain parquet under `path`, appended per `add` batch with
+anti-join dedup on id (same policy as DataLake.write_full). At cluster
+scale, write the band table bucketed on (band, bucket) so probes
+co-locate; signatures are NUM_PERM longs/doc (25 TB for 25 G docs —
+shuffle-able, and ~1000× smaller than the text it stands for).
+
+Probe verification is SIGNATURE-ESTIMATED Jaccard (matching-minhash
+fraction; σ = sqrt(t(1−t)/num_perm) ≈ 0.06 at t=0.6 with 64 perms).
+Exact verification needs the original shingles — callers that require
+it join the candidate ids back to their corpus store and run
+`pair_jaccard`, which is exactly what q103 does (making it
+oracle-checkable end to end).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.dedup import (
+    BANDS,
+    NUM_PERM,
+    minhash_signatures,
+    shingles,
+)
+
+
+class NearDupIndex:
+    """Persisted MinHash signature store with LSH-bucket probe."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k: int = 3,
+        num_perm: int = NUM_PERM,
+        bands: int = BANDS,
+    ):
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self.num_perm = num_perm
+        self.bands = bands
+        os.makedirs(path, exist_ok=True)
+
+    # -- feature pipeline (shared by add and probe) ---------------------
+
+    def _features(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """(id, sig, n, band, bucket) — one row per (doc, band)."""
+        sh = shingles(df, id_col, text_col, self.k)
+        sig = minhash_signatures(sh, num_perm=self.num_perm, with_sizes=True)
+        r = self.num_perm // self.bands
+        band_hashes = F.array(
+            *[
+                F.xxhash64(F.lit(j), *[F.col("sig")[j * r + i] for i in range(r)])
+                for j in range(self.bands)
+            ]
+        )
+        return sig.select(
+            "id", "sig", "n", F.posexplode(band_hashes).alias("band", "bucket")
+        )
+
+    # -- state ----------------------------------------------------------
+
+    def _bands_path(self) -> str:
+        return os.path.join(self.path, "bands")
+
+    def _read_bands(self) -> DataFrame | None:
+        p = self._bands_path()
+        if not os.path.isdir(p) or not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+        ):
+            return None
+        return self.spark.read.parquet(p)
+
+    def indexed_ids(self) -> DataFrame:
+        existing = self._read_bands()
+        if existing is None:
+            return self.spark.range(0).select(F.col("id"))
+        return existing.select("id").distinct()
+
+    def add(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        """Index a batch: append its band rows, skipping ids already
+        indexed (re-delivery safe — same anti-join policy as the lake
+        writers). Documents shorter than k tokens have no shingles and
+        are unindexable; they are skipped."""
+        feats = self._features(df, id_col, text_col)
+        existing = self._read_bands()
+        if existing is not None:
+            feats = feats.join(existing.select("id").distinct(), "id", "left_anti")
+        feats.write.mode("append").parquet(self._bands_path())
+
+    def probe(
+        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """Candidate near-dups of the batch against the INDEX (not
+        within the batch — run minhash_near_dup_pairs on the batch for
+        that): (probe_id, index_id, est_jaccard), where est_jaccard is
+        the matching-minhash fraction of the two signatures. Bucket
+        join → distinct pairs → one zip_with estimate per pair."""
+        existing = self._read_bands()
+        if existing is None:
+            return self.spark.createDataFrame(
+                [], "probe_id long, index_id long, est_jaccard double"
+            )
+        feats = self._features(df, id_col, text_col)
+        cand = (
+            feats.select("band", "bucket", F.col("id").alias("probe_id"))
+            .join(
+                existing.select(
+                    "band", "bucket", F.col("id").alias("index_id")
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("probe_id") != F.col("index_id"))
+            .select("probe_id", "index_id")
+            .distinct()
+        )
+        psig = feats.select(
+            F.col("id").alias("probe_id"), F.col("sig").alias("__ps")
+        ).dropDuplicates(["probe_id"])
+        isig = existing.select(
+            F.col("id").alias("index_id"), F.col("sig").alias("__is")
+        ).dropDuplicates(["index_id"])
+        matches = F.expr(
+            "aggregate(zip_with(__ps, __is, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+        )
+        return (
+            cand.join(psig, "probe_id")
+            .join(isig, "index_id")
+            .select(
+                "probe_id",
+                "index_id",
+                (matches / F.lit(self.num_perm)).alias("est_jaccard"),
+            )
+        )

@@ -193,3 +193,64 @@ def q90_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_id_checksum",
         )
     )
+
+
+@query(
+    "q103_incremental_neardup",
+    # Oracle: the exact cross-split near-dup pairs — everything indexed
+    # (doc_id < max_id/2) vs the incoming batch (the rest; the split
+    # adapts to the SF so every scale exercises the path). Valid
+    # because the probe's LSH+estimate candidates (same band scheme and
+    # Hoeffding margin as q42) feed an EXACT pair_jaccard verification
+    # over the retrieved texts, so index pruning is value-invisible.
+    oracle=_SHINGLE_CTES
+    + """
+    SELECT a, b, inter, uni, jaccard FROM scored
+    WHERE jaccard >= 0.6
+      AND a < (SELECT MAX(doc_id) // 2 FROM documents)
+      AND b >= (SELECT MAX(doc_id) // 2 FROM documents)
+    ORDER BY a, b
+    """,
+)
+def q103_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-corpus near-dup contract: an index built from already-
+    ingested documents (id < 250) answers "which of these NEW documents
+    (id >= 250) near-duplicate something ingested?" without rescanning
+    ingested text — LSH bucket probe + signature-estimate prefilter
+    (operators/neardup_index.py), then exact Jaccard verification by
+    joining the candidate ids back to the corpus store. At 100 TB the
+    index holds fixed-width rows (~1000× smaller than the text), and a
+    probe touches only matching buckets."""
+    import tempfile
+
+    from tp_integ_data_pipeline_spark.operators.dedup import pair_jaccard, shingles
+    from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    # split point is a 1-value scalar (model-sized driver action)
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    old = docs.filter(F.col("doc_id") < mid)
+    new = docs.filter(F.col("doc_id") >= mid)
+    idx = NearDupIndex(spark, tempfile.mkdtemp(prefix="neardup_idx_"))
+    idx.add(old)
+    sigma = (0.6 * 0.4 / idx.num_perm) ** 0.5
+    cand = (
+        idx.probe(new)
+        .filter(F.col("est_jaccard") >= 0.6 - 4.5 * sigma)
+        .select(F.col("index_id").alias("a"), F.col("probe_id").alias("b"))
+    )
+    # Exact verification: resolve candidate ids against the corpus
+    # store (the index holds no text) and score real shingle Jaccard.
+    touched = docs.join(
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    sh = shingles(touched, "doc_id", "text", k=3)
+    return (
+        pair_jaccard(sh, cand)
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy("a", "b")
+    )
