@@ -565,3 +565,82 @@ def q102_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q104 — block-level boilerplate stripping (CCNet-style)
+# --------------------------------------------------------------------------
+@query(
+    "q104_boilerplate_strip",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, (i - 1) // 8 AS pos, array_to_string(w[i:i+7], ' ') AS block
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, greatest(len(w), 1) + 1, 8)) AS t(i)
+    ),
+    boiler AS (
+        SELECT block FROM (
+            SELECT block, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY block
+        ) WHERE df >= 2
+    ),
+    kept AS (SELECT * FROM b WHERE block NOT IN (SELECT block FROM boiler)),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(block, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id)
+    SELECT d.doc_id, t.n_blocks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(r.txt, '')) AS stripped_md5
+    FROM documents d JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q104_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal at block granularity: split each
+    document into non-overlapping 8-word blocks, count each block's
+    document frequency across the corpus, strip blocks appearing in ≥2
+    documents (headers/footers/templated text at web scale), and
+    reassemble the survivors in original order. All relational: one
+    block explode, a df aggregate, an anti-join, and an order-preserving
+    re-concat (array_sort over (pos, block) structs — no
+    single-partition window). The md5 of every rebuilt document must
+    match the oracle's, proving order-exact reassembly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(8))
+    blocks = docs.select("doc_id", "w", F.explode(starts).alias("i")).select(
+        "doc_id",
+        ((F.col("i") - 1) / 8).cast("int").alias("pos"),
+        F.concat_ws(" ", F.slice("w", F.col("i"), 8)).alias("block"),
+    )
+    boiler = (
+        blocks.groupBy("block")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("block")
+    )
+    kept = blocks.join(boiler, "block", "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("txt"),
+    )
+    tot = blocks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    return (
+        tot.join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(F.coalesce(F.col("txt"), F.lit(""))).alias("stripped_md5"),
+        )
+        .orderBy("doc_id")
+    )
