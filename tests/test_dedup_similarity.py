@@ -211,8 +211,8 @@ def test_pack_sequences_matches_naive_window(spark, sf_dir):
 
 def test_global_cumsum_avoids_unpartitioned_window_on_data(spark, sf_dir):
     """Scale guard: the only unpartitioned window may run over the tiny
-    per-partition offsets relation, never over the data itself — the
-    data-side window must be partitioned by the range-partition id."""
+    per-bucket offsets relation, never over the data itself — the
+    data-side window must be partitioned by the deterministic bucket."""
     from tp_integ_data_pipeline_spark.operators.packing import global_cumsum
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -225,13 +225,44 @@ def test_global_cumsum_avoids_unpartitioned_window_on_data(spark, sf_dir):
         .toString()
     )
     # The data-side window orders by doc_id; its spec must partition by
-    # the range-partition id. (The offsets window orders by __pid alone
-    # over the tiny groupBy output — allowed.)
+    # the bucket. (The offsets window orders by __bkt alone over the
+    # tiny groupBy output — allowed.)
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert specs, plan
     for s in specs:
-        if "doc_id" in s:
-            assert "windowspecdefinition(__pid" in s, s
+        if "doc_id#" in s:
+            assert "windowspecdefinition(__bkt" in s, s
+
+
+def test_global_cumsum_with_payload_columns(spark, sf_dir):
+    """Regression: extra payload columns must not change the prefix
+    sums (the sampled-range-partition formulation silently could, when
+    column pruning stopped exchange reuse from unifying its two
+    evaluations of the shuffle)."""
+    from pyspark.sql import Window as W
+
+    from tp_integ_data_pipeline_spark.operators.packing import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "text",  # payload ride-along
+        "source",
+    )
+    got = {
+        r.doc_id: r.cum_before
+        for r in global_cumsum(docs, "doc_id", "n_tokens").collect()
+    }
+    naive = {
+        r.doc_id: r.c or 0
+        for r in docs.withColumn(
+            "c",
+            F.sum("n_tokens").over(
+                W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        ).collect()
+    }
+    assert got == naive
     # chain 1-2-3-4 (diameter 3), island 10-11, plus nodes only on one
     # side of an edge; every node must map to its component's min id.
     from tp_integ_data_pipeline_spark.operators.dedup import cluster_sizes, dup_clusters

@@ -315,6 +315,30 @@ def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
         tbl.read(version=1)
 
 
+def test_vacuum_fences_laggard_commits(spark, tmp_path):
+    """After vacuum prunes old commit slots, a laggard writer whose
+    snapshot predates the prune must NOT be able to re-claim a freed
+    slot (its 'commit' would be invisible to max()-based reads); the
+    CAS must report a lost race so the writer retries on fresh state.
+    Also: the floor prune only ever touches versions below the kept
+    window, so a commit landing concurrently is never deleted."""
+    from tp_integ_data_pipeline_spark.operators import merge as merge_mod
+
+    path = str(tmp_path / "vt")
+    tbl = VersionedParquetTable(spark, path)
+    for k in (1, 2, 3):
+        tbl.merge_insert_if_absent(
+            spark.createDataFrame([(k, "v")], ["k", "v"]), ["k"]
+        )
+    tbl.vacuum(keep_last=1, retention_seconds=0)
+    # laggard stuck at snapshot version 1 tries slot 2 (freed): refused
+    assert merge_mod._try_commit(path, 1, {"current": "bogus"}) is False
+    # a writer at the real head still commits fine
+    tbl.merge_insert_if_absent(spark.createDataFrame([(9, "z")], ["k", "v"]), ["k"])
+    assert tbl.read().count() == 4
+    assert [h["version"] for h in tbl.history()] == [3, 4]
+
+
 def test_bucketed_table_time_travel_and_vacuum(spark, tmp_path):
     """Bucketed vacuum must keep any version dir that still backs a
     carried-forward clean bucket of a kept commit."""

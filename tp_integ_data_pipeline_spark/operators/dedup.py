@@ -207,6 +207,21 @@ def minhash_signatures(
     return per_doc.select(*cols)
 
 
+def band_hashes(sig_col, bands: int = BANDS, num_perm: int = NUM_PERM):
+    """LSH band-bucket hashes of a signature array column — the single
+    source of truth for the bucket definition. `lsh_candidate_pairs`
+    (batch) and `NearDupIndex` (incremental, PERSISTED buckets) must
+    agree bit-for-bit: drift here would make probes silently return
+    zero candidates against an existing index."""
+    r = num_perm // bands
+    return F.array(
+        *[
+            F.xxhash64(F.lit(j), *[sig_col[j * r + i] for i in range(r)])
+            for j in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = BANDS, num_perm: int = NUM_PERM, max_bucket: int = 1000
 ) -> DataFrame:
@@ -216,15 +231,8 @@ def lsh_candidate_pairs(
     content; quadratic pair blow-up at scale — same remedy as stop-word
     removal).
     """
-    r = num_perm // bands
-    band_hashes = F.array(
-        *[
-            F.xxhash64(F.lit(j), *[F.col("sig")[j * r + i] for i in range(r)])
-            for j in range(bands)
-        ]
-    )
     buckets = sig.select(
-        "id", F.posexplode(band_hashes).alias("band", "bucket")
+        "id", F.posexplode(band_hashes(F.col("sig"), bands, num_perm)).alias("band", "bucket")
     )
     wide = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("w"))
     buckets = buckets.join(
@@ -492,42 +500,42 @@ def dup_clusters(
     )
     converged = False
     rounds = 0
-    try:
-        for _ in range(max_iter):
-            rounds += 1
-            new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-            # Fixed-point probe: the min-oriented edge set is a star
-            # forest (rooted at component minima — the algorithm's
-            # fixed points) iff no node appears as a leaf twice or as
-            # both leaf and root. One aggregation + early-exit count —
-            # and it fires on the first round that PRODUCES a star
-            # forest, so no extra change-detection confirm round.
-            ends = new_edges.select(F.col("u").alias("x"), F.lit(1).alias("s")).union(
-                new_edges.select(F.col("v").alias("x"), F.lit(0).alias("s"))
-            )
-            non_star = (
-                ends.groupBy("x")
-                .agg(F.sum("s").alias("n_u"), F.count(F.lit(1)).alias("n"))
-                .filter((F.col("n_u") > 1) | ((F.col("n_u") >= 1) & (F.col("n") > F.col("n_u"))))
-                .limit(1)
-                .count()
-            )
-            edges.unpersist()
-            edges = new_edges
-            if non_star == 0:
-                converged = True
-                break
-        if not converged:
-            # Exhausting the round budget silently would split any
-            # component into several clusters.
-            raise RuntimeError(
-                f"dup_clusters did not converge within max_iter={max_iter} "
-                "rounds. Large-star/small-star needs O(log n) rounds, so "
-                "this indicates a pathological graph — raise max_iter."
-            )
-    except BaseException:
-        edges.unpersist()
-        raise
+    for _ in range(max_iter):
+        rounds += 1
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        # Fixed-point probe: the min-oriented edge set is a star
+        # forest (rooted at component minima — the algorithm's
+        # fixed points) iff no node appears as a leaf twice or as
+        # both leaf and root. One aggregation + early-exit count —
+        # and it fires on the first round that PRODUCES a star
+        # forest, so no extra change-detection confirm round.
+        ends = new_edges.select(F.col("u").alias("x"), F.lit(1).alias("s")).union(
+            new_edges.select(F.col("v").alias("x"), F.lit(0).alias("s"))
+        )
+        non_star = (
+            ends.groupBy("x")
+            .agg(F.sum("s").alias("n_u"), F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n_u") > 1) | ((F.col("n_u") >= 1) & (F.col("n") > F.col("n_u"))))
+            .limit(1)
+            .count()
+        )
+        # The previous round's checkpoint blocks are freed by the
+        # ContextCleaner once this reference drops — localCheckpoint
+        # storage lives at the RDD level, where Dataset.unpersist()
+        # cannot reach it (an explicit call would be a no-op; there is
+        # no imperative storage to release on any exit path).
+        edges = new_edges
+        if non_star == 0:
+            converged = True
+            break
+    if not converged:
+        # Exhausting the round budget silently would split any
+        # component into several clusters.
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            "rounds. Large-star/small-star needs O(log n) rounds, so "
+            "this indicates a pathological graph — raise max_iter."
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # The returned DataFrame reads ONLY from the final checkpointed

@@ -77,14 +77,20 @@ def _load_state(path: str) -> tuple[int, dict]:
 
 def _commit_history(path: str) -> list[tuple[int, dict]]:
     """All commits, ascending by version. Empty for a fresh table; the
-    legacy single-manifest layout reads as a single version-0 entry."""
+    legacy single-manifest layout reads as a single version-0 entry.
+    Same FileNotFoundError handling as `_load_state`: a commit file a
+    concurrent vacuum pruned mid-walk is simply skipped (it was below
+    the retained window by definition)."""
     cdir = _commits_dir(path)
     if os.path.isdir(cdir):
         out = []
         for f in sorted(os.listdir(cdir)):
             if f.endswith(".json"):
-                with open(os.path.join(cdir, f)) as fh:
-                    out.append((int(f[: -len(".json")]), json.load(fh)))
+                try:
+                    with open(os.path.join(cdir, f)) as fh:
+                        out.append((int(f[: -len(".json")]), json.load(fh)))
+                except FileNotFoundError:
+                    continue
         if out:
             return out
     legacy = os.path.join(path, "_MANIFEST.json")
@@ -94,17 +100,42 @@ def _commit_history(path: str) -> list[tuple[int, dict]]:
     return []
 
 
-def _manifest_data_dirs(path: str, manifest: dict) -> set[str]:
-    """Top-level version directories a manifest references (a bucketed
-    manifest points at per-bucket subdirs; their parent is the unit of
-    vacuuming)."""
-    dirs = set()
-    if manifest.get("current"):
-        dirs.add(os.path.normpath(manifest["current"]))
-    for d in manifest.get("buckets", {}).values():
-        parent = os.path.dirname(os.path.normpath(d))
-        dirs.add(parent if os.path.normpath(parent) != os.path.normpath(path) else d)
-    return dirs
+def _floor_path(path: str) -> str:
+    return os.path.join(_commits_dir(path), "_floor")
+
+
+def _commit_floor(path: str) -> int:
+    """Lowest version slot still committable (see vacuum): slots ≤ floor
+    have been pruned and must never be re-claimed by a laggard."""
+    try:
+        with open(_floor_path(path)) as fh:
+            return int(fh.read().strip() or "0")
+    except FileNotFoundError:
+        return 0
+
+
+def _version_component(p: str) -> str | None:
+    """The ``v{time_ns}`` path component of a manifest data path."""
+    for part in reversed(os.path.normpath(p).split(os.sep)):
+        if part.startswith("v") and part[1:].isdigit():
+            return part
+    return None
+
+
+def _manifest_version_dirs(manifest: dict) -> set[str]:
+    """NAMES of the version directories a manifest references (a
+    bucketed manifest points at per-bucket subdirs inside one). Names,
+    not full paths: ``v{time_ns}`` is globally unique, while a manifest
+    written under one spelling of the table root (relative vs absolute)
+    would never string-match a maintenance job's other spelling — and a
+    full-path compare would then delete LIVE directories."""
+    names = set()
+    for d in [manifest.get("current")] + list(manifest.get("buckets", {}).values()):
+        if d:
+            v = _version_component(d)
+            if v:
+                names.add(v)
+    return names
 
 
 def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 3600.0) -> list[str]:
@@ -117,6 +148,11 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 3600.0) -> 
     deleted from under it — version dirs are named ``v{time_ns}``, so
     age comes from the name). Older commit-log entries beyond the kept
     window are pruned too; time travel then only reaches kept versions.
+
+    Vacuum is a single-maintenance-job operation (like Delta's): it is
+    safe to run concurrently with readers and WRITERS (the floor marker
+    fences laggard commits), but two vacuums with different keep
+    windows racing each other may leave the floor at the lower value.
     """
     history = _commit_history(path)
     if not history:
@@ -124,22 +160,37 @@ def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 3600.0) -> 
     kept = history[-keep_last:]
     referenced: set[str] = set()
     for _v, manifest in kept:
-        referenced |= _manifest_data_dirs(path, manifest)
+        referenced |= _manifest_version_dirs(manifest)
     cutoff_ns = (time.time() - retention_seconds) * 1e9
     removed = []
     for entry in os.listdir(path):
         full = os.path.join(path, entry)
         if not (entry.startswith("v") and entry[1:].isdigit() and os.path.isdir(full)):
             continue
-        if os.path.normpath(full) in referenced or int(entry[1:]) > cutoff_ns:
+        if entry in referenced or int(entry[1:]) > cutoff_ns:
             continue
         shutil.rmtree(full, ignore_errors=True)
         removed.append(full)
+    # Prune commit-log entries STRICTLY BELOW the kept window — never
+    # "not in kept": a commit that landed after the history snapshot is
+    # newer than every kept version, and deleting it would destroy a
+    # concurrent writer's committed merge. The floor marker is written
+    # BEFORE any slot is unlinked so a laggard writer whose snapshot
+    # predates the prune cannot re-claim a freed slot (see _try_commit);
+    # ordering makes the race safe: before the floor write the slot
+    # still exists (EEXIST), after it the floor check rejects.
     cdir = _commits_dir(path)
     if os.path.isdir(cdir):
-        keep_versions = {v for v, _m in kept}
+        floor = min(v for v, _m in kept)
+        if floor > _commit_floor(path):
+            tmp = os.path.join(cdir, f".floor-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(str(floor))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, _floor_path(path))
         for f in os.listdir(cdir):
-            if f.endswith(".json") and int(f[: -len(".json")]) not in keep_versions:
+            if f.endswith(".json") and int(f[: -len(".json")]) < floor:
                 os.unlink(os.path.join(cdir, f))
     return removed
 
@@ -156,7 +207,13 @@ def _try_commit(path: str, expected_version: int, manifest: dict) -> bool:
     and fsync'd beforehand so readers can never observe a torn
     manifest. Returns False on a lost race; the caller re-reads state
     and retries its merge against the winner's table.
+
+    A slot at or below the vacuum floor is refused outright: vacuum
+    freed those slot files, and linking into one would "succeed" while
+    `_load_state`'s max() never surfaces it — a silent lost update.
     """
+    if expected_version + 1 <= _commit_floor(path):
+        return False
     cdir = _commits_dir(path)
     os.makedirs(cdir, exist_ok=True)
     tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")

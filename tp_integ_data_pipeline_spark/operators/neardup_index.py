@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from tp_integ_data_pipeline_spark.operators.dedup import (
     BANDS,
     NUM_PERM,
+    band_hashes,
     minhash_signatures,
     shingles,
 )
@@ -59,18 +60,18 @@ class NearDupIndex:
     # -- feature pipeline (shared by add and probe) ---------------------
 
     def _features(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(id, sig, n, band, bucket) — one row per (doc, band)."""
+        """(id, sig, n, band, bucket) — one row per (doc, band). The
+        bucket definition is dedup.band_hashes, shared with the batch
+        LSH path so persisted buckets stay join-compatible."""
         sh = shingles(df, id_col, text_col, self.k)
         sig = minhash_signatures(sh, num_perm=self.num_perm, with_sizes=True)
-        r = self.num_perm // self.bands
-        band_hashes = F.array(
-            *[
-                F.xxhash64(F.lit(j), *[F.col("sig")[j * r + i] for i in range(r)])
-                for j in range(self.bands)
-            ]
-        )
         return sig.select(
-            "id", "sig", "n", F.posexplode(band_hashes).alias("band", "bucket")
+            "id",
+            "sig",
+            "n",
+            F.posexplode(band_hashes(F.col("sig"), self.bands, self.num_perm)).alias(
+                "band", "bucket"
+            ),
         )
 
     # -- state ----------------------------------------------------------
@@ -104,23 +105,37 @@ class NearDupIndex:
         feats.write.mode("append").parquet(self._bands_path())
 
     def probe(
-        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+        max_bucket: int = 1000,
     ) -> DataFrame:
         """Candidate near-dups of the batch against the INDEX (not
         within the batch — run minhash_near_dup_pairs on the batch for
         that): (probe_id, index_id, est_jaccard), where est_jaccard is
         the matching-minhash fraction of the two signatures. Bucket
-        join → distinct pairs → one zip_with estimate per pair."""
+        join → distinct pairs → one zip_with estimate per pair.
+
+        Stored buckets wider than ``max_bucket`` are dropped before the
+        join — the same hot-bucket guard as `lsh_candidate_pairs`:
+        boilerplate-heavy corpora put thousands of docs in one (band,
+        bucket), and joining a probe batch into it is the quadratic
+        blow-up the batch path already refuses."""
         existing = self._read_bands()
         if existing is None:
             return self.spark.createDataFrame(
                 [], "probe_id long, index_id long, est_jaccard double"
             )
+        wide = (
+            existing.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") <= max_bucket)
+            .select("band", "bucket")
+        )
+        narrow = existing.join(wide, ["band", "bucket"])
         feats = self._features(df, id_col, text_col)
         cand = (
             feats.select("band", "bucket", F.col("id").alias("probe_id"))
             .join(
-                existing.select(
+                narrow.select(
                     "band", "bucket", F.col("id").alias("index_id")
                 ),
                 ["band", "bucket"],

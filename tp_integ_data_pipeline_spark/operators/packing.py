@@ -11,17 +11,22 @@ Scale shape: the naive formulation is a global running sum — a window
 with no partition key, which drags the whole corpus through ONE task.
 `global_cumsum` instead computes a distributed prefix sum:
 
-1. `repartitionByRange(order_col)` — partitions hold contiguous,
-   increasing key ranges (boundary placement is sampled and may vary
-   run to run, but the final cumsum depends only on the global order,
-   not where the cuts land);
-2. per-partition running sums — a window PARTITIONED by
-   `spark_partition_id()`, all partitions in parallel;
-3. per-partition totals (≤ num_partitions rows) get their own tiny
-   cumsum and broadcast-join back as offsets.
+1. bucket every row by a DETERMINISTIC pure function of `order_col`
+   (value-range stride from one min/max scalar) — NOT
+   `repartitionByRange`, whose sampled boundaries can differ between
+   two evaluations of the same subtree (each exchange samples with its
+   own RDD-id-derived seed), silently misaligning the local sums and
+   the offset table whenever exchange reuse doesn't unify them;
+2. per-bucket running sums — a window PARTITIONED by the bucket, all
+   buckets in parallel;
+3. per-bucket totals (≤ n_buckets rows) get their own tiny cumsum and
+   broadcast-join back as offsets.
 
-Total cost: one range shuffle + one bounded broadcast — vs the naive
-plan's single-reducer sort.
+Total cost: one tiny min/max aggregate + one hash shuffle on the
+bucket + one bounded broadcast — vs the naive plan's single-reducer
+sort. The trade vs sampled range partitioning: bucket balance tracks
+the key distribution (fine for dense ids; a pathologically skewed key
+space concentrates buckets — pick a different order key or pre-rank).
 """
 
 from __future__ import annotations
@@ -31,34 +36,48 @@ from pyspark.sql import functions as F
 
 
 def global_cumsum(
-    df: DataFrame, order_col: str, value_col: str, out_col: str = "cum_before"
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Adds ``out_col`` = sum of ``value_col`` over all rows strictly
     BEFORE this row in ascending ``order_col`` order (exclusive prefix
-    sum). ``order_col`` must be unique (duplicate keys would make the
-    within-tie order, and so the prefix sums, run-dependent).
-    Distributed: see module docstring; the only unpartitioned window
-    runs over ≤ num_partitions offset rows."""
-    parted = df.repartitionByRange(F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    sum). ``order_col`` must be numeric and unique (duplicate keys
+    would make the within-tie order, and so the prefix sums,
+    run-dependent). Distributed: see module docstring; the only
+    unpartitioned window runs over ≤ n_buckets offset rows."""
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # One bounded driver scalar (min/max) fixes the bucket boundaries
+    # deterministically — every evaluation of the plan agrees on every
+    # row's bucket, unlike sampled range boundaries.
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    span = int(hi) - int(lo) + 1
+    stride = max(1, -(-span // n_buckets))  # ceil div
+    # integer `div`, not `/`: double division would lose exactness for
+    # key spans beyond 2^53
+    bucket = F.expr(f"(cast({order_col} as bigint) - {int(lo)}) div {stride}")
+    rows = df.withColumn("__bkt", bucket)
     w_local = (
-        W.partitionBy("__pid")
-        .orderBy(order_col)
-        .rowsBetween(W.unboundedPreceding, -1)
+        W.partitionBy("__bkt").orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
     )
-    local = parted.withColumn(
+    local = rows.withColumn(
         "__local_before", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
     )
-    totals = parted.groupBy("__pid").agg(F.sum(value_col).alias("__ptot"))
-    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    totals = rows.groupBy("__bkt").agg(F.sum(value_col).alias("__btot"))
+    w_off = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.withColumn(
-        "__offset", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0))
-    ).select("__pid", "__offset")
+        "__offset", F.coalesce(F.sum("__btot").over(w_off), F.lit(0))
+    ).select("__bkt", "__offset")
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        local.join(F.broadcast(offsets), "__bkt")
         .withColumn(out_col, (F.col("__offset") + F.col("__local_before")).cast("long"))
-        .drop("__pid", "__local_before", "__offset")
+        .drop("__bkt", "__local_before", "__offset")
     )
 
 
@@ -73,7 +92,7 @@ def pack_sequences(
     (doc-granular packing — a document belongs to the sequence its
     first token lands in; a document longer than the budget overflows
     its sequence rather than splitting, chunk first via q95 semantics
-    if that matters). Deterministic, one range shuffle.
+    if that matters). Deterministic, one bucket shuffle.
 
     Returns (doc-level): id, n_tokens, seq_id, seq_offset (the doc's
     first-token position within its sequence).
