@@ -118,3 +118,14 @@ def test_dup_clusters_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "a long, b long")
     assert dup_clusters(pairs).count() == 0
+
+
+def test_global_cumsum_empty_input(spark):
+    from tp_integ_data_pipeline_spark.operators.packing import (
+        global_cumsum,
+        pack_sequences,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert global_cumsum(empty, "doc_id", "n_tokens").count() == 0
+    assert pack_sequences(empty, budget=512).count() == 0
