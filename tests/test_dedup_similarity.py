@@ -263,6 +263,9 @@ def test_global_cumsum_with_payload_columns(spark, sf_dir):
         ).collect()
     }
     assert got == naive
+
+
+def test_dup_clusters_chain_and_island(spark):
     # chain 1-2-3-4 (diameter 3), island 10-11, plus nodes only on one
     # side of an edge; every node must map to its component's min id.
     from tp_integ_data_pipeline_spark.operators.dedup import cluster_sizes, dup_clusters

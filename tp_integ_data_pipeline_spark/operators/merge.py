@@ -105,8 +105,11 @@ def _floor_path(path: str) -> str:
 
 
 def _commit_floor(path: str) -> int:
-    """Lowest version slot still committable (see vacuum): slots ≤ floor
-    have been pruned and must never be re-claimed by a laggard."""
+    """Vacuum's published prune line: slots STRICTLY BELOW the floor
+    have been unlinked (the floor slot itself is the oldest kept
+    commit, still on disk). `_try_commit` refuses claims at or below
+    the floor — claiming the floor slot is impossible anyway (its file
+    exists → EEXIST), so the ≤ check adds no false refusals."""
     try:
         with open(_floor_path(path)) as fh:
             return int(fh.read().strip() or "0")
@@ -208,9 +211,16 @@ def _try_commit(path: str, expected_version: int, manifest: dict) -> bool:
     manifest. Returns False on a lost race; the caller re-reads state
     and retries its merge against the winner's table.
 
-    A slot at or below the vacuum floor is refused outright: vacuum
-    freed those slot files, and linking into one would "succeed" while
+    A slot at or below the vacuum floor is refused: vacuum freed those
+    slot files, and linking into one would "succeed" while
     `_load_state`'s max() never surfaces it — a silent lost update.
+    The floor is re-checked AFTER a successful link (not only before):
+    the entry check alone is a TOCTOU — a vacuum can write the floor
+    and unlink the slot during this writer's temp-file write. The
+    post-link check is race-free against vacuum's write-floor-THEN-
+    unlink ordering: while the slot's original file still exists the
+    link fails with EEXIST, and once vacuum has freed it the floor is
+    already published, so the recheck sees it and retreats.
     """
     if expected_version + 1 <= _commit_floor(path):
         return False
@@ -224,11 +234,19 @@ def _try_commit(path: str, expected_version: int, manifest: dict) -> bool:
     slot = os.path.join(cdir, f"{expected_version + 1:020d}.json")
     try:
         os.link(tmp, slot)
-        return True
     except FileExistsError:
         return False
     finally:
         os.unlink(tmp)
+    if expected_version + 1 <= _commit_floor(path):
+        # Linked into a slot vacuum freed mid-flight: retreat. (Best
+        # effort — the slot may already be unlinked again by vacuum.)
+        try:
+            os.unlink(slot)
+        except FileNotFoundError:
+            pass
+        return False
+    return True
 
 
 def scd1_upsert(

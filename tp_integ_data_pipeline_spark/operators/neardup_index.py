@@ -115,23 +115,33 @@ class NearDupIndex:
         join → distinct pairs → one zip_with estimate per pair.
 
         Stored buckets wider than ``max_bucket`` are dropped before the
-        join — the same hot-bucket guard as `lsh_candidate_pairs`:
+        pair join — the same hot-bucket guard as `lsh_candidate_pairs`:
         boilerplate-heavy corpora put thousands of docs in one (band,
         bucket), and joining a probe batch into it is the quadratic
-        blow-up the batch path already refuses."""
+        blow-up the batch path already refuses. The width count runs
+        only over index rows in buckets the BATCH touches (semi-join
+        first), so the guard's cost tracks the matching buckets, not
+        the whole index; at cluster scale, write the band table
+        bucketed on (band, bucket) and the semi-join prunes the scan
+        itself."""
         existing = self._read_bands()
         if existing is None:
             return self.spark.createDataFrame(
                 [], "probe_id long, index_id long, est_jaccard double"
             )
+        feats = self._features(df, id_col, text_col)
+        touched = existing.join(
+            F.broadcast(feats.select("band", "bucket").distinct()),
+            ["band", "bucket"],
+            "left_semi",
+        )
         wide = (
-            existing.groupBy("band", "bucket")
+            touched.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__w"))
             .filter(F.col("__w") <= max_bucket)
             .select("band", "bucket")
         )
-        narrow = existing.join(wide, ["band", "bucket"])
-        feats = self._features(df, id_col, text_col)
+        narrow = touched.join(wide, ["band", "bucket"])
         cand = (
             feats.select("band", "bucket", F.col("id").alias("probe_id"))
             .join(
@@ -147,7 +157,9 @@ class NearDupIndex:
         psig = feats.select(
             F.col("id").alias("probe_id"), F.col("sig").alias("__ps")
         ).dropDuplicates(["probe_id"])
-        isig = existing.select(
+        # signatures only for docs in touched buckets — candidates can
+        # only come from there, so the dedup never shuffles the full index
+        isig = touched.select(
             F.col("id").alias("index_id"), F.col("sig").alias("__is")
         ).dropDuplicates(["index_id"])
         matches = F.expr(

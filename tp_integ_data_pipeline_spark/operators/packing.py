@@ -44,24 +44,49 @@ def global_cumsum(
 ) -> DataFrame:
     """Adds ``out_col`` = sum of ``value_col`` over all rows strictly
     BEFORE this row in ascending ``order_col`` order (exclusive prefix
-    sum). ``order_col`` must be numeric and unique (duplicate keys
-    would make the within-tie order, and so the prefix sums,
-    run-dependent). Distributed: see module docstring; the only
-    unpartitioned window runs over ≤ n_buckets offset rows."""
+    sum). ``order_col`` must be numeric, unique, and non-null
+    (duplicate keys would make the within-tie order, and so the prefix
+    sums, run-dependent; a NULL key has no position in a total order —
+    rejected explicitly, because the bucket equi-join would otherwise
+    drop the row silently). Distributed: see module docstring; the
+    only unpartitioned window runs over ≤ n_buckets offset rows.
+
+    Cost note: the upstream plan is evaluated up to three times (the
+    min/max scalar, the window branch, the totals branch) — same order
+    as the previous sampled-range shape, which also sampled the child
+    and planned two exchanges. Callers stacking an expensive pipeline
+    under this should checkpoint/persist it first."""
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # One bounded driver scalar (min/max) fixes the bucket boundaries
-    # deterministically — every evaluation of the plan agrees on every
-    # row's bucket, unlike sampled range boundaries.
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    # One bounded driver scalar (min/max + null count) fixes the bucket
+    # boundaries deterministically — every evaluation of the plan
+    # agrees on every row's bucket, unlike sampled range boundaries.
+    lo, hi, n_null = df.agg(
+        F.min(order_col),
+        F.max(order_col),
+        F.count(F.when(F.col(order_col).isNull(), 1)),
+    ).first()
+    if n_null:
+        raise ValueError(
+            f"global_cumsum: {n_null} NULL value(s) in order column "
+            f"{order_col!r} — a null key has no position in the order"
+        )
     if lo is None:
         return df.withColumn(out_col, F.lit(0).cast("long"))
     span = int(hi) - int(lo) + 1
     stride = max(1, -(-span // n_buckets))  # ceil div
-    # integer `div`, not `/`: double division would lose exactness for
-    # key spans beyond 2^53
-    bucket = F.expr(f"(cast({order_col} as bigint) - {int(lo)}) div {stride}")
+    # Integer `div`, not `/` (doubles lose exactness past 2^53), and
+    # div-BEFORE-subtract: `order - lo` itself can overflow int64 for
+    # full-range key spans; `order div stride` is bounded by
+    # ±2^63/stride, and the subtracted constant uses the same
+    # truncate-toward-zero semantics as SQL div, so buckets stay
+    # monotone in the key (uneven widths around zero are fine — only
+    # contiguity and order matter).
+    lo_div = -((-int(lo)) // stride) if int(lo) < 0 else int(lo) // stride
+    bucket = F.expr(
+        f"(cast(`{order_col}` as bigint) div {stride}) - ({lo_div})"
+    )
     rows = df.withColumn("__bkt", bucket)
     w_local = (
         W.partitionBy("__bkt").orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
