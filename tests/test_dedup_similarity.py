@@ -334,3 +334,29 @@ def test_neardup_index_empty_probe(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     idx = NearDupIndex(spark, str(tmp_path / "idx"))
     assert idx.probe(docs.limit(5)).count() == 0  # empty index: no candidates
+
+
+def test_neardup_index_empty_probe_schema_tracks_id_type(spark, sf_dir, tmp_path):
+    """The empty-index probe result must carry the SAME id types as a
+    populated-index probe (derived from the input id column, not
+    hardcoded long) so downstream unions/joins don't break only in the
+    empty case — e.g. with string doc ids."""
+    from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    empty_idx = NearDupIndex(spark, str(tmp_path / "empty"))
+    empty_probe = empty_idx.probe(docs.limit(5))
+    assert dict(empty_probe.dtypes) == {
+        "probe_id": "string",
+        "index_id": "string",
+        "est_jaccard": "double",
+    }
+
+    full_idx = NearDupIndex(spark, str(tmp_path / "full"))
+    full_idx.add(docs.limit(50))
+    full_probe = full_idx.probe(docs.limit(5))
+    assert dict(full_probe.dtypes) == dict(empty_probe.dtypes)
+    # and the two are union-compatible by name
+    assert empty_probe.unionByName(full_probe).columns == empty_probe.columns

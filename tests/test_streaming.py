@@ -258,6 +258,52 @@ def test_rollup_replay_is_idempotent(spark, tmp_path):
     assert got == {6}  # 3 applied folds of n=2
 
 
+def test_fold_batch_folds_into_concurrent_commit(spark, tmp_path, monkeypatch):
+    """Lost-update guard: a commit landing between fold_batch's snapshot
+    and its own commit (e.g. a batch backfill into the same rollup)
+    must be folded INTO via CAS retry, not silently overwritten."""
+    import tp_integ_data_pipeline_spark.streaming.rollup as rollup_mod
+    from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
+    from tp_integ_data_pipeline_spark.streaming.rollup import fold_batch, read_rollup
+
+    batch = spark.createDataFrame(
+        [("2023-07-15T10:01:00", "click", 1.0)], ["ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "rollup")
+    table = VersionedParquetTable(spark, path)
+    ckpt = str(tmp_path / "ckpt")
+    assert fold_batch(table, batch, epoch_id=0, checkpoint_dir=ckpt) is True
+
+    # Interleave a concurrent writer exactly in the read→commit gap:
+    # merge_add runs inside _merge's CAS loop after the snapshot read,
+    # so committing from a second handle here forces a lost race and a
+    # re-merge against the winner's state.
+    real_merge_add = rollup_mod.merge_add
+    raced = {"done": False}
+
+    def racy_merge_add(cur, stg):
+        if not raced["done"]:
+            raced["done"] = True
+            other = VersionedParquetTable(spark, path)
+            backfill = spark.createDataFrame(
+                [("2023-07-15T09:00:00", "backfill")], ["win_start", "event_type"]
+            ).select(
+                F.to_timestamp("win_start").alias("win_start"),
+                "event_type",
+                F.lit(7).cast("long").alias("n"),
+                F.lit(7.0).cast("decimal(18,2)").alias("total_value"),
+            )
+            other._merge(backfill, lambda c, s: s if c is None else real_merge_add(c, s))
+        return real_merge_add(cur, stg)
+
+    monkeypatch.setattr(rollup_mod, "merge_add", racy_merge_add)
+    assert fold_batch(table, batch, epoch_id=1, checkpoint_dir=ckpt) is True
+    got = {r.event_type: (r.n, r.total_value) for r in read_rollup(spark, path).collect()}
+    assert got["backfill"] == (7, 7.0)  # the racing commit survived
+    assert got["click"] == (2, 2.0)  # both folds applied
+    assert table.meta()["last_epoch"] == 1  # epoch guard meta restored
+
+
 def test_rollup_recreated_checkpoint_resets_guard(spark, tmp_path):
     """Deleting and RECREATING the same checkpoint path (routine
     reprocessing) restarts epochs at 0; the guard must key on the

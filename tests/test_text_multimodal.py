@@ -123,6 +123,23 @@ def test_decode_batch_parses_real_bmp_and_wav_headers(spark):
     assert decode_payload(topdown) == (31, 7, 1, "bmp")
     assert decode_payload(wav) == (44100, 2, 1000, "wav")
 
+    # OS/2 BITMAPCOREHEADER (DIB size 12, 16-bit dims at 18/20): the
+    # int32-at-18/22 parse would return garbage — must fall back to the
+    # stub with fmt='other', not report fake bmp dimensions.
+    core = (
+        b"BM"
+        + (26).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (26).to_bytes(4, "little")
+        + (12).to_bytes(4, "little")  # BITMAPCOREHEADER size
+        + (31).to_bytes(2, "little")  # uint16 width
+        + (7).to_bytes(2, "little")  # uint16 height
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+    )
+    w, h, f = decode_stub(core)
+    assert decode_payload(core) == (w, h, f, "other")
+
     rows = [(1, bytearray(bmp)), (2, bytearray(wav)), (3, bytearray(b"plain text"))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in decode_batch(df).collect()}

@@ -353,7 +353,7 @@ class VersionedParquetTable:
             f"overwrite of {self.path} lost {self.max_retries} commit races"
         )
 
-    def _merge(self, stage: DataFrame, combine) -> None:
+    def _merge(self, stage: DataFrame, combine, meta: dict | None = None) -> None:
         for _ in range(self.max_retries):
             version, manifest = _load_state(self.path)
             cur_dir = manifest.get("current")
@@ -361,7 +361,10 @@ class VersionedParquetTable:
             merged = combine(cur, stage)
             new_dir = os.path.join(self.path, f"v{time.time_ns()}")
             merged.write.mode("overwrite").parquet(new_dir)
-            if _try_commit(self.path, version, {"current": new_dir}):
+            new_manifest = {"current": new_dir}
+            if meta is not None:
+                new_manifest["meta"] = meta
+            if _try_commit(self.path, version, new_manifest):
                 return
             # Lost the race: drop this attempt's data dir and re-merge
             # against the winner's committed state.

@@ -56,7 +56,10 @@ def decode_payload(payload: bytes) -> tuple[int, int, int, str]:
 
     - BMP  → (pixel width, pixel height, 1, 'bmp') from the
       BITMAPINFOHEADER int32s at offsets 18/22 (absolute value: a
-      negative height encodes top-down row order).
+      negative height encodes top-down row order). Gated on the DIB
+      header size field at offset 14 being ≥ 40: a BITMAPCOREHEADER
+      (OS/2, size 12) stores 16-bit dimensions at 18/20, so the int32
+      reads would return garbage — those fall back to the stub.
     - WAV  → (sample_rate, n_channels, n_sample_frames, 'wav') from the
       RIFF chunk walk ('fmt ' for rate/channels/block-align, 'data'
       size / block-align = frame count; chunks are word-aligned).
@@ -64,7 +67,11 @@ def decode_payload(payload: bytes) -> tuple[int, int, int, str]:
     Anything else falls back to the deterministic fake with
     fmt='other' (see decode_stub).
     """
-    if payload[:2] == b"BM" and len(payload) >= 26:
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 26
+        and int.from_bytes(payload[14:18], "little") >= 40
+    ):
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = int.from_bytes(payload[22:26], "little", signed=True)
         return abs(width), abs(height), 1, "bmp"

@@ -126,15 +126,27 @@ class NearDupIndex:
         itself."""
         existing = self._read_bands()
         if existing is None:
+            # Schema of the empty result mirrors the populated one: id
+            # columns take the probe id column's type (not a hardcoded
+            # long) so empty-index and populated-index probes stay
+            # union/join-compatible for any id type.
+            id_type = df.schema[id_col].dataType.simpleString()
             return self.spark.createDataFrame(
-                [], "probe_id long, index_id long, est_jaccard double"
+                [], f"probe_id {id_type}, index_id {id_type}, est_jaccard double"
             )
-        feats = self._features(df, id_col, text_col)
+        # The feature pipeline (shingles → 64-perm MinHash → band
+        # explode) feeds THREE plan branches below (the semi-join
+        # broadcast, the candidate join, psig); `touched` likewise
+        # feeds wide/narrow/isig. Without a persist each branch
+        # re-evaluates the subtree — lazy localCheckpoint caps it at
+        # one evaluation, the same pattern dup_clusters uses for its
+        # per-round edge set.
+        feats = self._features(df, id_col, text_col).localCheckpoint(eager=False)
         touched = existing.join(
             F.broadcast(feats.select("band", "bucket").distinct()),
             ["band", "bucket"],
             "left_semi",
-        )
+        ).localCheckpoint(eager=False)
         wide = (
             touched.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__w"))

@@ -95,7 +95,13 @@ def global_cumsum(
         "__local_before", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
     )
     totals = rows.groupBy("__bkt").agg(F.sum(value_col).alias("__btot"))
-    w_off = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    # partitionBy(lit(0)): same single-partition execution the bounded
+    # ≤ n_buckets relation needs, but stated explicitly — no
+    # "No Partition Defined for Window" warning implying an unbounded
+    # single-reducer sort.
+    w_off = (
+        W.partitionBy(F.lit(0)).orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    )
     offsets = totals.withColumn(
         "__offset", F.coalesce(F.sum("__btot").over(w_off), F.lit(0))
     ).select("__bkt", "__offset")
@@ -123,10 +129,13 @@ def pack_sequences(
     first-token position within its sequence).
     """
     cum = global_cumsum(docs, id_col, token_count_col)
+    # Integer `div`, not `/`: long / long is double division in Spark,
+    # which loses exactness once cumulative token counts pass 2^53 —
+    # the same reason global_cumsum's bucket math uses div.
     return cum.select(
         F.col(id_col),
         F.col(token_count_col),
-        (F.col("cum_before") / F.lit(budget)).cast("long").alias("seq_id"),
+        F.expr(f"cum_before div {int(budget)}").alias("seq_id"),
         (F.col("cum_before") % F.lit(budget)).cast("long").alias("seq_offset"),
     )
 

@@ -104,9 +104,16 @@ def fold_batch(
         ):
             return False  # replayed batch — already folded into the rollup
     partial = _partials(batch_df)
-    current = table.read()
-    table.overwrite(
-        partial if current is None else merge_add(current, partial),
+    # CAS-aware fold (not read → merge_add → overwrite): _merge re-reads
+    # the committed state and re-combines on a lost commit race, so a
+    # concurrent writer's commit (e.g. a batch backfill into the same
+    # rollup) landing between our snapshot and our commit is folded
+    # into, not silently overwritten. The epoch replay guard above
+    # stays a pre-check: epochs are scoped to ONE streaming query per
+    # checkpoint instance, so no concurrent commit can carry this epoch.
+    table._merge(
+        partial,
+        lambda cur, stg: stg if cur is None else merge_add(cur, stg),
         meta={"last_epoch": epoch_id, "epoch_scope": scope},
     )
     return True
