@@ -328,6 +328,48 @@ def test_neardup_index_incremental_probe(spark, sf_dir, tmp_path):
     assert len(exact) > 0  # fixture must actually exercise the path
 
 
+def test_lsh_hot_bucket_salt_preserves_recall(spark):
+    """Heavy-boilerplate corpus: every doc identical → every LSH bucket
+    is hot. drop-mode silently loses every true ≥0.6 pair; salt-mode
+    must find exactly the pairs an uncapped run finds (all of them),
+    just split across salted sub-tasks."""
+    from tp_integ_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    text = "the same boilerplate sentence repeated across every document here"
+    df = spark.createDataFrame([(i, text) for i in range(30)], ["doc_id", "text"])
+    sig = minhash_signatures(shingles(df, "doc_id", "text", 3))
+
+    dropped = lsh_candidate_pairs(sig, max_bucket=5, hot_bucket="drop")
+    assert dropped.count() == 0  # the recall hole, demonstrated
+
+    salted = lsh_candidate_pairs(sig, max_bucket=5, hot_bucket="salt")
+    uncapped = lsh_candidate_pairs(sig, max_bucket=10**9, hot_bucket="drop")
+    got = sorted((r.a, r.b) for r in salted.collect())
+    want = sorted((r.a, r.b) for r in uncapped.collect())
+    assert got == want
+    assert len(got) == 30 * 29 // 2  # every pair, each exactly once
+
+
+def test_neardup_index_probe_hot_bucket_salt(spark, tmp_path):
+    """Probe against an index whose buckets are all hot: drop-mode
+    returns nothing, salt-mode returns every indexed near-dup."""
+    from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
+
+    text = "the same boilerplate sentence repeated across every document here"
+    old = spark.createDataFrame([(i, text) for i in range(20)], ["doc_id", "text"])
+    new = spark.createDataFrame([(100, text)], ["doc_id", "text"])
+    idx = NearDupIndex(spark, str(tmp_path / "idx"))
+    idx.add(old)
+
+    assert idx.probe(new, max_bucket=5, hot_bucket="drop").count() == 0
+    got = idx.probe(new, max_bucket=5, hot_bucket="salt").collect()
+    assert sorted(r.index_id for r in got) == list(range(20))
+    assert all(r.probe_id == 100 and r.est_jaccard == 1.0 for r in got)
+
+
 def test_neardup_index_empty_probe(spark, sf_dir, tmp_path):
     from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
 

@@ -223,28 +223,71 @@ def band_hashes(sig_col, bands: int = BANDS, num_perm: int = NUM_PERM):
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = BANDS, num_perm: int = NUM_PERM, max_bucket: int = 1000
+    sig: DataFrame,
+    bands: int = BANDS,
+    num_perm: int = NUM_PERM,
+    max_bucket: int = 1000,
+    hot_bucket: str = "salt",
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band bucket.
 
-    Buckets wider than `max_bucket` are dropped (degenerate shingle
-    content; quadratic pair blow-up at scale — same remedy as stop-word
-    removal).
+    ``hot_bucket`` governs buckets wider than ``max_bucket``
+    (boilerplate-heavy corpora put thousands of docs in one band
+    bucket — the skew risk of the inverted-index design):
+
+    - ``"salt"`` (default): the bucket's pair generation is SPLIT
+      across ``s = ceil(w / max_bucket)`` salted sub-tasks — the a-side
+      keeps one deterministic salt per doc, the b-side is replicated to
+      every salt, so EVERY pair is still generated exactly once but no
+      single task materializes more than ~``max_bucket × w`` pairs (the
+      standard skew-join salting, applied to the self-join). Recall is
+      preserved; total pair count is still quadratic in ``w`` — that is
+      inherent to bucket membership, and the signature-estimate
+      pre-filter downstream prunes it at one codegen'd row per pair.
+    - ``"drop"``: the bucket is excluded entirely (stop-shingle
+      effect) — the escape hatch for truly degenerate corpora where
+      even generating the pairs is unaffordable; costs recall for any
+      true pair whose every shared bucket is hot.
     """
+    if hot_bucket not in ("salt", "drop"):
+        raise ValueError(f"hot_bucket must be 'salt' or 'drop', got {hot_bucket!r}")
     buckets = sig.select(
         "id", F.posexplode(band_hashes(F.col("sig"), bands, num_perm)).alias("band", "bucket")
     )
-    wide = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("w"))
-    buckets = buckets.join(
-        wide.filter(F.col("w") <= max_bucket).select("band", "bucket"), ["band", "bucket"]
+    widths = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("w"))
+    if hot_bucket == "drop":
+        buckets = buckets.join(
+            widths.filter(F.col("w") <= max_bucket).select("band", "bucket"),
+            ["band", "bucket"],
+        )
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+            .distinct()
+        )
+    # salt mode: n_salts = 1 for narrow buckets (the common case —
+    # exactly the plain self-join, one extra tiny column), > 1 only
+    # where the width demands splitting.
+    sized = buckets.join(widths, ["band", "bucket"]).withColumn(
+        "__s", F.expr(f"int(ceil(w / {int(max_bucket)}))")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    a = sized.withColumn("__salt", F.pmod(F.xxhash64("id"), F.col("__s"))).alias("a")
+    b = sized.withColumn(
+        "__salt", F.explode(F.expr("sequence(0, cast(__s - 1 as bigint))"))
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__salt") == F.col("b.__salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))

@@ -106,7 +106,7 @@ class NearDupIndex:
 
     def probe(
         self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-        max_bucket: int = 1000,
+        max_bucket: int = 1000, hot_bucket: str = "salt",
     ) -> DataFrame:
         """Candidate near-dups of the batch against the INDEX (not
         within the batch — run minhash_near_dup_pairs on the batch for
@@ -114,16 +114,21 @@ class NearDupIndex:
         the matching-minhash fraction of the two signatures. Bucket
         join → distinct pairs → one zip_with estimate per pair.
 
-        Stored buckets wider than ``max_bucket`` are dropped before the
-        pair join — the same hot-bucket guard as `lsh_candidate_pairs`:
-        boilerplate-heavy corpora put thousands of docs in one (band,
-        bucket), and joining a probe batch into it is the quadratic
-        blow-up the batch path already refuses. The width count runs
-        only over index rows in buckets the BATCH touches (semi-join
-        first), so the guard's cost tracks the matching buckets, not
-        the whole index; at cluster scale, write the band table
-        bucketed on (band, bucket) and the semi-join prunes the scan
-        itself."""
+        Stored buckets wider than ``max_bucket`` are hot — the same
+        skew guard as `lsh_candidate_pairs`, same two policies:
+        ``hot_bucket="salt"`` (default) splits the hot bucket's
+        candidate join across ``ceil(w / max_bucket)`` salted sub-tasks
+        (index rows salted by id, the small probe side replicated to
+        every salt), preserving every candidate while bounding per-task
+        fan-out; ``"drop"`` excludes the bucket entirely (recall hole
+        on boilerplate corpora, but no quadratic pair bill at all).
+        The width count runs only over index rows in buckets the BATCH
+        touches (semi-join first), so the guard's cost tracks the
+        matching buckets, not the whole index; at cluster scale, write
+        the band table bucketed on (band, bucket) and the semi-join
+        prunes the scan itself."""
+        if hot_bucket not in ("salt", "drop"):
+            raise ValueError(f"hot_bucket must be 'salt' or 'drop', got {hot_bucket!r}")
         existing = self._read_bands()
         if existing is None:
             # Schema of the empty result mirrors the populated one: id
@@ -147,21 +152,48 @@ class NearDupIndex:
             ["band", "bucket"],
             "left_semi",
         ).localCheckpoint(eager=False)
-        wide = (
-            touched.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__w"))
-            .filter(F.col("__w") <= max_bucket)
-            .select("band", "bucket")
-        )
-        narrow = touched.join(wide, ["band", "bucket"])
-        cand = (
-            feats.select("band", "bucket", F.col("id").alias("probe_id"))
-            .join(
-                narrow.select(
-                    "band", "bucket", F.col("id").alias("index_id")
-                ),
+        widths = touched.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__w"))
+        if hot_bucket == "drop":
+            narrow = touched.join(
+                widths.filter(F.col("__w") <= max_bucket).select("band", "bucket"),
                 ["band", "bucket"],
             )
+            index_side = narrow.select("band", "bucket", F.col("id").alias("index_id"))
+            probe_side = feats.select("band", "bucket", F.col("id").alias("probe_id"))
+            join_keys = ["band", "bucket"]
+        else:
+            sized = touched.join(widths, ["band", "bucket"]).withColumn(
+                "__s", F.expr(f"int(ceil(__w / {int(max_bucket)}))")
+            )
+            index_side = sized.select(
+                "band",
+                "bucket",
+                F.pmod(F.xxhash64("id"), F.col("__s")).alias("__salt"),
+                F.col("id").alias("index_id"),
+            )
+            # the probe batch is the small side — replicate it to every
+            # salt of each bucket it touches (bounded by the per-bucket
+            # split factor, itself bounded by the touched widths)
+            probe_side = (
+                feats.select("band", "bucket", F.col("id").alias("probe_id"))
+                .join(
+                    F.broadcast(
+                        sized.select("band", "bucket", "__s").distinct()
+                    ),
+                    ["band", "bucket"],
+                )
+                .select(
+                    "band",
+                    "bucket",
+                    F.explode(
+                        F.expr("sequence(0, cast(__s - 1 as bigint))")
+                    ).alias("__salt"),
+                    "probe_id",
+                )
+            )
+            join_keys = ["band", "bucket", "__salt"]
+        cand = (
+            probe_side.join(index_side, join_keys)
             .filter(F.col("probe_id") != F.col("index_id"))
             .select("probe_id", "index_id")
             .distinct()
