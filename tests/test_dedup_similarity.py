@@ -209,6 +209,50 @@ def test_pack_sequences_matches_naive_window(spark, sf_dir):
     assert seqs[0] == 0 and seqs == list(range(len(seqs)))
 
 
+def test_pack_token_runs_invariants(spark, sf_dir):
+    """Token-level materialization: every sequence except the tail is
+    filled to EXACTLY the budget; each document's runs cover its tokens
+    once, in order, split only at sequence boundaries; slots are
+    contiguous from 0 per sequence."""
+    from tp_integ_data_pipeline_spark.operators.packing import pack_token_runs
+
+    budget = 100  # small budget forces straddling on the fixture
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    runs = pack_token_runs(docs, budget=budget).collect()
+    n_tok = {r.doc_id: r.n_tokens for r in docs.collect()}
+
+    per_seq: dict = {}
+    per_doc: dict = {}
+    for r in runs:
+        per_seq.setdefault(r.seq_id, []).append(r)
+        per_doc.setdefault(r.doc_id, []).append(r)
+
+    last_seq = max(per_seq)
+    for sid, rows in per_seq.items():
+        assert sorted(x.slot for x in rows) == list(range(len(rows)))
+        total = sum(x.token_len for x in rows)
+        if sid != last_seq:
+            assert total == budget, (sid, total)
+        else:
+            assert 0 < total <= budget
+    for did, rows in per_doc.items():
+        rows.sort(key=lambda x: x.seq_id)
+        # contiguous doc coverage: starts chain 0 → n_tokens
+        assert rows[0].token_start == 0
+        pos = 0
+        for x in rows:
+            assert x.token_start == pos
+            assert x.token_len > 0
+            pos += x.token_len
+        assert pos == n_tok[did]
+        # middle runs of a straddler sit on sequence boundaries
+        assert [x.seq_id for x in rows] == list(
+            range(rows[0].seq_id, rows[0].seq_id + len(rows))
+        )
+
+
 def test_global_cumsum_avoids_unpartitioned_window_on_data(spark, sf_dir):
     """Scale guard: the only unpartitioned window may run over the tiny
     per-bucket offsets relation, never over the data itself — the

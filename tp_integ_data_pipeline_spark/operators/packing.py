@@ -140,6 +140,63 @@ def pack_sequences(
     )
 
 
+def pack_token_runs(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-level sequence materialization — what the trainer actually
+    consumes: (seq_id, slot, id, token_start, token_len), one row per
+    (document, sequence) run, with documents STRADDLING a sequence
+    boundary split across sequences (unlike :func:`pack_sequences`'
+    doc-granular view, where a straddler just overflows). Every
+    sequence's runs sum to exactly ``budget`` tokens except the final
+    one; concatenating a document's runs in seq order re-covers its
+    tokens exactly once.
+
+    A document occupying global token interval [c, c+n) (c from the
+    distributed prefix sum) contributes one run to every sequence
+    window [s·budget, (s+1)·budget) it overlaps: an expression-level
+    ``sequence()`` explode of ≤ ceil(n/budget)+1 rows per doc — no
+    extra shuffle beyond global_cumsum's. ``slot`` (the run's position
+    within its sequence) is a row_number over a window partitioned by
+    seq_id — bounded by ``budget`` rows per partition, since every doc
+    contributes ≥ 1 token to its sequence. All arithmetic is integer
+    ``div`` (never ``/``): exact past 2^53 cumulative tokens.
+
+    Zero-token documents (nothing to emit) are excluded; the sequence
+    ids they'd ambiguously sit between are unaffected."""
+    cum = global_cumsum(docs, id_col, token_count_col)
+    b = int(budget)
+    runs = (
+        cum.filter(F.col(token_count_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(token_count_col).cast("long").alias("__n"),
+            F.col("cum_before"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"cum_before div {b}"),
+                    F.expr(f"(cum_before + {token_count_col} - 1) div {b}"),
+                )
+            ).alias("seq_id"),
+        )
+    )
+    start_g = F.greatest(F.col("seq_id") * b, F.col("cum_before"))
+    end_g = F.least((F.col("seq_id") + 1) * b, F.col("cum_before") + F.col("__n"))
+    placed = runs.select(
+        "seq_id",
+        F.col(id_col),
+        (start_g - F.col("cum_before")).cast("long").alias("token_start"),
+        (end_g - start_g).cast("long").alias("token_len"),
+    )
+    w_seq = W.partitionBy("seq_id").orderBy(id_col)
+    return placed.withColumn(
+        "slot", (F.row_number().over(w_seq) - 1).cast("long")
+    ).select("seq_id", "slot", id_col, "token_start", "token_len")
+
+
 def sequence_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-sequence packing audit: document count, token count, fill
     ratio against the budget, and whether the last document straddles

@@ -474,6 +474,54 @@ def q100_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q107 — token-level packed-sequence materialization
+# --------------------------------------------------------------------------
+@query(
+    "q107_pack_token_runs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cb
+        FROM d
+    ),
+    r AS (
+        SELECT doc_id, n_tokens, cb, t.s
+        FROM c, UNNEST(range(CAST(cb // 512 AS BIGINT),
+                             CAST((cb + n_tokens - 1) // 512 + 1 AS BIGINT))) AS t(s)
+        WHERE n_tokens > 0
+    )
+    SELECT CAST(s AS BIGINT) AS seq_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id) - 1 AS BIGINT)
+               AS slot,
+           doc_id,
+           CAST(GREATEST(s * 512, cb) - cb AS BIGINT) AS token_start,
+           CAST(LEAST((s + 1) * 512, cb + n_tokens) - GREATEST(s * 512, cb)
+                AS BIGINT) AS token_len
+    FROM r
+    ORDER BY seq_id, slot
+    """,
+)
+def q107_pack_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the trainer consumes: per-sequence token runs with
+    straddling documents SPLIT at sequence boundaries (doc-granular
+    q100 only assigns whole docs). Every sequence's runs sum to exactly
+    512 tokens except the tail; the oracle recomputes the layout from a
+    naive global window, proving the distributed prefix-sum + explode
+    decomposition exact row-for-row."""
+    from tp_integ_data_pipeline_spark.operators.packing import pack_token_runs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_words()).cast("long").alias("n_tokens")
+    )
+    return pack_token_runs(docs, budget=512).orderBy("seq_id", "slot")
+
+
+# --------------------------------------------------------------------------
 # q102 — deterministic source-mixture sampling (data mixing)
 # --------------------------------------------------------------------------
 def mixture_sample(

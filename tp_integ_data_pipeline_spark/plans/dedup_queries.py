@@ -195,6 +195,118 @@ def q90_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB CTEs mirroring operators.substring.duplicated_spans (k=20):
+# every-position 20-gram md5 → global count ≥ 2 → gaps-and-islands
+# span merge per doc. The md5 fingerprint step makes the whole
+# operator SQL-expressible, unlike MinHash.
+_SUBSTR_CTES = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+    SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+19], ' ')) AS gh
+    FROM words, UNNEST(range(1, greatest(len(w) - 19, 0) + 1)) AS t(i)
+),
+dupg AS (
+    SELECT gh FROM (SELECT gh, COUNT(*) AS c FROM grams GROUP BY gh) WHERE c >= 2
+),
+marked AS (SELECT doc_id, pos FROM grams WHERE gh IN (SELECT gh FROM dupg)),
+brk AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+                THEN 0 ELSE 1 END AS b
+    FROM marked
+),
+runs AS (
+    SELECT doc_id, pos,
+           SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM brk
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 AS e
+    FROM runs GROUP BY doc_id, run_id
+)
+"""
+
+
+@query(
+    "q105_substring_spans",
+    oracle=_SUBSTR_CTES
+    + """
+    SELECT doc_id AS id,
+           CAST(s AS BIGINT) AS span_start,
+           CAST(e AS BIGINT) AS span_end,
+           CAST(e - s AS BIGINT) AS span_len
+    FROM spans
+    ORDER BY id, span_start
+    """,
+)
+def q105_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022 ExactSubstr, token
+    granularity): the maximal duplicated runs of ≥ 20 tokens across the
+    corpus, via position-k-gram md5 fingerprints → global count ≥ 2 →
+    per-doc gaps-and-islands merge (operators/substring.py). Two
+    shuffles on fixed-width rows; the only windows are per-doc."""
+    from tp_integ_data_pipeline_spark.operators.substring import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, "doc_id", "text", k=20)
+    return spans.select(
+        "id",
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
+        F.col("span_len").cast("long"),
+    ).orderBy("id", "span_start")
+
+
+@query(
+    "q106_substring_strip",
+    oracle=_SUBSTR_CTES
+    + """
+    , tok AS (
+        SELECT doc_id, w[i] AS tok, i - 1 AS idx
+        FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.idx, t.tok FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id AND t.idx >= s.s AND t.idx < s.e
+        )
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS txt,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           md5(COALESCE(r.txt, '')) AS stripped_md5,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0) AS BIGINT)
+               AS n_removed_tokens
+    FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q106_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The follow-through cut: remove every ≥20-token duplicated span
+    found by q105's operator and rebuild each document from the
+    surviving tokens in order (row-local after one bounded span
+    aggregation per doc). The md5 of every rebuilt document must match
+    the oracle's — proving span offsets AND reassembly order exact."""
+    from tp_integ_data_pipeline_spark.operators.substring import (
+        duplicated_spans,
+        strip_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, "doc_id", "text", k=20)
+    stripped = strip_spans(docs, spans, "doc_id", "text")
+    return stripped.select(
+        F.col("id").alias("doc_id"),
+        F.md5("text").alias("stripped_md5"),
+        "n_removed_tokens",
+    ).orderBy("doc_id")
+
+
 @query(
     "q103_incremental_neardup",
     # Oracle: the exact cross-split near-dup pairs — everything indexed
