@@ -39,23 +39,113 @@ HEADLINE = [
     "q98_redaction_audit",
 ]
 
-# Queries whose plan legitimately contains BroadcastNestedLoopJoin,
-# with the exact count allowed. Every entry is a BOUNDED broadcast
-# side: a 1-row scalar aggregate (scalar-subquery pattern) or an
-# explicitly bounded broadcast query batch — no pair explosion at any
-# scale. Anything else planning a BNLJ fails the gate.
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin.
+# Every entry's broadcast side must be BOUNDED, and the gate VERIFIES
+# the bound structurally (verify_bnlj_bounds) instead of trusting this
+# comment: `scalar_aggs` BNLJs must broadcast a subtree topped by a
+# global aggregate with `Keys: []` (≤ 1 row by construction at any
+# scale); `filtered_batches` BNLJs must broadcast a subtree whose
+# Filter condition contains the given fragment (an explicit
+# constant-bounded query batch). A data-sized relation sneaking into
+# the broadcast side matches neither shape and fails the gate.
 BNLJ_ALLOWED = {
-    "q50_knn_bruteforce": 1,  # broadcast bounded query batch, non-equi (q_id != n_id)
-    "q52_ann_ivf": 2,  # 1-row broadcast centroid-list attach (corpus + queries)
-    "q54_tfidf_top_term": 1,  # 1-row corpus-count aggregate
-    "q85_idle_rich_customers": 1,  # 1-row avg-balance scalar subquery
-    "q86_part_value_concentration": 1,  # 1-row total-value scalar subquery
-    "q90_corpus_dedup": 1,  # 1-row n_docs aggregate
-    # 1-row broadcast centroid-list attach (ivf_assign), planned once per
-    # reference to the assigned relation (pair left/right + final verdict join)
-    "q101_semantic_dedup": 3,
-    "q102_mixture_sample": 1,  # 1-row mixture-capacity scalar (min n/w)
+    # broadcast query batch bounded by the vec_id constant range,
+    # non-equi join condition (q_id != n_id)
+    "q50_knn_bruteforce": {"scalar_aggs": 0, "filtered_batches": ["vec_id"]},
+    # 1-row broadcast centroid-list attach (corpus + queries)
+    "q52_ann_ivf": {"scalar_aggs": 2, "filtered_batches": []},
+    "q54_tfidf_top_term": {"scalar_aggs": 1, "filtered_batches": []},  # corpus count
+    "q85_idle_rich_customers": {"scalar_aggs": 1, "filtered_batches": []},  # avg balance
+    "q86_part_value_concentration": {"scalar_aggs": 1, "filtered_batches": []},  # total value
+    "q90_corpus_dedup": {"scalar_aggs": 1, "filtered_batches": []},  # n_docs
+    # 1-row centroid-list attach (ivf_assign), planned once per reference
+    # to the assigned relation (pair left/right + final verdict join)
+    "q101_semantic_dedup": {"scalar_aggs": 3, "filtered_batches": []},
+    "q102_mixture_sample": {"scalar_aggs": 1, "filtered_batches": []},  # capacity min(n/w)
 }
+
+_AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+
+
+def _plan_tree(plan: str) -> list[tuple[int, str, int]]:
+    """(indent, node label, node id) per line of the formatted plan's
+    tree header, in order."""
+    out = []
+    for line in plan.split("\n\n")[0].splitlines():
+        m = re.search(r"(\w[\w ]*?)\s*\((\d+)\)\s*$", line)
+        if m:
+            out.append((line.index(m.group(1)), m.group(1).strip(), int(m.group(2))))
+    return out
+
+
+def _node_details(plan: str) -> dict[int, str]:
+    """node id → detail block text from the formatted plan body."""
+    return {
+        int(m.group(1)): m.group(0)
+        for m in re.finditer(r"^\((\d+)\) .*?(?=^\(\d+\)|\Z)", plan, re.M | re.S)
+    }
+
+
+def _build_side_subtrees(tree: list[tuple[int, str, int]]) -> list[list[tuple[int, str, int]]]:
+    """For each BroadcastNestedLoopJoin, the tree lines of its BUILD
+    (broadcast) side subtree."""
+    sides = []
+    for i, (indent, label, _nid) in enumerate(tree):
+        if not label.startswith("BroadcastNestedLoopJoin"):
+            continue
+        subtree = []
+        for j in range(i + 1, len(tree)):
+            if tree[j][0] <= indent:
+                break
+            subtree.append(tree[j])
+        child_indent = min(x[0] for x in subtree)
+        child_starts = [jj for jj, x in enumerate(subtree) if x[0] == child_indent]
+        start = child_starts[0] if "BuildLeft" in label else child_starts[-1]
+        idx = child_starts.index(start)
+        end = child_starts[idx + 1] if idx + 1 < len(child_starts) else len(subtree)
+        sides.append(subtree[start:end])
+    return sides
+
+
+def verify_bnlj_bounds(plan: str, allowed: dict) -> list[str]:
+    """Check every BNLJ's broadcast side against the allowlist shapes;
+    returns human-readable violations (empty = clean)."""
+    tree = _plan_tree(plan)
+    details = _node_details(plan)
+    sides = _build_side_subtrees(tree)
+    budget_aggs = allowed.get("scalar_aggs", 0)
+    fragments = list(allowed.get("filtered_batches", []))
+    violations = []
+    for side in sides:
+        is_scalar_agg = any(
+            label in _AGG_NODES and "Keys: []" in details.get(nid, "")
+            for _, label, nid in side
+        )
+        if is_scalar_agg and budget_aggs > 0:
+            budget_aggs -= 1
+            continue
+        matched = None
+        for frag in fragments:
+            if any(
+                label == "Filter" and frag in details.get(nid, "")
+                for _, label, nid in side
+            ):
+                matched = frag
+                break
+        if matched is not None:
+            fragments.remove(matched)
+            continue
+        violations.append(
+            "BNLJ broadcast side is neither a Keys:[] scalar aggregate nor an "
+            f"allowlisted filtered batch: {[x[1] for x in side]}"
+        )
+    if len(sides) != len(allowed.get("filtered_batches", [])) + allowed.get("scalar_aggs", 0):
+        violations.append(
+            f"BNLJ count {len(sides)} != allowlisted "
+            f"{allowed.get('scalar_aggs', 0)} scalar + "
+            f"{len(allowed.get('filtered_batches', []))} filtered"
+        )
+    return violations
 
 
 def formatted_plan(df) -> str:

@@ -83,7 +83,7 @@ def test_all_query_plans_audit_gate(spark):
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-    from audit_plans import BNLJ_ALLOWED, audit_query
+    from audit_plans import BNLJ_ALLOWED, audit_query, verify_bnlj_bounds
 
     sf = "/root/testdata/sf0.001"
     offenders = []
@@ -91,9 +91,43 @@ def test_all_query_plans_audit_gate(spark):
         counters, plan = audit_query(spark, name, sf)
         if counters["cartesian"]:
             offenders.append((name, "CartesianProduct", counters["cartesian"]))
-        if counters["bnlj"] > BNLJ_ALLOWED.get(name, 0):
-            offenders.append((name, "BroadcastNestedLoopJoin", counters["bnlj"]))
+        allowed = BNLJ_ALLOWED.get(name)
+        if allowed is None:
+            if counters["bnlj"]:
+                offenders.append((name, "BroadcastNestedLoopJoin", counters["bnlj"]))
+        else:
+            # allowlisted: verify the documented bound STRUCTURALLY —
+            # each BNLJ broadcast side must be a Keys:[] scalar
+            # aggregate or the documented constant-filtered batch.
+            violations = verify_bnlj_bounds(plan, allowed)
+            if violations:
+                offenders.append((name, "BNLJ-bound", violations))
     assert not offenders, offenders
+
+
+def test_verify_bnlj_bounds_rejects_data_sized_broadcast(spark):
+    """The allowlist cannot shelter a real nested-loop: a BNLJ whose
+    broadcast side is a data relation (no Keys:[] aggregate, no
+    documented filter) must produce a violation even when the query
+    name is allowlisted."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from audit_plans import verify_bnlj_bounds
+
+    cross = spark.range(100).crossJoin(spark.range(100).withColumnRenamed("id", "id2"))
+    plan = _formatted(cross)
+    if "BroadcastNestedLoopJoin" not in plan:
+        return  # planner picked CartesianProduct — covered by the other gate
+    violations = verify_bnlj_bounds(plan, {"scalar_aggs": 1, "filtered_batches": []})
+    assert violations, plan
+
+    # and a genuine 1-row aggregate side passes
+    scalar = spark.range(100).agg({"id": "max"})
+    ok_plan = _formatted(spark.range(100).crossJoin(scalar))
+    if "BroadcastNestedLoopJoin" in ok_plan:
+        assert verify_bnlj_bounds(ok_plan, {"scalar_aggs": 1, "filtered_batches": []}) == []
 
 
 def test_headline_scan_filters_are_pushed(spark):
