@@ -46,6 +46,9 @@ HEADLINE = [
     "q97_curation_pipeline",
     "q100_pack_sequences",
     "q103_incremental_neardup",
+    "q105_substring_spans",
+    "q106_substring_strip",
+    "q107_pack_token_runs",
 ]
 
 
@@ -158,6 +161,42 @@ def scale_probe(spark, sf_dir: str) -> dict:
         probe[f"{label}_sec"] = timed(lambda: materialize(dup_clusters(e, stats=st)))
         probe[f"{label}_rounds"] = st.get("rounds")
     probe["cc_ratio"] = round(probe["cc_10x_sec"] / probe["cc_1x_sec"], 2)
+
+    # Incremental near-dup index probe: the contract is that probe cost
+    # tracks the MATCHING buckets, not the index size — so a 10× index
+    # (disjoint copies; the batch only matches copy 0's buckets) should
+    # probe at ~1× cost. A ratio drifting toward 10 means the probe
+    # started scanning the whole index.
+    import tempfile
+
+    from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
+
+    idx1 = NearDupIndex(spark, tempfile.mkdtemp(prefix="bench_ndidx1_"))
+    idx1.add(docs)
+    batch1 = docs.filter(F.col("doc_id") < 50)
+    probe["neardup_index_1x_sec"] = timed(lambda: materialize(idx1.probe(batch1)))
+    idx10 = NearDupIndex(spark, tempfile.mkdtemp(prefix="bench_ndidx10_"))
+    idx10.add(docs10)
+    batch10 = tagged[0].filter(F.col("doc_id") < 50)
+    probe["neardup_index_10x_sec"] = timed(lambda: materialize(idx10.probe(batch10)))
+    probe["neardup_index_ratio"] = round(
+        probe["neardup_index_10x_sec"] / probe["neardup_index_1x_sec"], 2
+    )
+
+    # IVF ANN probe: fixed 50-query batch, same n_cells → cells hold
+    # 10× vectors, so candidate re-rank work is ~10× (linear in corpus;
+    # the assignment pass is linear too). ≲ linear is healthy;
+    # superlinear flags a probe-path regression. Training (ivf_fit) is
+    # offline by design and runs untimed, once per index.
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_fit, ivf_topk
+
+    emb_local = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qbatch = emb_local.filter(F.col("vec_id") < 50)
+    cent1 = ivf_fit(emb_local, n_cells=16)
+    probe["ivf_1x_sec"] = timed(lambda: materialize(ivf_topk(emb_local, qbatch, cent1)))
+    cent10 = ivf_fit(emb10, n_cells=16)
+    probe["ivf_10x_sec"] = timed(lambda: materialize(ivf_topk(emb10, qbatch, cent10)))
+    probe["ivf_ratio"] = round(probe["ivf_10x_sec"] / probe["ivf_1x_sec"], 2)
 
     probe["cosine_1x_sec"] = timed(lambda: materialize(cosine_pairs(emb)))
     # 10× rows in the same number of blocks → each block-pair task sees

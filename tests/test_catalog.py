@@ -81,3 +81,53 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert q.count() == 2
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "fecha" in plan.split("PushedFilters")[1][:120]
+
+
+def test_jdbc_merge_passthrough_matches_scd1(spark, tmp_path):
+    """M1 MERGE pushed SERVER-side through JDBC (the reference's actual
+    path — transf.py:215-273 sends the MERGE text to the warehouse):
+    execute a real MERGE statement against embedded Derby (MERGE
+    supported since 10.11) and assert the end state equals
+    scd1_upsert's Spark-computed end state row-for-row."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.operators.merge import scd1_upsert
+    from tp_integ_data_pipeline_spark.sources.catalog import (
+        jdbc_append,
+        jdbc_execute,
+        jdbc_scan,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/merge_db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    d0 = datetime.date(2023, 7, 1)
+    target_rows = [(1, 20.0, d0), (2, 21.0, d0)]
+    stage_rows = [(2, 99.0), (3, 18.0)]
+    target = spark.createDataFrame(
+        target_rows, "id bigint, temp double, fecha_actualizacion date"
+    )
+    stage = spark.createDataFrame(stage_rows, "id bigint, temp double")
+    jdbc_append(target, url, "tgt", driver=driver)
+    jdbc_append(stage, url, "stg", driver=driver)
+
+    jdbc_execute(
+        spark,
+        url,
+        """
+        MERGE INTO tgt USING stg ON tgt."id" = stg."id"
+        WHEN MATCHED THEN UPDATE SET
+            "temp" = stg."temp",
+            "fecha_actualizacion" = DATE('2023-07-20')
+        WHEN NOT MATCHED THEN INSERT ("id", "temp", "fecha_actualizacion")
+            VALUES (stg."id", stg."temp", DATE('2023-07-20'))
+        """,
+    )
+
+    server_state = sorted(
+        map(tuple, jdbc_scan(spark, url, "tgt", driver=driver).collect())
+    )
+    spark_state = sorted(
+        map(tuple, scd1_upsert(target, stage, ["id"], merge_date="2023-07-20").collect())
+    )
+    assert server_state == spark_state
+    assert len(server_state) == 3  # 1 untouched, 1 updated, 1 inserted

@@ -90,6 +90,26 @@ def jdbc_append(df: DataFrame, url: str, table: str, batchsize: int = 1000, **op
     writer.save()
 
 
+def jdbc_execute(spark: SparkSession, url: str, sql: str) -> int:
+    """Server-side statement passthrough over JDBC — the reference's
+    MERGE pushdown path (transf.py:215-273 sends the MERGE text to the
+    server): executes DML/DDL the plain JDBC reader/writer cannot
+    express (MERGE, UPDATE, DELETE). One driver-side control-plane
+    statement through the JVM's DriverManager; no data moves through
+    Python — the server does the set-oriented work, which is exactly
+    why the reference pushes MERGE server-side instead of
+    read-modify-writing. Returns the server's update count."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def analyze_table(spark: SparkSession, qualified_name: str, columns: list[str] | None = None) -> None:
     """Collect table/column statistics for Catalyst's cost-based
     optimizer (join reordering, broadcast decisions at planning time —
