@@ -34,17 +34,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness run records exactly the FIRST 50 dict
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
-# with earlier rounds, every query then has hard signal. Round 2
-# covered the 50 queries round 1 missed (CORRECTNESS_r02.json), but
-# round-2 plan changes (stats-gated broadcast, 64-perm MinHash,
-# row-local gram dedup) touched exactly the round-1-checked half — so
-# round 3 rotates the CORRECTNESS_r01.json key set back to the front
-# to re-earn its signal on current code. NEXT ROUND: rotate back to
-# the CORRECTNESS_r02.json key set (alternate each round).
+# with earlier rounds, every query then has hard signal. Round 4
+# priority order: (a) q100–q107 — the round-3/4-new operators with
+# ZERO driver-file signal yet (judge-verified only); (b) q42/q87 —
+# r3-validated but their candidate generation changed in round 4
+# (hot-bucket salting is now the default); (c) the CORRECTNESS_r02
+# key set, whose signal is oldest otherwise. (a)+(b)+(c) exceeds the
+# 50-slot cap by 10, so 10 r2 keys sit this round out — chosen as the
+# ones with the strongest OTHER current-code evidence (q26/q52 are
+# rows-only with pytest property/recall tests; q23-q25/q27/q28/q38/
+# q39/q53 are single-operator relational queries on code untouched
+# since round 2, each also pytest-covered).
 _ROTATE_FRONT = (
-    "q01 q02 q03 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 q16 q17 q18 "
-    "q19 q20 q00 q30 q31 q32 q33 q34 q35 q40 q41 q42 q43 q44 q87 q50 q51 "
-    "q55 q56 q57 q58 q59 q65 q66 q67 q70 q71 q60 q61 q64 q68 q21 q22"
+    "q100 q101 q102 q103 q104 q105 q106 q107 q42 q87 "
+    "q90 q89 q91 q36 q37 q62 q63 q29 q92 q46 q45 q47 q48 q49 q69 q88 "
+    "q04 q72 q73 q74 q54 q75 q76 q77 q78 q79 q80 q81 q82 q83 q84 q85 "
+    "q86 q93 q94 q95 q96 q97 q98 q99"
 ).split()
 
 
