@@ -272,27 +272,38 @@ def lsh_candidate_pairs(
             .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
             .distinct()
         )
-    # salt mode: n_salts = 1 for narrow buckets (the common case —
-    # exactly the plain self-join, one extra tiny column), > 1 only
-    # where the width demands splitting.
-    sized = buckets.join(widths, ["band", "bucket"]).withColumn(
+    # salt mode, two paths off one widths aggregate: narrow buckets
+    # (w ≤ max_bucket — virtually all of them on a healthy corpus) take
+    # the plain self-join with zero extra per-row work; only HOT
+    # buckets pay the salted shape (a-side salted by id, b-side
+    # replicated via a sequence explode). On a corpus with no hot
+    # buckets the hot side is empty and the plan cost matches the
+    # uncapped self-join.
+    sized = buckets.join(widths, ["band", "bucket"])
+    narrow = sized.filter(F.col("w") <= max_bucket).select("id", "band", "bucket")
+    an = narrow.alias("a")
+    bn = narrow.alias("b")
+    pairs_narrow = an.join(
+        bn,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+    hot = sized.filter(F.col("w") > max_bucket).withColumn(
         "__s", F.expr(f"int(ceil(w / {int(max_bucket)}))")
     )
-    a = sized.withColumn("__salt", F.pmod(F.xxhash64("id"), F.col("__s"))).alias("a")
-    b = sized.withColumn(
+    ah = hot.withColumn("__salt", F.pmod(F.xxhash64("id"), F.col("__s"))).alias("a")
+    bh = hot.withColumn(
         "__salt", F.explode(F.expr("sequence(0, cast(__s - 1 as bigint))"))
     ).alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__salt") == F.col("b.__salt"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
-        .distinct()
-    )
+    pairs_hot = ah.join(
+        bh,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.__salt") == F.col("b.__salt"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+    return pairs_narrow.union(pairs_hot).distinct()
 
 
 def estimate_filter_candidates(

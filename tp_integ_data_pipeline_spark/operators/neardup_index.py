@@ -153,33 +153,40 @@ class NearDupIndex:
             "left_semi",
         ).localCheckpoint(eager=False)
         widths = touched.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__w"))
+        pfeats = feats.select("band", "bucket", F.col("id").alias("probe_id"))
         if hot_bucket == "drop":
             narrow = touched.join(
                 widths.filter(F.col("__w") <= max_bucket).select("band", "bucket"),
                 ["band", "bucket"],
             )
-            index_side = narrow.select("band", "bucket", F.col("id").alias("index_id"))
-            probe_side = feats.select("band", "bucket", F.col("id").alias("probe_id"))
-            join_keys = ["band", "bucket"]
+            cand_raw = pfeats.join(
+                narrow.select("band", "bucket", F.col("id").alias("index_id")),
+                ["band", "bucket"],
+            )
         else:
-            sized = touched.join(widths, ["band", "bucket"]).withColumn(
+            # salt mode, two paths: narrow buckets take the plain
+            # bucket equi-join; only HOT buckets pay the salted shape —
+            # index rows salted by id, the (small) probe side replicated
+            # to every salt of the hot buckets it touches. With no hot
+            # buckets the hot side is empty and cost matches uncapped.
+            sized = touched.join(widths, ["band", "bucket"])
+            narrow = sized.filter(F.col("__w") <= max_bucket)
+            cand_narrow = pfeats.join(
+                narrow.select("band", "bucket", F.col("id").alias("index_id")),
+                ["band", "bucket"],
+            )
+            hot = sized.filter(F.col("__w") > max_bucket).withColumn(
                 "__s", F.expr(f"int(ceil(__w / {int(max_bucket)}))")
             )
-            index_side = sized.select(
+            index_hot = hot.select(
                 "band",
                 "bucket",
                 F.pmod(F.xxhash64("id"), F.col("__s")).alias("__salt"),
                 F.col("id").alias("index_id"),
             )
-            # the probe batch is the small side — replicate it to every
-            # salt of each bucket it touches (bounded by the per-bucket
-            # split factor, itself bounded by the touched widths)
-            probe_side = (
-                feats.select("band", "bucket", F.col("id").alias("probe_id"))
-                .join(
-                    F.broadcast(
-                        sized.select("band", "bucket", "__s").distinct()
-                    ),
+            probe_hot = (
+                pfeats.join(
+                    F.broadcast(hot.select("band", "bucket", "__s").distinct()),
                     ["band", "bucket"],
                 )
                 .select(
@@ -191,10 +198,12 @@ class NearDupIndex:
                     "probe_id",
                 )
             )
-            join_keys = ["band", "bucket", "__salt"]
+            cand_hot = probe_hot.join(index_hot, ["band", "bucket", "__salt"])
+            cand_raw = cand_narrow.select("probe_id", "index_id").unionByName(
+                cand_hot.select("probe_id", "index_id")
+            )
         cand = (
-            probe_side.join(index_side, join_keys)
-            .filter(F.col("probe_id") != F.col("index_id"))
+            cand_raw.filter(F.col("probe_id") != F.col("index_id"))
             .select("probe_id", "index_id")
             .distinct()
         )
