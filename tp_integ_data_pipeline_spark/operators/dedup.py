@@ -272,15 +272,22 @@ def lsh_candidate_pairs(
             .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
             .distinct()
         )
-    # salt mode, two paths off one widths aggregate: narrow buckets
-    # (w ≤ max_bucket — virtually all of them on a healthy corpus) take
-    # the plain self-join with zero extra per-row work; only HOT
-    # buckets pay the salted shape (a-side salted by id, b-side
-    # replicated via a sequence explode). On a corpus with no hot
-    # buckets the hot side is empty and the plan cost matches the
-    # uncapped self-join.
-    sized = buckets.join(widths, ["band", "bucket"])
-    narrow = sized.filter(F.col("w") <= max_bucket).select("id", "band", "bucket")
+    # salt mode, two paths keyed off the HOT-bucket list — which is
+    # TINY by construction (buckets wider than max_bucket; zero on a
+    # healthy corpus), so it travels as a broadcast:
+    #   narrow path: buckets ANTI-join broadcast(hot) → the plain
+    #     self-join, same cost as the uncapped join (no widths column
+    #     ever attached to the data rows);
+    #   hot path: buckets INNER-join broadcast(hot) → the salted
+    #     self-join (a-side salted by id, b-side replicated to every
+    #     salt) — every pair still generated exactly once, per-task
+    #     fan-out ≤ ~max_bucket × w.
+    # With no hot buckets the broadcast is empty, AQE prunes the hot
+    # branch, and the plan cost equals the plain self-join.
+    hot_list = widths.filter(F.col("w") > max_bucket).withColumn(
+        "__s", F.expr(f"int(ceil(w / {int(max_bucket)}))")
+    ).select("band", "bucket", "__s")
+    narrow = buckets.join(F.broadcast(hot_list), ["band", "bucket"], "left_anti")
     an = narrow.alias("a")
     bn = narrow.alias("b")
     pairs_narrow = an.join(
@@ -289,9 +296,7 @@ def lsh_candidate_pairs(
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
-    hot = sized.filter(F.col("w") > max_bucket).withColumn(
-        "__s", F.expr(f"int(ceil(w / {int(max_bucket)}))")
-    )
+    hot = buckets.join(F.broadcast(hot_list), ["band", "bucket"])
     ah = hot.withColumn("__salt", F.pmod(F.xxhash64("id"), F.col("__s"))).alias("a")
     bh = hot.withColumn(
         "__salt", F.explode(F.expr("sequence(0, cast(__s - 1 as bigint))"))

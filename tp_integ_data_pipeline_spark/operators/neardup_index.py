@@ -164,31 +164,27 @@ class NearDupIndex:
                 ["band", "bucket"],
             )
         else:
-            # salt mode, two paths: narrow buckets take the plain
-            # bucket equi-join; only HOT buckets pay the salted shape —
-            # index rows salted by id, the (small) probe side replicated
-            # to every salt of the hot buckets it touches. With no hot
-            # buckets the hot side is empty and cost matches uncapped.
-            sized = touched.join(widths, ["band", "bucket"])
-            narrow = sized.filter(F.col("__w") <= max_bucket)
+            # salt mode, two paths keyed off the TINY hot-bucket list
+            # (broadcast; empty on a healthy corpus): narrow buckets
+            # take the plain bucket equi-join at uncapped cost; only
+            # HOT buckets pay the salted shape — index rows salted by
+            # id, the (small) probe side replicated to every salt.
+            hot_list = widths.filter(F.col("__w") > max_bucket).withColumn(
+                "__s", F.expr(f"int(ceil(__w / {int(max_bucket)}))")
+            ).select("band", "bucket", "__s")
+            narrow = touched.join(F.broadcast(hot_list), ["band", "bucket"], "left_anti")
             cand_narrow = pfeats.join(
                 narrow.select("band", "bucket", F.col("id").alias("index_id")),
                 ["band", "bucket"],
             )
-            hot = sized.filter(F.col("__w") > max_bucket).withColumn(
-                "__s", F.expr(f"int(ceil(__w / {int(max_bucket)}))")
-            )
-            index_hot = hot.select(
+            index_hot = touched.join(F.broadcast(hot_list), ["band", "bucket"]).select(
                 "band",
                 "bucket",
                 F.pmod(F.xxhash64("id"), F.col("__s")).alias("__salt"),
                 F.col("id").alias("index_id"),
             )
             probe_hot = (
-                pfeats.join(
-                    F.broadcast(hot.select("band", "bucket", "__s").distinct()),
-                    ["band", "bucket"],
-                )
+                pfeats.join(F.broadcast(hot_list), ["band", "bucket"])
                 .select(
                     "band",
                     "bucket",
