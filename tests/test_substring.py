@@ -97,6 +97,62 @@ def test_winnow_keeps_fingerprint_coverage(spark):
     assert flagged == {1, 2}  # both carriers detected, clean doc not
 
 
+def _naive_spans(texts: dict[int, str], k: int) -> set[tuple[int, int, int]]:
+    """Brute-force Python model of duplicated_spans: count every
+    position k-gram corpus-wide, mark positions with count ≥ 2, merge
+    positions p1 < p2 into one run iff p2 ≤ p1 + k."""
+    from collections import Counter
+
+    grams: dict[int, list[str]] = {}
+    counts: Counter = Counter()
+    for did, text in texts.items():
+        toks = text.split(" ")
+        gs = [" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))]
+        grams[did] = gs
+        counts.update(gs)
+    spans = set()
+    for did, gs in grams.items():
+        marked = [i for i, g in enumerate(gs) if counts[g] >= 2]
+        run_start = None
+        prev = None
+        for p in marked:
+            if prev is not None and p - prev <= k:
+                prev = p
+                continue
+            if run_start is not None:
+                spans.add((did, run_start, prev + k))
+            run_start = prev = p
+        if run_start is not None:
+            spans.add((did, run_start, prev + k))
+    return spans
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        # tiny alphabet → k-grams collide across random docs, exercising
+        # marks, merges and self-repeats without planted structure
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_duplicated_spans_matches_naive_model(spark, corpus):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    texts = dict(enumerate(corpus))
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        (r.id, r.span_start, r.span_end)
+        for r in duplicated_spans(docs, k=3).collect()
+    }
+    assert got == _naive_spans(texts, k=3)
+
+
 def test_duplicated_spans_short_docs_emit_nothing(spark):
     docs = spark.createDataFrame(
         [(1, "a b c"), (2, "a b c"), (3, "")], ["doc_id", "text"]

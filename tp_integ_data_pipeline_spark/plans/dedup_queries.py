@@ -308,6 +308,70 @@ def q106_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q108_substring_winnowed",
+    # Same pipeline as q105 but over WINNOWED fingerprints (w=4): keep a
+    # position only where its hash is the minimum of the 4-hash window
+    # starting there (Schleimer et al. winnowing) — the 1/w-index-size
+    # scale path. Deterministic and SQL-expressible, so unlike MinHash
+    # the approximation itself gets a hard oracle.
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+19], ' ')) AS gh
+        FROM words, UNNEST(range(1, greatest(len(w) - 19, 0) + 1)) AS t(i)
+    ),
+    winnowed AS (
+        SELECT doc_id, pos, gh FROM (
+            SELECT doc_id, pos, gh,
+                   MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+            FROM grams
+        ) WHERE gh = wmin
+    ),
+    dupg AS (
+        SELECT gh FROM (SELECT gh, COUNT(*) AS c FROM winnowed GROUP BY gh)
+        WHERE c >= 2
+    ),
+    marked AS (SELECT doc_id, pos FROM winnowed WHERE gh IN (SELECT gh FROM dupg)),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+                    THEN 0 ELSE 1 END AS b
+        FROM marked
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM brk
+    )
+    SELECT doc_id AS id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 20 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 20 - MIN(pos) AS BIGINT) AS span_len
+    FROM runs GROUP BY doc_id, run_id
+    ORDER BY id, span_start
+    """,
+)
+def q108_substring_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed substring-dup detection (the 100 TB path: 1/w index
+    rows vs q105's every-position index; the winnowing guarantee keeps
+    every duplicated run of ≥ k+w−1 tokens detectable). Spans are
+    detection-grade — fingerprint coverage, not exact cut offsets; the
+    oracle reproduces the selection + merge bit-for-bit."""
+    from tp_integ_data_pipeline_spark.operators.substring import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, "doc_id", "text", k=20, winnow=4)
+    return spans.select(
+        "id",
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
+        F.col("span_len").cast("long"),
+    ).orderBy("id", "span_start")
+
+
+@query(
     "q103_incremental_neardup",
     # Oracle: the exact cross-split near-dup pairs — everything indexed
     # (doc_id < max_id/2) vs the incoming batch (the rest; the split
