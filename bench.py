@@ -183,6 +183,16 @@ def scale_probe(spark, sf_dir: str) -> dict:
         probe["neardup_index_10x_sec"] / probe["neardup_index_1x_sec"], 2
     )
 
+    # Exact substring dedup probe: the tagged 10× corpus has disjoint
+    # k-gram universes per copy, so the duplicated-run structure
+    # replicates exactly 10× — near-linear wall time is healthy (one
+    # hash-count shuffle + per-doc windows; nothing quadratic to hide).
+    from tp_integ_data_pipeline_spark.operators.substring import duplicated_spans
+
+    probe["substr_1x_sec"] = timed(lambda: materialize(duplicated_spans(docs, k=20)))
+    probe["substr_10x_sec"] = timed(lambda: materialize(duplicated_spans(docs10, k=20)))
+    probe["substr_ratio"] = round(probe["substr_10x_sec"] / probe["substr_1x_sec"], 2)
+
     # IVF ANN probe: fixed 50-query batch, same n_cells → cells hold
     # 10× vectors, so candidate re-rank work is ~10× (linear in corpus;
     # the assignment pass is linear too). ≲ linear is healthy;
