@@ -466,10 +466,15 @@ class BucketedParquetTable:
     def history(self) -> list[dict]:
         return [{"version": v, **m} for v, m in _commit_history(self.path)]
 
+    def meta(self) -> dict:
+        """Writer-supplied metadata from the last committed version —
+        same contract as VersionedParquetTable.meta."""
+        return _load_state(self.path)[1].get("meta", {})
+
     def vacuum(self, keep_last: int = 1, retention_seconds: float = 3600.0) -> list[str]:
         return vacuum(self.path, keep_last, retention_seconds)
 
-    def _merge(self, stage: DataFrame, combine) -> None:
+    def _merge(self, stage: DataFrame, combine, meta: dict | None = None) -> None:
         stage_b = self._with_bucket(stage)
         # bounded driver action: ≤ n_buckets ids (partition pruning list)
         dirty = sorted(
@@ -489,7 +494,12 @@ class BucketedParquetTable:
             ).parquet(new_dir)
             for b in dirty:
                 buckets[str(b)] = os.path.join(new_dir, f"{self.BUCKET_COL}={b}")
-            if _try_commit(self.path, version, {**manifest, "buckets": buckets}):
+            new_manifest = {**manifest, "buckets": buckets}
+            if meta is not None:
+                # same writer-metadata contract as VersionedParquetTable
+                # (e.g. a streaming sink's epoch replay guard)
+                new_manifest["meta"] = meta
+            if _try_commit(self.path, version, new_manifest):
                 return
             # Lost the race: the winner may have rewritten some of OUR
             # dirty buckets — re-read its manifest and re-merge against

@@ -197,20 +197,27 @@ def pack_token_runs(
     ).select("seq_id", "slot", id_col, "token_start", "token_len")
 
 
-def sequence_stats(packed: DataFrame, budget: int) -> DataFrame:
+def sequence_stats(
+    packed: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+) -> DataFrame:
     """Per-sequence packing audit: document count, token count, fill
     ratio against the budget, and whether the last document straddles
     into the next sequence (overflow > 0). A fill ratio far below 1
     means wasted batch capacity; frequent straddle means the chunker
-    upstream should split long documents first."""
+    upstream should split long documents first. ``id_col`` /
+    ``token_count_col`` must match the names given to
+    :func:`pack_sequences`."""
     return (
         packed.groupBy("seq_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-            F.max(F.col("seq_offset") + F.col("n_tokens")).cast("long").alias("end_offset"),
+            F.sum(token_count_col).cast("long").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+            F.max(F.col("seq_offset") + F.col(token_count_col)).cast("long").alias("end_offset"),
         )
         .select(
             "seq_id",
