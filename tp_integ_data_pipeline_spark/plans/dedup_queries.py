@@ -308,6 +308,105 @@ def q106_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q109_stream_corpus_dedup",
+    # Two-micro-batch streaming corpus dedup (halves split at
+    # max_id/2, like q103), cross-corpus decisions EXACTLY verified
+    # (verify="exact") so the whole composition is oracle-able:
+    # within-batch near-dup clusters keep their min id; a batch-2
+    # survivor is dropped iff it ≥0.6-Jaccard-matches a batch-1
+    # SURVIVOR (only survivors enter the index). LSH ≥0.6 == exact
+    # (band-probability note, operators/dedup.py).
+    oracle=_SHINGLE_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """
+    , mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
+    e1 AS (
+        SELECT a, b FROM scored
+        WHERE jaccard >= 0.6 AND b < (SELECT m FROM mid)
+    ),
+    sym1 AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+    reach1(src, dst) AS (
+        SELECT a AS src, a AS dst FROM sym1
+        UNION
+        SELECT r.src, s.b FROM reach1 r JOIN sym1 s ON r.dst = s.a
+    ),
+    cl1 AS (SELECT src AS id, MIN(dst) AS cluster FROM reach1 GROUP BY src),
+    kept1 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id < (SELECT m FROM mid)
+          AND doc_id NOT IN (SELECT id FROM cl1 WHERE id <> cluster)
+    ),
+    e2 AS (
+        SELECT a, b FROM scored
+        WHERE jaccard >= 0.6 AND a >= (SELECT m FROM mid)
+    ),
+    sym2 AS (SELECT a, b FROM e2 UNION SELECT b, a FROM e2),
+    reach2(src, dst) AS (
+        SELECT a AS src, a AS dst FROM sym2
+        UNION
+        SELECT r.src, s.b FROM reach2 r JOIN sym2 s ON r.dst = s.a
+    ),
+    cl2 AS (SELECT src AS id, MIN(dst) AS cluster FROM reach2 GROUP BY src),
+    kept2 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id >= (SELECT m FROM mid)
+          AND doc_id NOT IN (SELECT id FROM cl2 WHERE id <> cluster)
+    ),
+    crossdrop AS (
+        SELECT DISTINCT s.b AS id
+        FROM scored s
+        JOIN kept1 k1 ON s.a = k1.doc_id
+        JOIN kept2 k2 ON s.b = k2.doc_id
+        WHERE s.jaccard >= 0.6
+    ),
+    kept AS (
+        SELECT doc_id FROM kept1
+        UNION ALL
+        SELECT doc_id FROM kept2 WHERE doc_id NOT IN (SELECT id FROM crossdrop)
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_checksum
+    FROM kept
+    """,
+)
+def q109_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus dedup end-to-end (streaming/dedup_ingest.py):
+    the corpus arrives as two micro-batches; each batch is deduped
+    within itself (LSH pairs → clusters → keep min id), then against
+    everything already ingested via the incremental index probe with
+    exact verification, then appended to the lake and indexed. The
+    final lake must equal the oracle's two-phase dedup — hard evidence
+    the ingest-time composition matches batch semantics."""
+    import tempfile
+
+    from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
+    from tp_integ_data_pipeline_spark.sources.lake import DataLake
+    from tp_integ_data_pipeline_spark.streaming.dedup_ingest import (
+        dedup_ingest_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2  # 1-value scalar
+    lake = DataLake(spark, tempfile.mkdtemp(prefix="stream_dedup_lake_"))
+    idx = NearDupIndex(spark, tempfile.mkdtemp(prefix="stream_dedup_idx_"))
+    for half in (
+        docs.filter(F.col("doc_id") < mid),
+        docs.filter(F.col("doc_id") >= mid),
+    ):
+        dedup_ingest_batch(half, lake, "docs", idx, verify="exact")
+    kept = lake.read("docs")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        kept.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_checksum"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select("n_docs", "n_kept", "kept_id_checksum")
+    )
+
+
+@query(
     "q108_substring_winnowed",
     # Same pipeline as q105 but over WINNOWED fingerprints (w=4): keep a
     # position only where its hash is the minimum of the 4-hash window

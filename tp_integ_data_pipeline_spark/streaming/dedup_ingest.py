@@ -60,11 +60,22 @@ def dedup_ingest_batch(
     k: int = 3,
     threshold: float = 0.6,
     stats: dict | None = None,
+    verify: str = "estimate",
 ) -> None:
     """Process ONE micro-batch (see module docstring for the three
     dedup stages and the idempotence argument). ``stats`` (optional)
     receives bounded counters {"arrived", "kept"} — two scalar
-    aggregates over batch-sized relations, the only driver values."""
+    aggregates over batch-sized relations, the only driver values.
+
+    ``verify`` governs the cross-corpus decision: ``"estimate"``
+    (default, see module docstring) decides on the signature-estimated
+    Jaccard alone; ``"exact"`` treats the estimate as a candidate
+    pre-filter (threshold − 4.5σ, the q103 margin) and re-reads ONLY
+    the matched documents' text from the lake for an exact
+    `pair_jaccard` verification — touched-docs I/O per batch, the
+    price of exactness at ingest time."""
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
     batch = batch.dropDuplicates([id_col])
     # replay guard: a fully-processed batch must no-op, not get flagged
     # as near-duplicating its own indexed copy
@@ -86,14 +97,49 @@ def dedup_ingest_batch(
     )
     survivors = fresh.join(batch_drop, [id_col], "left_anti")
 
-    # cross-corpus near-dup via the index (estimate-decided, see module
-    # docstring); probe() is salted against hot index buckets
+    # cross-corpus near-dup via the index; probe() is salted against
+    # hot index buckets
     probed = index.probe(survivors, id_col=id_col, text_col=text_col)
-    corpus_dup = (
-        probed.filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("probe_id").alias(id_col))
-        .distinct()
-    )
+    if verify == "estimate":
+        corpus_dup = (
+            probed.filter(F.col("est_jaccard") >= threshold)
+            .select(F.col("probe_id").alias(id_col))
+            .distinct()
+        )
+    else:
+        from tp_integ_data_pipeline_spark.operators.dedup import (
+            pair_jaccard,
+            shingles,
+        )
+
+        sigma = (threshold * (1 - threshold) / index.num_perm) ** 0.5
+        cand = (
+            probed.filter(F.col("est_jaccard") >= threshold - 4.5 * sigma)
+            .select(F.col("index_id").alias("a"), F.col("probe_id").alias("b"))
+            .localCheckpoint(eager=False)
+        )
+        stored = lake.read(table)
+        touched = (
+            stored.join(
+                cand.select(F.col("a").alias(id_col)).distinct(), [id_col], "left_semi"
+            )
+            if stored is not None
+            else None
+        )
+        corpus_texts = (
+            survivors.select(id_col, text_col)
+            if touched is None
+            else survivors.select(id_col, text_col).unionByName(
+                touched.select(id_col, text_col)
+            )
+        )
+        sh = shingles(corpus_texts, id_col, text_col, k)
+        corpus_dup = (
+            pair_jaccard(sh, cand)
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("b").alias(id_col))
+            .distinct()
+        )
     kept = survivors.join(corpus_dup, [id_col], "left_anti").localCheckpoint(
         eager=False
     )
@@ -118,6 +164,7 @@ def start_neardup_ingest(
     interval_seconds: int | None = None,
     max_files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
+    verify: str = "estimate",
 ) -> StreamingQuery:
     """T1-shape wrapper: file-source micro-batches through
     :func:`dedup_ingest_batch`. ``interval_seconds=None`` drains with
@@ -130,7 +177,8 @@ def start_neardup_ingest(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         dedup_ingest_batch(
-            batch_df, lake, table, index, id_col, text_col, k, threshold
+            batch_df, lake, table, index, id_col, text_col, k, threshold,
+            verify=verify,
         )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
