@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "q85_idle_rich_customers": {"scalar_aggs": 1, "filtered_batches": []},  # avg balance
     "q86_part_value_concentration": {"scalar_aggs": 1, "filtered_batches": []},  # total value
     "q90_corpus_dedup": {"scalar_aggs": 1, "filtered_batches": []},  # n_docs
+    "q109_stream_corpus_dedup": {"scalar_aggs": 1, "filtered_batches": []},  # n_docs
     # 1-row centroid-list attach (ivf_assign), planned once per reference
     # to the assigned relation (pair left/right + final verdict join)
     "q101_semantic_dedup": {"scalar_aggs": 3, "filtered_batches": []},
