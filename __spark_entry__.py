@@ -46,9 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # q39/q53 are single-operator relational queries on code untouched
 # since round 2, each also pytest-covered).
 _ROTATE_FRONT = (
-    "q100 q101 q102 q103 q104 q105 q106 q107 q108 q109 q42 q87 "
+    "q100 q101 q102 q103 q104 q105 q106 q107 q108 q109 q110 q42 q87 "
     "q90 q89 q91 q36 q37 q62 q63 q29 q92 q46 q45 q47 q48 q49 q69 q88 "
-    "q04 q72 q73 q74 q76 q77 q78 q79 q80 q81 q82 q83 q84 q85 "
+    "q04 q72 q73 q74 q77 q78 q79 q80 q81 q82 q83 q84 q85 "
     "q86 q93 q94 q95 q96 q97 q98 q99"
 ).split()
 

@@ -120,6 +120,36 @@ def test_dup_clusters_empty_pairs(spark):
     assert dup_clusters(pairs).count() == 0
 
 
+def test_substring_ops_empty_input(spark):
+    from tp_integ_data_pipeline_spark.operators.substring import (
+        duplicated_spans,
+        strip_spans,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    spans = duplicated_spans(empty, k=8)
+    assert spans.count() == 0
+    assert strip_spans(empty, spans).count() == 0
+
+
+def test_pack_token_runs_empty_input(spark):
+    from tp_integ_data_pipeline_spark.operators.packing import pack_token_runs
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_token_runs(empty, budget=512).count() == 0
+
+
+def test_cluster_canonicals_empty_input(spark):
+    from tp_integ_data_pipeline_spark.operators.dedup import cluster_canonicals
+
+    from pyspark.sql import functions as F
+
+    clusters = spark.createDataFrame([], "id long, cluster long")
+    docs = spark.createDataFrame([], "doc_id long, n_chars long")
+    out = cluster_canonicals(clusters, docs, "doc_id", [F.col("n_chars").desc(), F.col("id")])
+    assert out.count() == 0 and out.columns == ["id", "cluster", "keep"]
+
+
 def test_global_cumsum_empty_input(spark):
     from tp_integ_data_pipeline_spark.operators.packing import (
         global_cumsum,

@@ -613,3 +613,24 @@ def dup_clusters(
 def cluster_sizes(clusters: DataFrame) -> DataFrame:
     """(cluster, n_docs) summary of a dup_clusters result."""
     return clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def cluster_canonicals(
+    clusters: DataFrame, docs: DataFrame, id_col: str, order_cols: list
+) -> DataFrame:
+    """Pick ONE canonical member per duplicate cluster by an arbitrary
+    quality ordering instead of the min-id convention: returns
+    (id, cluster, keep) over every clustered doc, where ``keep`` marks
+    the first row per cluster under ``order_cols`` (e.g.
+    ``[F.col("quality").desc(), F.col("doc_id")]`` keeps the
+    highest-quality member, id as tiebreak — what a curation pipeline
+    actually wants when duplicates differ in cleanliness). One window
+    per cluster — partitions bounded by cluster size."""
+    joined = clusters.join(
+        docs.withColumnRenamed(id_col, "id"), "id"
+    )
+    w = W.partitionBy("cluster").orderBy(*order_cols)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .select("id", "cluster", (F.col("__rn") == 1).alias("keep"))
+    )

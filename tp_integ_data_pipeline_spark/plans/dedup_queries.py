@@ -195,6 +195,46 @@ def q90_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q110_cluster_canonicals",
+    # Keep-BEST canonical selection: same clusters as q87, but the
+    # kept member is the longest document (n_chars desc, id tiebreak) —
+    # the policy a curation pipeline wants when duplicates differ in
+    # cleanliness, vs q90's keep-min-id convention.
+    oracle=_SHINGLE_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """
+    , edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.6),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+        SELECT a AS src, a AS dst FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    clusters AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src)
+    SELECT c.id, c.cluster,
+           (ROW_NUMBER() OVER (PARTITION BY c.cluster
+                               ORDER BY d.n_chars DESC, c.id) = 1) AS keep
+    FROM clusters c JOIN documents d ON c.id = d.doc_id
+    ORDER BY c.id
+    """,
+)
+def q110_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered canonical pick per duplicate cluster
+    (operators/dedup.cluster_canonicals): keep the longest member,
+    doc_id as tiebreak. One bounded window per cluster."""
+    from tp_integ_data_pipeline_spark.operators.dedup import cluster_canonicals
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    clusters = dup_clusters(pairs.select("a", "b"))
+    return cluster_canonicals(
+        clusters,
+        docs.select("doc_id", "n_chars"),
+        "doc_id",
+        [F.col("n_chars").desc(), F.col("id")],
+    ).orderBy("id")
+
+
 # DuckDB CTEs mirroring operators.substring.duplicated_spans (k=20):
 # every-position 20-gram md5 → global count ≥ 2 → gaps-and-islands
 # span merge per doc. The md5 fingerprint step makes the whole
