@@ -258,6 +258,47 @@ def test_rollup_replay_is_idempotent(spark, tmp_path):
     assert got == {6}  # 3 applied folds of n=2
 
 
+def test_fold_batch_into_bucketed_table_rewrites_only_dirty_buckets(spark, tmp_path):
+    """The 100 TB rollup shape: fold_batch against a BucketedParquetTable
+    keyed on the rollup grain — a fold rewrites only the key-buckets the
+    batch's windows touch, clean buckets are carried forward by
+    reference; the epoch replay guard works through the bucketed
+    table's meta just like the versioned one."""
+    from tp_integ_data_pipeline_spark.operators.merge import BucketedParquetTable
+    from tp_integ_data_pipeline_spark.streaming.rollup import fold_batch
+
+    table = BucketedParquetTable(
+        spark, str(tmp_path / "roll"), keys=["win_start", "event_type"], n_buckets=8
+    )
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [("2023-07-15T10:01:00", "click", 1.0), ("2023-07-15T11:01:00", "view", 2.0)],
+        ["ts", "event_type", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert fold_batch(table, b1, epoch_id=0, checkpoint_dir=ckpt) is True
+    dirs_after_1 = table.bucket_dirs()
+
+    # epoch replay: skipped through the bucketed table's meta
+    assert fold_batch(table, b1, epoch_id=0, checkpoint_dir=ckpt) is False
+
+    # batch 2 touches only the 10:00/click window → only its bucket(s)
+    # may change; the 11:00/view bucket dir must be carried by reference
+    b2 = spark.createDataFrame(
+        [("2023-07-15T10:05:00", "click", 4.0)], ["ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert fold_batch(table, b2, epoch_id=1, checkpoint_dir=ckpt) is True
+    dirs_after_2 = table.bucket_dirs()
+    changed = {b for b in dirs_after_1 if dirs_after_2.get(b) != dirs_after_1[b]}
+    assert len(changed) <= 1  # at most the click-window bucket rewritten
+
+    got = {
+        (str(r.win_start), r.event_type): (r.n, float(r.total_value))
+        for r in table.read().collect()
+    }
+    assert got[("2023-07-15 10:00:00", "click")] == (2, 5.0)
+    assert got[("2023-07-15 11:00:00", "view")] == (1, 2.0)
+
+
 def test_fold_batch_folds_into_concurrent_commit(spark, tmp_path, monkeypatch):
     """Lost-update guard: a commit landing between fold_batch's snapshot
     and its own commit (e.g. a batch backfill into the same rollup)

@@ -75,7 +75,7 @@ def merge_add(rollup: DataFrame, partial: DataFrame) -> DataFrame:
 
 
 def fold_batch(
-    table: VersionedParquetTable,
+    table,
     batch_df: DataFrame,
     epoch_id: int,
     checkpoint_dir: str | None = None,
@@ -93,6 +93,13 @@ def fold_batch(
     checkpoint INSTANCE: a fresh checkpoint — same path or not —
     restarts at 0, and with no checkpoint there is no replay to guard
     against — so the guard is scoped via ``_checkpoint_instance``.
+
+    ``table`` is either a ``VersionedParquetTable`` (full copy-on-write
+    per fold — fine for small rollups) or a ``BucketedParquetTable``
+    keyed on the rollup grain (win_start, event_type) — the 100 TB
+    shape, where a fold rewrites ONLY the key-buckets the batch's
+    windows touch; both expose the same ``meta()`` /
+    ``_merge(stage, combine, meta)`` contract.
     """
     scope = _checkpoint_instance(checkpoint_dir) if checkpoint_dir is not None else ""
     if checkpoint_dir is not None:
