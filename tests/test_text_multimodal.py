@@ -140,6 +140,21 @@ def test_decode_batch_parses_real_bmp_and_wav_headers(spark):
     w, h, f = decode_stub(core)
     assert decode_payload(core) == (w, h, f, "other")
 
+    # PNG: signature + IHDR (big-endian dims at 16/20)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + (800).to_bytes(4, "big")
+        + (600).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+    assert decode_payload(png) == (800, 600, 1, "png")
+
+    # GIF: logical screen descriptor (little-endian uint16 dims at 6/8)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (240).to_bytes(2, "little") + b"\x00\x00\x00"
+    assert decode_payload(gif) == (320, 240, 1, "gif")
+
     rows = [(1, bytearray(bmp)), (2, bytearray(wav)), (3, bytearray(b"plain text"))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in decode_batch(df).collect()}

@@ -60,6 +60,10 @@ def decode_payload(payload: bytes) -> tuple[int, int, int, str]:
       header size field at offset 14 being ≥ 40: a BITMAPCOREHEADER
       (OS/2, size 12) stores 16-bit dimensions at 18/20, so the int32
       reads would return garbage — those fall back to the stub.
+    - PNG  → (width, height, 1, 'png') from the mandatory-first IHDR
+      chunk's big-endian int32s at offsets 16/20.
+    - GIF  → (width, height, 1, 'gif') from the logical screen
+      descriptor's uint16s at offsets 6/8 (GIF87a/GIF89a).
     - WAV  → (sample_rate, n_channels, n_sample_frames, 'wav') from the
       RIFF chunk walk ('fmt ' for rate/channels/block-align, 'data'
       size / block-align = frame count; chunks are word-aligned).
@@ -75,6 +79,19 @@ def decode_payload(payload: bytes) -> tuple[int, int, int, str]:
         width = int.from_bytes(payload[18:22], "little", signed=True)
         height = int.from_bytes(payload[22:26], "little", signed=True)
         return abs(width), abs(height), 1, "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        # IHDR is mandatory-first: width/height are the big-endian
+        # int32s at offsets 16/20.
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        return width, height, 1, "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        # logical screen descriptor: uint16 LE width/height at 6/8;
+        # frame count would need a full block walk — report 1 (the
+        # screen), same single-image convention as BMP.
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        return width, height, 1, "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         sample_rate = channels = block_align = n_frames = 0
         off = 12
