@@ -100,6 +100,11 @@ def duplicated_spans(
     grams = position_grams(df, id_col, text_col, k)
     if winnow is not None:
         grams = winnow_grams(grams, winnow)
+    # grams feeds TWO branches (the corpus-wide dup count and the
+    # marked-position join); a lazy localCheckpoint caps the explode +
+    # md5 subtree at one evaluation — measured 1.5× on the whole
+    # operator at sf0.1.
+    grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("__c"))
