@@ -91,9 +91,13 @@ def q55_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q56_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fused profile-build + self-classification (one gram explode for
+    # both, operators/text.lang_profile_and_id) — the separate
+    # lang_profiles/lang_id operators remain for offline-profile use.
+    from tp_integ_data_pipeline_spark.operators.text import lang_profile_and_id
+
     docs = load_table(spark, sf_dir, "documents")
-    profiles = lang_profiles(docs, k=3, top_n=20)
-    pred = lang_id(docs, profiles, k=3)
+    pred = lang_profile_and_id(docs, k=3, top_n=20)
     return (
         docs.select(F.col("doc_id").alias("id"), F.col("lang").alias("true_lang"))
         .join(pred, "id")
