@@ -54,6 +54,11 @@ def test_lang_id_deterministic_and_total(spark, sf_dir):
     # deterministic across runs
     a = sorted(map(tuple, pred.collect()))
     b = sorted(map(tuple, lang_id(docs, lang_profiles(docs)).collect()))
+    # the fused single-explode form must classify identically
+    from tp_integ_data_pipeline_spark.operators.text import lang_profile_and_id
+
+    c = sorted(map(tuple, lang_profile_and_id(docs).collect()))
+    assert b == c
     assert a == b
 
 

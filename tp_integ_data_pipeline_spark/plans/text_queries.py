@@ -15,8 +15,6 @@ from tp_integ_data_pipeline_spark.operators.text import (
     bpe_ish_token_count,
     char_ngrams,
     fingerprint,
-    lang_id,
-    lang_profiles,
     quality_score,
     stopword_count,
     token_count,
