@@ -372,6 +372,30 @@ def test_neardup_index_incremental_probe(spark, sf_dir, tmp_path):
     assert len(exact) > 0  # fixture must actually exercise the path
 
 
+def test_leakage_safe_split_no_cluster_straddles(spark, sf_dir):
+    """The defining property: every near-dup cluster's members share
+    ONE split; singletons follow their own hash (q76 convention)."""
+    from tp_integ_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    clusters = dup_clusters(pairs.select("a", "b"))
+    assigned = leakage_safe_split(docs, clusters, "doc_id")
+    straddling = (
+        clusters.join(assigned, "id")
+        .groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert straddling.count() == 0
+    assert clusters.count() > 0  # fixture exercises the property
+    # total coverage: every doc assigned exactly once
+    assert assigned.count() == docs.count()
+
+
 def test_lsh_hot_bucket_salt_preserves_recall(spark):
     """Heavy-boilerplate corpus: every doc identical → every LSH bucket
     is hot. drop-mode silently loses every true ≥0.6 pair; salt-mode

@@ -615,6 +615,29 @@ def cluster_sizes(clusters: DataFrame) -> DataFrame:
     return clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def leakage_safe_split(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Train/val/test assignment that near-dup clusters can NEVER
+    straddle: the split key is the cluster REPRESENTATIVE (min-id
+    member; a singleton is its own representative), so all members of
+    a duplicate cluster land in the same split — otherwise a val/test
+    document's near-copy sits in train and the eval is contaminated.
+    Same content-stable convention as q76 (first md5 hex digit of the
+    key: 0-b train 75%, c-d val 12.5%, e-f test 12.5%). Returns
+    (id, split); one broadcast-sized left join against the cluster
+    relation (bounded by the number of CLUSTERED docs, not the
+    corpus)."""
+    rep = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(clusters, "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("__rep"))
+    )
+    d = F.conv(F.substring(F.md5(F.col("__rep").cast("string")), 1, 1), 16, 10).cast("int")
+    split = F.when(d < 12, "train").when(d < 14, "val").otherwise("test")
+    return rep.select("id", split.alias("split"))
+
+
 def cluster_canonicals(
     clusters: DataFrame, docs: DataFrame, id_col: str, order_cols: list
 ) -> DataFrame:

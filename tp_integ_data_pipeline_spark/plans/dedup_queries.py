@@ -196,6 +196,60 @@ def q90_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q111_leakage_safe_split",
+    # Cluster-aware split: the split key is the near-dup cluster's
+    # min-id representative (singleton → own id), q76's md5-digit
+    # convention — so a duplicate cluster can never straddle
+    # train/val/test (eval contamination by near-copies).
+    oracle=_SHINGLE_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+    + """
+    , edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.6),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(src, dst) AS (
+        SELECT a AS src, a AS dst FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    clusters AS (SELECT src AS id, MIN(dst) AS cluster FROM reach GROUP BY src),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN dg < 12 THEN 'train' WHEN dg < 14 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 1)) AS INT) AS dg
+              FROM assigned)
+    )
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM sp GROUP BY 1 ORDER BY 1
+    """,
+)
+def q111_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split
+    (operators/dedup.leakage_safe_split): membership is decided by the
+    cluster representative's hash, so near-copies always share a
+    split. The exact per-split id-set (checksummed) must match the
+    oracle's recomputation."""
+    from tp_integ_data_pipeline_spark.operators.dedup import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    clusters = dup_clusters(pairs.select("a", "b"))
+    assigned = leakage_safe_split(docs, clusters, "doc_id")
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
     "q110_cluster_canonicals",
     # Keep-BEST canonical selection: same clusters as q87, but the
     # kept member is the longest document (n_chars desc, id tiebreak) —
