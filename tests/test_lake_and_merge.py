@@ -367,6 +367,51 @@ def test_bucketed_table_time_travel_and_vacuum(spark, tmp_path):
     assert os.path.isdir(str(tmp_path / "bt"))
 
 
+def test_delete_keys_versioned_and_bucketed(spark, tmp_path):
+    """Targeted delete on both MERGE tables: rows gone from the current
+    version, pre-delete state still time-travelable, and — bucketed —
+    only the buckets holding the deleted keys rewritten."""
+    from tp_integ_data_pipeline_spark.operators.merge import (
+        BucketedParquetTable,
+        VersionedParquetTable,
+    )
+
+    rows = [(i, f"v{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    doomed = spark.createDataFrame([(3, "x"), (7, "y"), (99, "z")], ["k", "v"])
+
+    vt = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    vt.delete_keys(doomed, ["k"])  # delete from non-existent table: no-op
+    assert vt.read() is None
+    vt.overwrite(df)
+    v_before = vt.history()[-1]["version"]
+    vt.delete_keys(doomed, ["k"])
+    assert sorted(r.k for r in vt.read().collect()) == sorted(
+        set(range(20)) - {3, 7}
+    )
+    # pre-delete state still readable via time travel
+    assert vt.read(version=v_before).count() == 20
+
+    bt = BucketedParquetTable(spark, str(tmp_path / "bt"), keys=["k"], n_buckets=8)
+    bt.merge_insert_if_absent(df)
+    dirs_before = bt.bucket_dirs()
+    bt.delete_keys(doomed)
+    assert sorted(r.k for r in bt.read().collect()) == sorted(set(range(20)) - {3, 7})
+    dirs_after = bt.bucket_dirs()
+    # only the buckets hashing keys 3/7/99 may change
+    from pyspark.sql import functions as F
+
+    dirty = {
+        r[0]
+        for r in doomed.select(
+            F.pmod(F.xxhash64("k"), F.lit(8)).cast("int")
+        ).distinct().collect()
+    }
+    for b, d in dirs_before.items():
+        if b not in dirty:
+            assert dirs_after[b] == d  # clean buckets carried by reference
+
+
 def test_insert_if_absent_pure(spark):
     target = spark.createDataFrame([(1, "a")], ["k", "v"])
     stage = spark.createDataFrame([(1, "CHANGED"), (2, "b")], ["k", "v"])

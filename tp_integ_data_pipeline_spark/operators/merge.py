@@ -390,6 +390,23 @@ class VersionedParquetTable:
             lambda cur, stg: stg if cur is None else insert_if_absent(cur, stg, keys),
         )
 
+    def delete_keys(self, stage: DataFrame, keys: list[str]) -> None:
+        """Targeted delete (right-to-be-forgotten / retraction): remove
+        every row whose ``keys`` match a stage row. Same CAS commit
+        path as the merges; deleting from a non-existent table is a
+        no-op (serializes as delete-before-create). Time travel still
+        reads the pre-delete versions until ``vacuum`` retires them —
+        run vacuum with retention 0 when the point is actual data
+        destruction."""
+        if self.read() is None:
+            return
+        self._merge(
+            stage.select(*keys).distinct(),
+            lambda cur, stg: (
+                stg.limit(0) if cur is None else cur.join(stg, keys, "left_anti")
+            ),
+        )
+
 
 class BucketedParquetTable:
     """Partition-scoped MERGE on plain parquet — the 100 TB path.
@@ -493,7 +510,16 @@ class BucketedParquetTable:
                 "overwrite"
             ).parquet(new_dir)
             for b in dirty:
-                buckets[str(b)] = os.path.join(new_dir, f"{self.BUCKET_COL}={b}")
+                bdir = os.path.join(new_dir, f"{self.BUCKET_COL}={b}")
+                if os.path.isdir(bdir):
+                    buckets[str(b)] = bdir
+                else:
+                    # combine produced no surviving rows for this
+                    # bucket (e.g. delete_keys emptied it): the
+                    # partitioned write creates no dir, so the bucket
+                    # must leave the manifest or reads hit a missing
+                    # path. Bounded check: one isdir per dirty bucket.
+                    buckets.pop(str(b), None)
             new_manifest = {**manifest, "buckets": buckets}
             if meta is not None:
                 # same writer-metadata contract as VersionedParquetTable
@@ -521,4 +547,20 @@ class BucketedParquetTable:
         self._merge(
             stage,
             lambda target, stg: stg if target is None else insert_if_absent(target, stg, self.keys),
+        )
+
+    def delete_keys(self, stage: DataFrame) -> None:
+        """Targeted delete at 100 TB cost: only the key-buckets the
+        stage hashes into are read and rewritten (the merge machinery's
+        dirty-bucket scoping applies unchanged — an anti-join over the
+        dirty buckets, clean buckets carried by reference). Run
+        ``vacuum`` afterwards when the deletion must also destroy the
+        historical copies."""
+        if self.read() is None:
+            return
+        self._merge(
+            stage.select(*self.keys).distinct(),
+            lambda target, stg: (
+                stg.limit(0) if target is None else target.join(stg, self.keys, "left_anti")
+            ),
         )
