@@ -40,19 +40,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # r3-validated but their candidate generation changed in round 4
 # (hot-bucket salting is now the default); (c) the CORRECTNESS_r02
 # key set, whose signal is oldest otherwise. (a)+(b)+(c) exceeds the
-# 50-slot cap by 10, so 10 r2 keys sit this round out — chosen as the
+# 50-slot cap, so some r2 keys sit this round out — chosen as the
 # ones with the strongest OTHER current-code evidence (q26/q52 are
 # rows-only with pytest property/recall tests; q23-q25/q27/q28/q38/
 # q39/q53-q54/q75-q76 are single-operator relational queries on code
-# untouched since round 2, each also pytest-covered). NEXT ROUND:
-# rotate the CORRECTNESS_r01 key set back to the front (it will then
-# be the stalest), plus the r2 keys benched out this round
-# (q23-q28 q38 q39 q52-q54 q75 q76) and any round-5-new queries.
+# untouched since round 2, each also pytest-covered; q96-q99 have r2
+# hash-match signal plus dedicated pytest coverage, and q97/q98 run
+# in every local check_oracle sweep). NEXT ROUND: rotate the
+# CORRECTNESS_r01 key set back to the front (it will then be the
+# stalest), plus the r2 keys benched out this round
+# (q23-q28 q38 q39 q52-q54 q75 q76 q96-q99) and any round-5-new
+# queries.
 _ROTATE_FRONT = (
-    "q100 q101 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111 q42 q87 "
+    "q100 q101 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111 "
+    "q112 q113 q114 q115 q42 q87 "
     "q90 q89 q91 q36 q37 q62 q63 q29 q92 q46 q45 q47 q48 q49 q69 q88 "
     "q04 q72 q73 q74 q78 q79 q80 q81 q82 q83 q84 q85 "
-    "q86 q93 q94 q95 q96 q97 q98 q99"
+    "q86 q93 q94 q95"
 ).split()
 
 

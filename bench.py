@@ -49,6 +49,10 @@ HEADLINE = [
     "q105_substring_spans",
     "q106_substring_strip",
     "q107_pack_token_runs",
+    "q112_dsir_weights",
+    "q113_trigram_surprisal",
+    "q114_bpe_pairs",
+    "q115_retention_cohorts",
 ]
 
 

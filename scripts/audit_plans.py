@@ -63,6 +63,9 @@ BNLJ_ALLOWED = {
     # to the assigned relation (pair left/right + final verdict join)
     "q101_semantic_dedup": {"scalar_aggs": 3, "filtered_batches": []},
     "q102_mixture_sample": {"scalar_aggs": 1, "filtered_batches": []},  # capacity min(n/w)
+    # 1-row smoothing totals (ΣT, ΣR) / trigram total N attach
+    "q112_dsir_weights": {"scalar_aggs": 1, "filtered_batches": []},
+    "q113_trigram_surprisal": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

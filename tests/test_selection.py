@@ -1,0 +1,93 @@
+"""Data-selection operators: DSIR importance weights, trigram
+surprisal, BPE pair counts, retention cohorts (plans/selection_queries
++ operators/selection). Model-level invariants — the value-exact check
+against DuckDB is the oracle harness's job."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.selection import (
+    bpe_pair_counts,
+    dsir_weights,
+    hash_bucket,
+    trigram_surprisal,
+)
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    # Target docs share the 'alpha beta' vocabulary; raw-only docs use
+    # disjoint words. A raw doc WRITTEN IN target vocabulary must
+    # outweigh raw docs that aren't — that's the whole point of DSIR.
+    rows = (
+        [(i, "alpha beta gamma alpha beta", "t") for i in range(20)]
+        + [(100, "alpha beta gamma alpha beta", "r")]
+        + [(i, "zork quux blarg zork quux", "r") for i in range(101, 121)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    w = dsir_weights(docs, F.col("grp") == "t").toPandas().set_index("id")["weight"]
+    assert w[100] > w[101]
+    # weights of identical texts are identical
+    assert w[101] == w[120]
+
+
+def test_dsir_weight_is_finite_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} w{i % 5}", i % 2 == 0) for i in range(40)],
+        "doc_id long, text string, t boolean",
+    )
+    a = dsir_weights(docs, F.col("t")).toPandas().sort_values("id").reset_index(drop=True)
+    b = dsir_weights(docs, F.col("t")).toPandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+    assert a["weight"].map(math.isfinite).all()
+    assert len(a) == 40  # every doc scored
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(500).select(hash_bucket(F.col("id").cast("string"), 64).alias("b"))
+    mn, mx, n = df.agg(F.min("b"), F.max("b"), F.countDistinct("b")).first()
+    assert 0 <= mn and mx <= 63 and n > 32  # spread, in range
+
+
+def test_trigram_surprisal_rare_text_scores_higher(spark):
+    # 30 boilerplate copies + 1 unique-alphabet doc: the unique doc's
+    # trigrams are all count-1 → maximal surprisal.
+    rows = [(i, "aaabbbcccdddeee" * 3) for i in range(30)] + [(99, "xyzqwvutsrponml")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s = trigram_surprisal(docs).toPandas().set_index("id")["surprisal"]
+    assert s[99] > s[0]
+    # too-short docs are omitted, not scored as 0
+    short = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert trigram_surprisal(short).count() == 0
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    # 'ab' appears in a word occurring 5x and a word occurring 1x.
+    docs = spark.createDataFrame(
+        [(0, "abc abc abc abc abc abd")], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
+    assert got["ab"] == 6  # 5 (abc) + 1 (abd)
+    assert got["bc"] == 5
+    assert got["bd"] == 1
+    # single-char words contribute no pairs (sequence(1,0) guard)
+    solo = spark.createDataFrame([(0, "a b ab")], "doc_id long, text string")
+    got2 = {r["pair"]: r["cnt"] for r in bpe_pair_counts(solo).collect()}
+    assert got2 == {"ab": 1}
+
+
+def test_retention_cohorts_query(spark):
+    from tp_integ_data_pipeline_spark.plans.selection_queries import (
+        q115_retention_cohorts,
+    )
+
+    out = q115_retention_cohorts(spark, "/root/testdata/sf0.001").toPandas()
+    assert list(out.columns) == ["cohort_week", "week_offset", "n_active"]
+    # offset-0 cell of each cohort counts every user of that cohort —
+    # it must be the cohort's maximum across offsets
+    for _, grp in out.groupby("cohort_week"):
+        base = grp.loc[grp["week_offset"] == 0, "n_active"]
+        assert len(base) == 1 and (grp["n_active"] <= base.iloc[0]).all()
+    assert (out["week_offset"] >= 0).all()

@@ -1,0 +1,178 @@
+"""Data-selection operators: hashed-n-gram importance weighting (DSIR)
+and n-gram LM surprisal scoring — the model-free data-selection verbs
+of a pre-training pipeline (select "target-like" documents out of a
+raw 100 TB crawl; rank documents by how surprising their character
+statistics are under the corpus language model).
+
+Both operators follow Xie et al. 2023 ("Data Selection for Language
+Models via Importance Resampling") and the CCNet/Gopher perplexity-
+filtering recipe in SHAPE only — features are hashed word uni+bi-grams
+/ char trigrams, the "language models" are smoothed count
+distributions estimated from the corpus itself. Everything is
+expression-level Spark (split / transform / md5 / conv inside
+whole-stage codegen) so the scoring pass is one explode + one or two
+keyed shuffles, no Python rows, no driver materialization beyond
+1-row scalar aggregates.
+
+Scale notes (1000 executors, 100 TB):
+
+* The hashed feature space is FIXED WIDTH (``n_buckets``, default
+  4096): bucket count tables are bounded forever, broadcast-able at
+  any corpus size, and the md5-based bucketing is engine-portable so
+  a DuckDB oracle can replay it exactly.
+* The trigram vocabulary is charset-bounded (~1e6 for ASCII-ish text,
+  ~1e7 for broad unicode) but DATA-DEPENDENT — its join goes through
+  the stats-gated ``maybe_broadcast`` rather than a hard hint, so a
+  giant vocab degrades to a shuffle join instead of an executor OOM.
+* Per-doc weights are rounded to 6 dp before any rank/threshold so
+  double summation order (Spark partial aggs vs the oracle's serial
+  sum) cannot flip an ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.joins import maybe_broadcast
+
+
+def hash_bucket(col: F.Column, n_buckets: int) -> F.Column:
+    """Deterministic, engine-portable feature hash: first 8 hex chars
+    of md5 → long → mod ``n_buckets``. Matches DuckDB's
+    ``CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % n`` exactly, so
+    oracle SQL can reproduce the bucketing bit-for-bit (unlike
+    xxhash64, which DuckDB lacks)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % F.lit(n_buckets)
+    )
+
+
+def _uni_bigrams(text_col: str) -> F.Column:
+    """Word unigrams + bigrams as one array (the DSIR feature set).
+    Expression-level; [] bigram tail for 1-word docs."""
+    w = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.array_join(F.slice(w, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(w, bigrams)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document importance weight log(p_target(x)/q_raw(x)) under
+    two smoothed bag-of-hashed-ngrams unigram models (DSIR): p is
+    estimated from the rows where ``is_target`` holds, q from the whole
+    frame. Returns (id, weight) with weight rounded to 6 dp; rank
+    descending and take the top-k to select raw documents most like
+    the target domain.
+
+    One exploded gram base (lazily checkpointed — it feeds both the
+    bucket-count aggregation and the per-doc scoring join) + a
+    ≤``n_buckets``-row broadcast log-ratio table + one per-doc sum:
+    two keyed shuffles end to end regardless of corpus size.
+    """
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            is_target.alias("__t"),
+            F.explode(_uni_bigrams(text_col)).alias("__g"),
+        )
+        .select("id", "__t", hash_bucket(F.col("__g"), n_buckets).alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
+    counts = base.groupBy("bucket").agg(
+        F.count(F.when(F.col("__t"), 1)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("__T"), F.sum("cr").alias("__R")
+    )
+    # +1 / (total + n_buckets) Laplace smoothing: unseen buckets get
+    # nonzero mass in both models, so the log-ratio is total-order safe.
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("__T") + F.lit(float(n_buckets))))
+            - F.log((F.col("cr") + 1.0) / (F.col("__R") + F.lit(float(n_buckets))))
+        ).alias("__lr"),
+    )
+    return (
+        base.join(F.broadcast(lr), "bucket")
+        .groupBy("id")
+        .agg(F.round(F.sum("__lr"), 6).alias("weight"))
+    )
+
+
+def trigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean character-trigram surprisal −mean(ln C(g)/N)
+    under the corpus's own trigram distribution — the model-free stand-
+    in for CCNet's KenLM perplexity filter: LOW surprisal ≈ text whose
+    character statistics the corpus has seen everywhere (boilerplate),
+    HIGH surprisal ≈ rare/garbled text; both tails are the filter
+    targets. Returns (id, n_grams, surprisal) with surprisal rounded
+    to 6 dp (docs shorter than 3 chars have no trigrams and are
+    omitted — nothing to score).
+
+    The trigram count table is charset-bounded but data-dependent, so
+    it routes through the stats-gated ``maybe_broadcast``; at test SF
+    it broadcasts, at an extreme-vocab corpus it degrades to a shuffle
+    join instead of OOMing. One exploded base feeds both the count agg
+    and the scoring join (lazy checkpoint), mirroring ``dsir_weights``.
+    """
+    tri = F.expr(
+        f"transform(sequence(1, length({text_col}) - 2), i -> substr({text_col}, i, 3))"
+    )
+    base = docs.filter(F.length(text_col) >= 3).select(
+        F.col(id_col).alias("id"), F.explode(tri).alias("gram")
+    ).localCheckpoint(eager=False)
+    counts = base.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("__N"))
+    scored = base.join(maybe_broadcast(counts), "gram").crossJoin(F.broadcast(total))
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(-F.avg(F.log(F.col("c") / F.col("__N"))), 6).alias("surprisal"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies over the word
+    vocabulary — the counting step of one BPE merge round (Sennrich et
+    al. 2016): pair counts are weighted by word frequency, so the top
+    row is exactly the pair a BPE trainer would merge first. Returns
+    (pair, cnt).
+
+    The word-frequency rollup happens FIRST (one map-side-combined
+    shuffle on the word), so the quadratic-ish char-pair explode runs
+    over the VOCABULARY (≪ corpus tokens; Heaps' law), not over every
+    token occurrence — the same vocabulary-not-corpus trick real BPE
+    trainers use. Pairs are substr-based (no split-on-empty-string
+    engine quirks), expression-level, and the final rollup is the
+    second and last shuffle."""
+    words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    # Guard single-char words explicitly: Spark's sequence(1, 0) yields
+    # a DESCENDING [1, 0], not an empty array, which would fabricate
+    # bogus pairs; the when() keeps the transform total-order safe.
+    pair_arr = F.when(
+        F.length("word") >= 2,
+        F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = vocab.select("wf", F.explode(pair_arr).alias("pair"))
+    return pairs.groupBy("pair").agg(F.sum("wf").cast("long").alias("cnt"))

@@ -1,0 +1,193 @@
+"""Data-selection and corpus-analytics queries: DSIR importance
+weights (q112), trigram-LM surprisal scoring (q113), BPE first-merge
+pair counts (q114), and event retention cohorts (q115).
+
+q112/q113 are the two model-free data-SELECTION verbs (pick
+target-like documents; rank by LM surprisal) that sit between
+curation (q93-q99) and mixture/packing (q100/q102) in a real
+pre-training pipeline; q114 is the tokenizer-training counting step;
+q115 is the classic cohort rollup every event warehouse runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.selection import (
+    bpe_pair_counts,
+    dsir_weights,
+    trigram_surprisal,
+)
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+
+# --------------------------------------------------------------------------
+# q112 — DSIR hashed-n-gram importance weights (target = lang 'en')
+# --------------------------------------------------------------------------
+@query(
+    "q112_dsir_weights",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               unnest(list_concat(
+                   w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS g
+        FROM base
+    ),
+    b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bucket
+        FROM grams
+    ),
+    counts AS (
+        SELECT bucket,
+               COUNT(*) FILTER (WHERE lang = 'en') AS ct,
+               COUNT(*) AS cr
+        FROM b GROUP BY 1
+    ),
+    tot AS (SELECT SUM(ct) AS t, SUM(cr) AS r FROM counts),
+    lr AS (
+        SELECT bucket,
+               ln((ct + 1.0) / (t + 4096.0)) - ln((cr + 1.0) / (r + 4096.0)) AS lr
+        FROM counts CROSS JOIN tot
+    )
+    SELECT doc_id, round(SUM(lr), 6) AS weight
+    FROM b JOIN lr USING (bucket)
+    GROUP BY doc_id
+    ORDER BY weight DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q112_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 raw documents by DSIR importance weight against the
+    lang='en' target slice — the selection pass that upsamples
+    target-like data out of a raw crawl. Weight math and hashing in
+    operators/selection.dsir_weights (md5-bucketed features, so the
+    oracle replays the exact bucketing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en")
+    return (
+        w.select(F.col("id").alias("doc_id"), "weight")
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q113 — char-trigram surprisal scoring (perplexity-filter shape)
+# --------------------------------------------------------------------------
+@query(
+    "q113_trigram_surprisal",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id,
+               unnest([substr(text, i, 3) for i in range(1, length(text) - 1)]) AS gram
+        FROM documents WHERE length(text) >= 3
+    ),
+    counts AS (SELECT gram, COUNT(*) AS c FROM tri GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM counts)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           round(-AVG(ln(c * 1.0 / n)), 6) AS surprisal
+    FROM tri JOIN counts USING (gram) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY surprisal DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q113_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 50 most surprising documents under the corpus's own char-
+    trigram model — the CCNet-style perplexity-filter shape with a
+    count LM standing in for KenLM (operators/selection.trigram_
+    surprisal; stats-gated vocab broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = trigram_surprisal(docs)
+    return (
+        s.select(F.col("id").alias("doc_id"), "n_grams", "surprisal")
+        .orderBy(F.col("surprisal").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# q114 — BPE first-merge pair counts over the word vocabulary
+# --------------------------------------------------------------------------
+@query(
+    "q114_bpe_pairs",
+    oracle="""
+    WITH vocab AS (
+        SELECT w AS word, COUNT(*) AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT wf,
+               unnest([substr(word, i, 2) for i in range(1, length(word))]) AS pair
+        FROM vocab
+    )
+    SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt
+    FROM p GROUP BY 1
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def q114_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-symbol pairs by frequency-weighted count — the
+    pair a BPE trainer merges first, computed over the vocabulary
+    (not the token stream; operators/selection.bpe_pair_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(docs)
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q115 — weekly retention cohorts over the events stream
+# --------------------------------------------------------------------------
+@query(
+    "q115_retention_cohorts",
+    oracle="""
+    WITH ue AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ue GROUP BY 1)
+    SELECT CAST(cohort_wk AS DATE) AS cohort_week,
+           CAST(datediff('day', cohort_wk, wk) // 7 AS INT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM ue JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q115_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: users bucketed by first-seen ISO week,
+    counted in each later week they were active. ONE user-keyed
+    shuffle: per-user week sets are collect_set'd (bounded by the
+    calendar, not the event volume), the cohort week is the row-local
+    array_min, and the explode re-derives (user, week) pairs without a
+    second pass over events — vs the join formulation's extra
+    distinct+join exchanges. The final (cohort, offset) rollup is a
+    second, output-sized shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+        .select(
+            F.array_min("wks").alias("cohort_wk"), F.explode("wks").alias("wk")
+        )
+    )
+    return (
+        per_user.select(
+            F.col("cohort_wk").cast("date").alias("cohort_week"),
+            F.expr("datediff(wk, cohort_wk) div 7").cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
