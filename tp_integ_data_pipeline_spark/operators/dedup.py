@@ -370,12 +370,23 @@ def minhash_near_dup_pairs(
     # One aggregation produces signatures AND shingle-set sizes (the
     # sizes ride along into the LSH band join), so the expensive
     # shingle scan feeds exactly: signature agg + the two verification
-    # probes. No persist: caching here leaked across calls (each call
-    # pinned a new copy, degrading later queries via GC pressure), and
-    # Spark's ReuseExchange already dedupes the identical distinct
-    # subtree within the single job.
+    # probes. The SIGNATURE relation is lazily checkpointed: salt-mode
+    # candidate generation consumes it from five plan branches (width
+    # counts, narrow a/b, hot a/b) plus the estimate filter's two sides
+    # and the size lookup — without truncation each branch re-runs the
+    # signature aggregation subtree (measured 1.6× whole-operator cost
+    # at sf0.1). Fixed width (NUM_PERM longs + n per doc), so the
+    # materialization is index-sized — the same class NearDupIndex
+    # persists — NOT the corpus-sized shingle TEXT relation, which
+    # deliberately stays un-pinned (at 100 TB it would spill ~k× the
+    # corpus; its three consumers each reuse the scan-stage exchange
+    # instead). An eager .persist() here once degraded later queries
+    # via pinned-copy GC pressure; the lazy localCheckpoint ties block
+    # lifetime to this plan's RDD, the pattern dup_clusters uses.
     sh = shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, num_perm=NUM_PERM, with_sizes=True)
+    sig = minhash_signatures(sh, num_perm=NUM_PERM, with_sizes=True).localCheckpoint(
+        eager=False
+    )
     cand = lsh_candidate_pairs(sig)
     if est_sigmas is not None:
         sigma = (threshold * (1 - threshold) / NUM_PERM) ** 0.5
