@@ -4,16 +4,23 @@
 ITSELF — an O(corpus) batch job. A growing 100 TB corpus instead needs
 the incremental contract: "is anything in this new batch a near-dup of
 anything already ingested?" without rescanning ingested text. This
-module persists the fixed-width state that question needs — one
-(id, sig, n) row per document plus its LSH band buckets — and answers
+module persists the fixed-width state that question needs and answers
 probes by joining the BATCH's band buckets against the stored ones:
 cost O(batch × matching buckets), independent of corpus text size.
 
-Storage: plain parquet under `path`, appended per `add` batch with
-anti-join dedup on id (same policy as DataLake.write_full). At cluster
-scale, write the band table bucketed on (band, bucket) so probes
-co-locate; signatures are NUM_PERM longs/doc (25 TB for 25 G docs —
-shuffle-able, and ~1000× smaller than the text it stands for).
+Storage is NORMALIZED into two parquet tables under `path`:
+
+* ``sigs``  — (id, sig array<long>[num_perm], n): ONE row per doc;
+* ``bands`` — (id, band, bucket): ``bands`` narrow rows per doc.
+
+An earlier layout rode the full signature array on every band row —
+num_perm longs × bands per doc, a ~``bands``× write/scan amplification
+that showed up directly as index-build time (the dominant q103 stage).
+The normalized layout appends ~0.5 KB + 3×``bands``×8 B per doc; at
+cluster scale, write ``bands`` bucketed on (band, bucket) so probes
+co-locate, and ``sigs`` bucketed on id so the verification lookup
+joins without a shuffle. Appends per `add` batch use anti-join dedup
+on id (same policy as DataLake.write_full).
 
 Probe verification is SIGNATURE-ESTIMATED Jaccard (matching-minhash
 fraction; σ = sqrt(t(1−t)/num_perm) ≈ 0.06 at t=0.6 with 64 perms).
@@ -59,16 +66,21 @@ class NearDupIndex:
 
     # -- feature pipeline (shared by add and probe) ---------------------
 
-    def _features(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """(id, sig, n, band, bucket) — one row per (doc, band). The
-        bucket definition is dedup.band_hashes, shared with the batch
-        LSH path so persisted buckets stay join-compatible."""
+    def _sigs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """(id, sig, n) — one row per doc with ≥ k tokens. Lazily
+        checkpointed: every caller fans it into ≥ 2 plan branches
+        (sig store + band explode, or probe buckets + psig)."""
         sh = shingles(df, id_col, text_col, self.k)
-        sig = minhash_signatures(sh, num_perm=self.num_perm, with_sizes=True)
+        return minhash_signatures(
+            sh, num_perm=self.num_perm, with_sizes=True
+        ).localCheckpoint(eager=False)
+
+    def _band_rows(self, sig: DataFrame) -> DataFrame:
+        """(id, band, bucket) — `bands` narrow rows per doc. The bucket
+        definition is dedup.band_hashes, shared with the batch LSH path
+        so persisted buckets stay join-compatible."""
         return sig.select(
             "id",
-            "sig",
-            "n",
             F.posexplode(band_hashes(F.col("sig"), self.bands, self.num_perm)).alias(
                 "band", "bucket"
             ),
@@ -76,11 +88,11 @@ class NearDupIndex:
 
     # -- state ----------------------------------------------------------
 
-    def _bands_path(self) -> str:
-        return os.path.join(self.path, "bands")
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
 
-    def _read_bands(self) -> DataFrame | None:
-        p = self._bands_path()
+    def _read(self, name: str) -> DataFrame | None:
+        p = self._table_path(name)
         if not os.path.isdir(p) or not any(
             f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
         ):
@@ -88,21 +100,32 @@ class NearDupIndex:
         return self.spark.read.parquet(p)
 
     def indexed_ids(self) -> DataFrame:
-        existing = self._read_bands()
+        existing = self._read("sigs")
         if existing is None:
             return self.spark.range(0).select(F.col("id"))
-        return existing.select("id").distinct()
+        return existing.select("id")
 
     def add(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
-        """Index a batch: append its band rows, skipping ids already
-        indexed (re-delivery safe — same anti-join policy as the lake
-        writers). Documents shorter than k tokens have no shingles and
-        are unindexable; they are skipped."""
-        feats = self._features(df, id_col, text_col)
-        existing = self._read_bands()
+        """Index a batch: append its band and signature rows, skipping
+        ids already indexed (re-delivery safe — same anti-join policy
+        as the lake writers). Documents shorter than k tokens have no
+        shingles and are unindexable; they are skipped.
+
+        Write order is bands FIRST, sigs LAST: the sigs table is the
+        commit marker the dedup anti-join keys on, so a crash between
+        the two writes leaves only orphan BAND rows, which a re-add
+        re-appends (duplicate band rows are probe-invisible — the
+        candidate set is `.distinct()` — they only nudge the hot-bucket
+        width guard). The reverse order would mark ids as indexed while
+        their band rows are permanently missing: silent probe misses.
+        The checkpointed `_sigs` relation feeds both writes, so the
+        feature pipeline still runs once."""
+        sig = self._sigs(df, id_col, text_col)
+        existing = self._read("sigs")
         if existing is not None:
-            feats = feats.join(existing.select("id").distinct(), "id", "left_anti")
-        feats.write.mode("append").parquet(self._bands_path())
+            sig = sig.join(existing.select("id"), "id", "left_anti")
+        self._band_rows(sig).write.mode("append").parquet(self._table_path("bands"))
+        sig.write.mode("append").parquet(self._table_path("sigs"))
 
     def probe(
         self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -129,7 +152,7 @@ class NearDupIndex:
         prunes the scan itself."""
         if hot_bucket not in ("salt", "drop"):
             raise ValueError(f"hot_bucket must be 'salt' or 'drop', got {hot_bucket!r}")
-        existing = self._read_bands()
+        existing = self._read("bands")
         if existing is None:
             # Schema of the empty result mirrors the populated one: id
             # columns take the probe id column's type (not a hardcoded
@@ -139,14 +162,13 @@ class NearDupIndex:
             return self.spark.createDataFrame(
                 [], f"probe_id {id_type}, index_id {id_type}, est_jaccard double"
             )
-        # The feature pipeline (shingles → 64-perm MinHash → band
-        # explode) feeds THREE plan branches below (the semi-join
-        # broadcast, the candidate join, psig); `touched` likewise
-        # feeds wide/narrow/isig. Without a persist each branch
-        # re-evaluates the subtree — lazy localCheckpoint caps it at
-        # one evaluation, the same pattern dup_clusters uses for its
-        # per-round edge set.
-        feats = self._features(df, id_col, text_col).localCheckpoint(eager=False)
+        # The feature pipeline is checkpointed in _sigs (it feeds the
+        # band explode AND psig); `touched` likewise feeds the width
+        # guard and both candidate paths — lazy localCheckpoint caps
+        # each at one evaluation, the same pattern dup_clusters uses
+        # for its per-round edge set.
+        sig = self._sigs(df, id_col, text_col)
+        feats = self._band_rows(sig)
         touched = existing.join(
             F.broadcast(feats.select("band", "bucket").distinct()),
             ["band", "bucket"],
@@ -203,14 +225,13 @@ class NearDupIndex:
             .select("probe_id", "index_id")
             .distinct()
         )
-        psig = feats.select(
-            F.col("id").alias("probe_id"), F.col("sig").alias("__ps")
-        ).dropDuplicates(["probe_id"])
+        psig = sig.select(F.col("id").alias("probe_id"), F.col("sig").alias("__ps"))
         # signatures only for docs in touched buckets — candidates can
-        # only come from there, so the dedup never shuffles the full index
-        isig = touched.select(
-            F.col("id").alias("index_id"), F.col("sig").alias("__is")
-        ).dropDuplicates(["index_id"])
+        # only come from there, so the sig-table scan joins against a
+        # bucket-pruned id set, never the full index
+        isig = self._read("sigs").join(
+            touched.select("id").distinct(), "id", "left_semi"
+        ).select(F.col("id").alias("index_id"), F.col("sig").alias("__is"))
         matches = F.expr(
             "aggregate(zip_with(__ps, __is, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
         )
