@@ -91,3 +91,32 @@ def test_retention_cohorts_query(spark):
         base = grp.loc[grp["week_offset"] == 0, "n_active"]
         assert len(base) == 1 and (grp["n_active"] <= base.iloc[0]).all()
     assert (out["week_offset"] >= 0).all()
+
+
+def test_funnel_requires_stage_order(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase in order (full convert)
+        (1, "view", base), (1, "click", base + dt.timedelta(hours=1)),
+        (1, "purchase", base + dt.timedelta(hours=2)),
+        # user 2: purchase BEFORE view/click -> counts only as view
+        (2, "purchase", base), (2, "view", base + dt.timedelta(hours=1)),
+        # user 3: click only -> no stage at all (no view)
+        (3, "click", base),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    from pyspark.sql import functions as F
+
+    # reuse the query body via a temp parquet dir
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    for t in ("events",):
+        ev.withColumn("event_id", F.monotonically_increasing_id()) \
+          .withColumn("value", F.lit(1.0)).withColumn("props", F.lit(None).cast("string")) \
+          .write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+    from tp_integ_data_pipeline_spark.plans.selection_queries import q116_funnel
+    out = {r["stage"]: r["n_users"] for r in q116_funnel(spark, d).collect()}
+    assert out == {"view": 2, "view>click": 1, "view>click>purchase": 1}

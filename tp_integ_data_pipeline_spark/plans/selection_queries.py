@@ -12,6 +12,7 @@ q115 is the classic cohort rollup every event warehouse runs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tp_integ_data_pipeline_spark.operators.selection import (
@@ -190,4 +191,136 @@ def q115_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# q116 — ordered conversion funnel (view → click → purchase)
+# --------------------------------------------------------------------------
+@query(
+    "q116_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, event_type, ts,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS v_first
+        FROM events
+    ),
+    s2 AS (
+        SELECT user_id, event_type, ts, v_first,
+               MIN(CASE WHEN event_type = 'click' AND ts > v_first THEN ts END)
+                   OVER (PARTITION BY user_id) AS c_first
+        FROM s1
+    ),
+    s3 AS (
+        SELECT user_id, v_first, c_first,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > c_first THEN ts END)
+                   OVER (PARTITION BY user_id) AS p_first
+        FROM s2
+    ),
+    u AS (
+        SELECT user_id, MAX(v_first IS NOT NULL) AS v,
+               MAX(c_first IS NOT NULL) AS c, MAX(p_first IS NOT NULL) AS p
+        FROM s3 GROUP BY user_id
+    )
+    SELECT stage, n_users FROM (
+        SELECT 1 AS ord, 'view' AS stage, COUNT(*) FILTER (WHERE v) AS n_users FROM u
+        UNION ALL
+        SELECT 2, 'view>click', COUNT(*) FILTER (WHERE c) FROM u
+        UNION ALL
+        SELECT 3, 'view>click>purchase', COUNT(*) FILTER (WHERE p) FROM u
+    ) ORDER BY ord
+    """,
+)
+def q116_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: a user converts a stage only if its
+    event happens strictly AFTER the previous stage's first event
+    (first view → first later click → first later purchase). Three
+    stacked windows over the SAME user partitioning — one shuffle, the
+    second and third windows reuse the first's exchange — then a
+    per-user rollup and a 3-row summary. The staged strictly-after
+    semantics (not mere presence) is what makes this a funnel rather
+    than three filters."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id", "event_type", "ts"
+    ).withColumn(
+        "v_first", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "c_first",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("v_first")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p_first",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_first")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max(F.col("v_first").isNotNull()).alias("v"),
+        F.max(F.col("c_first").isNotNull()).alias("c"),
+        F.max(F.col("p_first").isNotNull()).alias("p"),
+    )
+    summary = u.agg(
+        F.count(F.when(F.col("v"), 1)).alias("n_view"),
+        F.count(F.when(F.col("c"), 1)).alias("n_click"),
+        F.count(F.when(F.col("p"), 1)).alias("n_purchase"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("ord"), F.lit("view").alias("stage"), F.col("n_view").alias("n_users")),
+        F.struct(F.lit(2).alias("ord"), F.lit("view>click").alias("stage"), F.col("n_click").alias("n_users")),
+        F.struct(F.lit(3).alias("ord"), F.lit("view>click>purchase").alias("stage"), F.col("n_purchase").alias("n_users")),
+    )
+    return (
+        summary.select(F.explode(stages).alias("s"))
+        .select(F.col("s.ord").alias("ord"), F.col("s.stage").alias("stage"), F.col("s.n_users").alias("n_users"))
+        .orderBy("ord")
+        .select("stage", F.col("n_users").cast("long"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q117 — time-RANGE window: per-user trailing 1h moving average
+# --------------------------------------------------------------------------
+@query(
+    "q117_trailing_window_avg",
+    oracle="""
+    SELECT event_id,
+           round(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS avg_1h
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q117_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour moving average of `value` per user — a
+    RANGE-frame window keyed on event TIME, not row position (two
+    events 5 s apart share almost their whole frame; a 2 h gap empties
+    it). Spark's rangeBetween needs a numeric ordering key, so the
+    frame is anchored on unix epoch seconds — identical semantics to
+    the oracle's RANGE BETWEEN 3600 PRECEDING. Per-user partitions:
+    one shuffle, no global window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        )
+        .orderBy("event_id")
     )
