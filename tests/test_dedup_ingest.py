@@ -76,3 +76,50 @@ def test_start_neardup_ingest_streaming_wrapper(spark, tmp_path):
     # saw them), the fresh doc always survives
     assert got == {1, 11}
     assert {r.id for r in idx.indexed_ids().collect()} == got
+
+
+def test_index_remove_and_compact(spark, tmp_path):
+    idx = NearDupIndex(spark, str(tmp_path / "idx_rm"))
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog wearing hat %d" % (i % 2))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx.add(docs)
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog wearing hat 0")],
+        "doc_id long, text string",
+    )
+    before = {r.index_id for r in idx.probe(batch).collect()}
+    assert 0 in before and 2 in before
+    # logical delete: probes and indexed_ids stop seeing the ids at once
+    idx.remove(spark.createDataFrame([(0,), (2,)], "id long"))
+    after = {r.index_id for r in idx.probe(batch).collect()}
+    assert after == before - {0, 2}
+    live = {r.id for r in idx.indexed_ids().collect()}
+    assert live == set(range(10)) - {0, 2}
+    # physical compact: same results, tombstones gone, rows dropped
+    idx.compact()
+    assert {r.index_id for r in idx.probe(batch).collect()} == after
+    assert {r.id for r in idx.indexed_ids().collect()} == live
+    sigs = spark.read.parquet(str(tmp_path / "idx_rm" / "sigs"))
+    assert sigs.filter(sigs.id.isin([0, 2])).count() == 0
+    # a removed id is re-addable after compaction
+    idx.add(docs.filter("doc_id = 0"))
+    assert 0 in {r.index_id for r in idx.probe(batch).collect()}
+
+
+def test_index_compact_idempotent_and_empty(spark, tmp_path):
+    idx = NearDupIndex(spark, str(tmp_path / "idx_c"))
+    idx.compact()  # empty index + no tombstones: no-op
+    idx.remove(spark.createDataFrame([(7,)], "id long"))
+    idx.compact()  # tombstones against an empty index: clears them
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (7, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    idx.add(docs)
+    assert {r.id for r in idx.indexed_ids().collect()} == {1, 7}
+    idx.compact()  # nothing tombstoned: index unchanged
+    assert {r.id for r in idx.indexed_ids().collect()} == {1, 7}

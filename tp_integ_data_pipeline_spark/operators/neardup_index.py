@@ -99,11 +99,63 @@ class NearDupIndex:
             return None
         return self.spark.read.parquet(p)
 
+    def _tombstones(self) -> DataFrame | None:
+        return self._read("tombstones")
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Filter tombstoned ids out of a sigs/bands relation."""
+        t = self._tombstones()
+        return df if t is None else df.join(t.select("id").distinct(), "id", "left_anti")
+
     def indexed_ids(self) -> DataFrame:
         existing = self._read("sigs")
         if existing is None:
             return self.spark.range(0).select(F.col("id"))
-        return existing.select("id")
+        return self._live(existing).select("id")
+
+    def remove(self, ids: DataFrame, id_col: str = "id") -> None:
+        """Logically delete documents from the index: append their ids
+        to a tombstone table that every read path anti-joins — O(batch)
+        regardless of index size, the only affordable delete against an
+        append-only 100 TB store (a physical rewrite per removal batch
+        would be O(index)). Tombstoned ids stop appearing in probes and
+        ``indexed_ids`` immediately; the rows are physically dropped at
+        the next :meth:`compact`. A removed id cannot be RE-ADDED until
+        compaction (the add-side dedup keys on the sigs table, and a
+        tombstone must kill every existing row of that id — a re-add
+        before compaction would be killed by the same tombstone)."""
+        ids.select(F.col(id_col).alias("id")).distinct().write.mode("append").parquet(
+            self._table_path("tombstones")
+        )
+
+    def compact(self) -> None:
+        """Physically apply tombstones: rewrite sigs and bands without
+        the deleted ids, then clear the tombstone table. Deliberately
+        O(live index) — run it on the maintenance cadence, not per
+        delete. The rewrite goes through a temp directory and a rename
+        swap per table (bands first, sigs last — same ordering
+        rationale as :meth:`add`); a crash mid-swap leaves either the
+        old or the new directory for each table, never a half-written
+        one, and tombstones are cleared only after both swaps so a
+        retry re-applies them idempotently."""
+        import shutil
+
+        if self._tombstones() is None:
+            return
+        for name in ("bands", "sigs"):
+            current = self._read(name)
+            if current is None:
+                continue
+            live = self._live(current)
+            tmp = self._table_path(f"{name}.compacting")
+            shutil.rmtree(tmp, ignore_errors=True)
+            live.write.mode("overwrite").parquet(tmp)
+            old = self._table_path(f"{name}.old")
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(self._table_path(name), old)
+            os.rename(tmp, self._table_path(name))
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self._table_path("tombstones"), ignore_errors=True)
 
     def add(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """Index a batch: append its band and signature rows, skipping
@@ -153,6 +205,8 @@ class NearDupIndex:
         if hot_bucket not in ("salt", "drop"):
             raise ValueError(f"hot_bucket must be 'salt' or 'drop', got {hot_bucket!r}")
         existing = self._read("bands")
+        if existing is not None:
+            existing = self._live(existing)
         if existing is None:
             # Schema of the empty result mirrors the populated one: id
             # columns take the probe id column's type (not a hardcoded
