@@ -120,3 +120,33 @@ def test_funnel_requires_stage_order(spark):
     from tp_integ_data_pipeline_spark.plans.selection_queries import q116_funnel
     out = {r["stage"]: r["n_users"] for r in q116_funnel(spark, d).collect()}
     assert out == {"view": 2, "view>click": 1, "view>click>purchase": 1}
+
+
+def test_trailing_window_avg_microsecond_boundary(spark, tmp_path):
+    # gap of 3599.9s (in frame) and 3600.1s (out of frame): whole-second
+    # truncation would misclassify both; the microsecond key must not.
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10, "x", 1.0, None),
+        (2, base + dt.timedelta(seconds=3599, microseconds=900_000), 10, "x", 3.0, None),
+        (3, base + dt.timedelta(seconds=7200, microseconds=100_000), 10, "x", 5.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "evdir")
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+    from tp_integ_data_pipeline_spark.plans.selection_queries import (
+        q117_trailing_window_avg,
+    )
+    got = {r["event_id"]: r["avg_1h"] for r in q117_trailing_window_avg(spark, d).collect()}
+    # event 2's frame includes event 1 (gap 3599.9 <= 3600);
+    # event 3's frame excludes event 2 (gap 3600.2 > 3600)
+    assert got == {1: 1.0, 2: 2.0, 3: 5.0}

@@ -297,8 +297,8 @@ def q116_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            round(AVG(value) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS avg_1h
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS avg_1h
     FROM events
     ORDER BY event_id
     """,
@@ -307,15 +307,18 @@ def q117_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing one-hour moving average of `value` per user — a
     RANGE-frame window keyed on event TIME, not row position (two
     events 5 s apart share almost their whole frame; a 2 h gap empties
-    it). Spark's rangeBetween needs a numeric ordering key, so the
-    frame is anchored on unix epoch seconds — identical semantics to
-    the oracle's RANGE BETWEEN 3600 PRECEDING. Per-user partitions:
-    one shuffle, no global window."""
+    it). Spark's rangeBetween needs a numeric ordering key; the frame
+    is anchored on INTEGER epoch MICROseconds (unix_micros ==
+    DuckDB's epoch_us, the q28 convention) — whole-second keys
+    (unix_timestamp vs DuckDB's fractional epoch()) would disagree on
+    any frame whose true gap straddles the 3600 s boundary within the
+    truncation error. Per-user partitions: one shuffle, no global
+    window."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return (
         ev.select(
