@@ -44,19 +44,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # ones with the strongest OTHER current-code evidence (q26/q52 are
 # rows-only with pytest property/recall tests; q23-q25/q27/q28/q38/
 # q39/q53-q54/q75-q76 are single-operator relational queries on code
-# untouched since round 2, each also pytest-covered; q96-q99 have r2
-# hash-match signal plus dedicated pytest coverage, and q97/q98 run
-# in every local check_oracle sweep). NEXT ROUND: rotate the
-# CORRECTNESS_r01 key set back to the front (it will then be the
-# stalest), plus the r2 keys benched out this round
-# (q23-q28 q38 q39 q52-q54 q75 q76 q94-q99) and any round-5-new
-# queries.
+# untouched since round 2, each also pytest-covered; q86/q93-q99 have
+# r2 hash-match signal plus dedicated pytest coverage, and q93/q97
+# run in the bench headline and every local check_oracle sweep).
+# NEXT ROUND: rotate the CORRECTNESS_r01 key set back to the front
+# (it will then be the stalest), plus the r2 keys benched out this
+# round (q23-q28 q38 q39 q52-q54 q75 q76 q86 q93-q99) and any
+# round-5-new queries.
 _ROTATE_FRONT = (
     "q100 q101 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111 "
-    "q112 q113 q114 q115 q116 q117 q42 q87 "
+    "q112 q113 q114 q115 q116 q117 q118 q119 q42 q87 "
     "q90 q89 q91 q36 q37 q62 q63 q29 q92 q46 q45 q47 q48 q49 q69 q88 "
-    "q04 q72 q73 q74 q78 q79 q80 q81 q82 q83 q84 q85 "
-    "q86 q93"
+    "q04 q72 q73 q74 q78 q79 q80 q81 q82 q83 q84 q85"
 ).split()
 
 

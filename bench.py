@@ -55,6 +55,8 @@ HEADLINE = [
     "q115_retention_cohorts",
     "q116_funnel",
     "q117_trailing_window_avg",
+    "q118_label_centroids",
+    "q119_weighted_sample",
 ]
 
 

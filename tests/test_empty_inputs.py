@@ -159,3 +159,24 @@ def test_global_cumsum_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert global_cumsum(empty, "doc_id", "n_tokens").count() == 0
     assert pack_sequences(empty, budget=512).count() == 0
+
+
+def test_selection_ops_empty_input(spark):
+    from tp_integ_data_pipeline_spark.operators.selection import (
+        bpe_pair_counts,
+        dsir_weights,
+        trigram_surprisal,
+    )
+
+    docs = _empty_docs(spark)
+    assert dsir_weights(docs, F.lit(True)).count() == 0
+    assert trigram_surprisal(docs).count() == 0
+    assert bpe_pair_counts(docs).count() == 0
+    # all-target / no-target degenerate splits on a non-empty corpus
+    some = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    assert dsir_weights(some, F.lit(True)).count() == 2
+    none = dsir_weights(some, F.lit(False)).toPandas()
+    assert len(none) == 2 and none["weight"].notna().all()

@@ -327,3 +327,51 @@ def q117_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q119 — weighted sampling without replacement (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+@query(
+    "q119_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(
+                 ln((CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) + 1.0) / 4294967297.0)
+                 / n_chars, 9) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, k
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q119_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, weight =
+    n_chars (Efraimidis & Spirakis 2006: draw u~U(0,1) per item, keep
+    the top-k by u^(1/w), equivalently by ln(u)/w): the standard
+    one-pass distributed reservoir for "sample 100 docs proportional
+    to length". u is md5-derived ((h+1)/(2^32+1) ∈ (0,1], seeded by a
+    'ws1:' tag) so membership is content-stable across runs, engines
+    and partitionings — rerunning yields the SAME sample, and changing
+    the seed tag gives an independent one. Keys rounded to 9 dp before
+    ranking (ULP-level libm differences can't flip an order decided by
+    doc_id ties); top-k is a single TakeOrdered, no shuffle of the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws1:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    key = F.round(
+        F.log((h + F.lit(1.0)) / F.lit(4294967297.0)) / F.col("n_chars"), 9
+    )
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(100)
+    )

@@ -44,3 +44,49 @@ def q51_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ann_topk_srp(emb, queries_df, k=5).orderBy("q_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# q118 — per-label embedding centroid + dispersion (vector aggregation)
+# --------------------------------------------------------------------------
+@query(
+    "q118_label_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           COUNT(*) AS n_vecs,
+           round(AVG(v), 6) AS centroid,
+           round(AVG(v * v) - AVG(v) * AVG(v), 6) AS variance
+    FROM dims
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def q118_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid and per-dimension variance of the embedding
+    table — the vector-aggregation verb behind class prototypes,
+    drift monitors, and SemDeDup cell seeding. DIMENSION-EXPLODED
+    shape: (label, dim) keyed rows through one map-side-combined
+    aggregate — never a per-label collect_list of whole vectors
+    (which would hold |label| × dim × n doubles in one task at 100 TB).
+    Variance uses the E[v²]−E[v]² form so both engines aggregate the
+    same two sums; rounded to 6 dp before compare."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return (
+        dims.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.round(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 6).alias(
+                "variance"
+            ),
+        )
+        .select("label", F.col("dim").cast("int"), "n_vecs", "centroid", "variance")
+        .orderBy("label", "dim")
+    )
