@@ -139,3 +139,37 @@ def test_headline_scan_filters_are_pushed(spark):
         assert any(
             "PushedFilters" in l and "[]" not in l for l in plan.splitlines()
         ), f"{name}: no pushed filters\n{plan[:2000]}"
+
+
+def test_dynamic_partition_pruning_on_lake_fact(spark, tmp_path):
+    """A hive-partitioned lake fact joined to a FILTERED dim must plan
+    a dynamicpruning subquery on the partition column — at 100 TB this
+    is the difference between scanning one day and scanning the table.
+    (Static pruning can't help: the partition predicate only exists
+    through the join.)"""
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.sources.lake import DataLake
+
+    lake = DataLake(spark, str(tmp_path / "lake"))
+    fact = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).cast("string").alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    lake.write_incremental("fact", fact, partition_cols=["day"], dedup_keys=["k", "day"])
+    dim = spark.range(20).select(
+        F.col("id").cast("string").alias("day"),
+        F.when(F.col("id") < 2, "keep").otherwise("drop").alias("cls"),
+    )
+    stored = lake.read("fact")
+    joined = stored.join(dim.filter(F.col("cls") == "keep"), "day").agg(
+        F.sum("v").alias("tv")
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the answer is right: days 0 and 1 -> ids with id%20 in (0,1)
+    expect = sum(i * 2 for i in range(2000) if i % 20 in (0, 1))
+    assert joined.first()["tv"] == expect
