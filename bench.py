@@ -57,6 +57,7 @@ HEADLINE = [
     "q117_trailing_window_avg",
     "q118_label_centroids",
     "q119_weighted_sample",
+    "q120_hll_shard_rollup",
 ]
 
 

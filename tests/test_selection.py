@@ -150,3 +150,28 @@ def test_trailing_window_avg_microsecond_boundary(spark, tmp_path):
     # event 2's frame includes event 1 (gap 3599.9 <= 3600);
     # event 3's frame excludes event 2 (gap 3600.2 > 3600)
     assert got == {1: 1.0, 2: 2.0, 3: 5.0}
+
+
+def test_hll_rollup_exact_regime(spark):
+    # q120's oracle is the exact distinct count, valid only while
+    # per-source cardinality stays in HLL's coupon-exact regime
+    # (< ~0.75 * 2^14). Assert both the regime and the equality at the
+    # SFs the driver grades, so fixture growth fails here first.
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.plans.selection_queries import (
+        q120_hll_shard_rollup,
+    )
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf_dir, "documents")
+        exact = {
+            r["source"]: r["n"]
+            for r in docs.groupBy("source")
+            .agg(F.countDistinct("doc_id").alias("n"))
+            .collect()
+        }
+        assert max(exact.values()) < 0.75 * (1 << 14)
+        est = {r["source"]: r["n_docs_est"] for r in q120_hll_shard_rollup(spark, sf_dir).collect()}
+        assert est == exact, (sf_dir, est, exact)

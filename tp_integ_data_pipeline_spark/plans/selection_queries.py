@@ -375,3 +375,43 @@ def q119_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q120 — mergeable HLL sketch rollup (shard-partials → global union)
+# --------------------------------------------------------------------------
+@query(
+    "q120_hll_shard_rollup",
+    oracle="""
+    SELECT source, COUNT(DISTINCT doc_id) AS n_docs_est
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q120_hll_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count rollup the way a 100 TB warehouse actually runs
+    it: each shard builds a LOCAL HLL sketch (one pass, fixed 2^14
+    registers), shard sketches UNION per source, one estimate at the
+    end — partials are mergeable state, so re-aggregation across
+    shards/days/retries never rescans raw data (the Dataflow-model
+    combiner contract; same shape as datasketches rollups).
+
+    The oracle is the EXACT distinct count: DataSketches HLL is exact
+    below ~0.75·2^lgK distinct (coupon mode), and every fixture SF
+    keeps per-source doc cardinality under that bound — asserted by
+    tests/test_selection.py::test_hll_rollup_exact_regime, so a
+    fixture growing past the regime fails loudly in pytest rather than
+    silently in the driver. At true 100 TB cardinalities the estimate
+    carries the documented ~1.6/sqrt(2^14) ≈ 1.3% relative error and
+    the oracle comparison would be dropped to rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("shard")
+    per_shard = docs.select("source", shard, "doc_id").groupBy("source", "shard").agg(
+        F.hll_sketch_agg("doc_id", F.lit(14)).alias("sk")
+    )
+    return (
+        per_shard.groupBy("source")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_docs_est"))
+        .orderBy("source")
+    )
