@@ -538,3 +538,37 @@ def test_compact_with_zorder_clusters_files(spark, sf_dir, tmp_path):
     )
     g = lake.read("ev").agg(F.max("user_id") - F.min("user_id")).first()[0]
     assert per_file.agg(F.avg("span")).first()[0] < 0.7 * g
+
+
+def test_lake_read_schema_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.sources.lake import DataLake
+
+    lake = DataLake(spark, str(tmp_path / "lk_evo"))
+    v1 = spark.createDataFrame([(1, "a")], "id long, x string")
+    lake.write_full("t", v1, dedup_keys=["id"])
+    # schema evolved: later batches carry an extra column
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, x string, score double")
+    lake.write_full("t", v2, dedup_keys=["id"])
+    # default read keeps SOME file's schema; merge_schema gives the union
+    merged = lake.read("t", merge_schema=True)
+    assert set(merged.columns) == {"id", "x", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_lake_read_tolerates_corrupt_file(spark, tmp_path):
+    from tp_integ_data_pipeline_spark.sources.lake import DataLake
+
+    lake = DataLake(spark, str(tmp_path / "lk_corrupt"))
+    good = spark.createDataFrame([(1, "ok"), (2, "ok")], "id long, x string")
+    lake.write_full("t", good, dedup_keys=["id"])
+    # a torn upload lands in the table directory
+    with open(str(tmp_path / "lk_corrupt" / "t" / "part-torn.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        lake.read("t").count()  # default: fail loudly
+    assert lake.read("t", tolerate_corrupt=True).count() == 2

@@ -38,13 +38,32 @@ class DataLake:
                 return True
         return False
 
-    def read(self, table: str) -> DataFrame | None:
+    def read(
+        self,
+        table: str,
+        merge_schema: bool = False,
+        tolerate_corrupt: bool = False,
+    ) -> DataFrame | None:
         """S1/S2: read a (possibly hive-partitioned) lake table; `None`
         when absent/empty — mirroring leer_parq's None contract
-        (main.py:71-75)."""
+        (main.py:71-75).
+
+        ``merge_schema`` reconciles files written under EVOLVED schemas
+        (columns added over the table's life) into the union schema,
+        null-filling older files — the read-side half of P5's
+        align_to_schema. ``tolerate_corrupt`` skips unreadable files
+        instead of failing the scan (a 100 TB landing zone always has
+        a torn upload somewhere; losing one file beats losing the
+        query). Both default OFF: silent skipping/widening is a policy
+        the caller must opt into, not a default."""
         if not self.exists(table):
             return None
-        return self.spark.read.parquet(self._path(table))
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        if tolerate_corrupt:
+            reader = reader.option("ignoreCorruptFiles", "true")
+        return reader.parquet(self._path(table))
 
     def _dedup_against_existing(
         self,
