@@ -1,0 +1,55 @@
+"""JSONL round-trip and CSV quarantine (sources/text_formats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+from tp_integ_data_pipeline_spark.sources.text_formats import (
+    read_csv_quarantine,
+    read_jsonl,
+    write_jsonl,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def test_jsonl_roundtrip_bit_exact(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, out, max_records_per_file=200)
+    back = read_jsonl(spark, out, DOC_SCHEMA)
+    assert back.schema == DOC_SCHEMA
+    assert back.count() == docs.count()
+    # exact content equality both directions
+    assert docs.exceptAll(back).count() == 0
+    assert back.exceptAll(docs).count() == 0
+
+
+def test_csv_quarantine_separates_malformed(spark, tmp_path):
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alice,3.5\n"
+        "2,bob,not_a_number\n"   # type mismatch -> quarantine
+        "3,carol,7.25\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, quarantine = read_csv_quarantine(spark, str(p), schema)
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    bad = [r["raw_line"] for r in quarantine.collect()]
+    assert len(bad) == 1 and "not_a_number" in bad[0]
