@@ -70,7 +70,13 @@ def q40_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q41_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", k=3)
+    # The exact all-pairs path consumes the shingle relation from three
+    # branches (self-join a/b + sizes); pinning it lazily is fine HERE
+    # because pair_jaccard(pairs=None) is by contract the
+    # small-corpus/verification tool (the 100 TB near-dup paths are
+    # LSH/IVF) — the same corpus-sized pin is deliberately NOT taken
+    # inside minhash_near_dup_pairs. Measured ~15% at sf0.1.
+    sh = shingles(docs, "doc_id", "text", k=3).localCheckpoint(eager=False)
     return pair_jaccard(sh).orderBy(F.col("jaccard").desc(), "a", "b").limit(20)
 
 
