@@ -470,3 +470,50 @@ def test_neardup_index_empty_probe_schema_tracks_id_type(spark, sf_dir, tmp_path
     assert dict(full_probe.dtypes) == dict(empty_probe.dtypes)
     # and the two are union-compatible by name
     assert empty_probe.unionByName(full_probe).columns == empty_probe.columns
+
+
+def test_packing_batchwise_continuation_equals_whole(spark):
+    """The incremental contract: pack a corpus in two batches with the
+    carried start_offset and get bit-identical layout to packing it
+    whole — for both the doc-granular view and the token runs."""
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+        pack_token_runs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 7 + (i * 13) % 40) for i in range(60)], "doc_id long, n_tokens long"
+    )
+    first = docs.filter("doc_id < 30")
+    second = docs.filter("doc_id >= 30")
+    carried = first.agg(F.sum("n_tokens")).first()[0]
+    budget = 64
+
+    whole = pack_sequences(docs, budget).toPandas().sort_values("doc_id").reset_index(drop=True)
+    split = (
+        pack_sequences(first, budget)
+        .unionByName(pack_sequences(second, budget, start_offset=carried))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert whole.equals(split)
+
+    whole_r = (
+        pack_token_runs(docs, budget)
+        .toPandas().sort_values(["seq_id", "slot"]).reset_index(drop=True)
+    )
+    first_r = pack_token_runs(first, budget)
+    # carried state #2: how many runs batch 1 placed into its last
+    # (partially filled) sequence
+    boundary = carried // budget
+    carried_slot = first_r.filter(F.col("seq_id") == boundary).count()
+    split_r = (
+        first_r.unionByName(
+            pack_token_runs(
+                second, budget, start_offset=carried, start_slot=carried_slot
+            )
+        )
+        .toPandas().sort_values(["seq_id", "slot"]).reset_index(drop=True)
+    )
+    assert whole_r.equals(split_r)

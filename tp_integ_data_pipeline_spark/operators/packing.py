@@ -117,6 +117,7 @@ def pack_sequences(
     budget: int,
     id_col: str = "doc_id",
     token_count_col: str = "n_tokens",
+    start_offset: int = 0,
 ) -> DataFrame:
     """Assign each document to a training sequence of ``budget`` tokens:
     ``seq_id = tokens_before / budget`` in ascending ``id_col`` order
@@ -127,8 +128,19 @@ def pack_sequences(
 
     Returns (doc-level): id, n_tokens, seq_id, seq_offset (the doc's
     first-token position within its sequence).
+
+    ``start_offset`` is the INCREMENTAL contract: the global token
+    count already packed (yesterday's corpus) — today's batch
+    continues mid-sequence from there, so packing a corpus in N
+    batches with carried offsets yields bit-identical layout to
+    packing it whole (asserted by the continuation property test).
+    The carried state is ONE integer, not a re-scan of packed data.
     """
     cum = global_cumsum(docs, id_col, token_count_col)
+    if start_offset:
+        cum = cum.withColumn(
+            "cum_before", F.col("cum_before") + F.lit(int(start_offset))
+        )
     # Integer `div`, not `/`: long / long is double division in Spark,
     # which loses exactness once cumulative token counts pass 2^53 —
     # the same reason global_cumsum's bucket math uses div.
@@ -145,6 +157,8 @@ def pack_token_runs(
     budget: int,
     id_col: str = "doc_id",
     token_count_col: str = "n_tokens",
+    start_offset: int = 0,
+    start_slot: int = 0,
 ) -> DataFrame:
     """Token-level sequence materialization — what the trainer actually
     consumes: (seq_id, slot, id, token_start, token_len), one row per
@@ -166,8 +180,22 @@ def pack_token_runs(
     ``div`` (never ``/``): exact past 2^53 cumulative tokens.
 
     Zero-token documents (nothing to emit) are excluded; the sequence
-    ids they'd ambiguously sit between are unaffected."""
+    ids they'd ambiguously sit between are unaffected.
+
+    ``start_offset``/``start_slot``: the incremental contract — two
+    integers of carried state (global tokens packed so far, and how
+    many runs the previous batches placed into the partially-filled
+    boundary sequence). With both carried, batch-wise packing is
+    bit-identical to whole-corpus packing, slots included; the state
+    for the next batch is this batch's total tokens + its run count in
+    its own last sequence. Token geometry needs only ``start_offset``;
+    ``start_slot`` exists purely because slot counts runs, and run
+    count (unlike token count) is not derivable from the offset."""
     cum = global_cumsum(docs, id_col, token_count_col)
+    if start_offset:
+        cum = cum.withColumn(
+            "cum_before", F.col("cum_before") + F.lit(int(start_offset))
+        )
     b = int(budget)
     runs = (
         cum.filter(F.col(token_count_col) > 0)
@@ -192,9 +220,13 @@ def pack_token_runs(
         (end_g - start_g).cast("long").alias("token_len"),
     )
     w_seq = W.partitionBy("seq_id").orderBy(id_col)
-    return placed.withColumn(
-        "slot", (F.row_number().over(w_seq) - 1).cast("long")
-    ).select("seq_id", "slot", id_col, "token_start", "token_len")
+    boundary_seq = int(start_offset) // b
+    slot = (F.row_number().over(w_seq) - 1).cast("long") + F.when(
+        F.col("seq_id") == boundary_seq, F.lit(int(start_slot))
+    ).otherwise(F.lit(0)).cast("long")
+    return placed.withColumn("slot", slot).select(
+        "seq_id", "slot", id_col, "token_start", "token_len"
+    )
 
 
 def sequence_stats(

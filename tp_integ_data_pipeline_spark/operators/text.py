@@ -163,3 +163,19 @@ def fingerprint(text_col: str = "text", k: int = 8) -> Column:
     return F.array_min(
         F.transform(F.array_distinct(char_ngrams(text_col, k)), lambda g: F.md5(g))
     )
+
+
+def canonical_text(text_col: str = "text") -> Column:
+    """Dedup-canonical form of a text column: lowercase, punctuation
+    stripped to spaces, whitespace runs collapsed, ends trimmed — the
+    normalization every production dedup runs FIRST, so that casing
+    and punctuation jitter can't hide an otherwise-exact duplicate
+    (the convention in large-corpus dedup pipelines, e.g. the
+    normalize-then-hash step of suffix-array and MinHash setups).
+    Entirely expression-level (lower / regexp_replace / trim inside
+    codegen); deliberately ASCII-scoped — full Unicode NFKC needs a
+    Python UDF and is out of the hot path by design."""
+    lowered = F.lower(F.col(text_col))
+    depunct = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.regexp_replace(depunct, " +", " ")
+    return F.trim(collapsed)

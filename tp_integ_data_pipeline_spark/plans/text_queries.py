@@ -246,3 +246,47 @@ def q66_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
     return frame_sample(docs).select("doc_id", "n_frames").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q121 — canonicalize-then-dedup (normalization-robust exact dedup)
+# --------------------------------------------------------------------------
+@query(
+    "q121_canonical_dedup",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS ctext
+        FROM documents
+    ),
+    g AS (SELECT ctext, COUNT(*) AS c, MIN(doc_id) AS keeper FROM canon GROUP BY ctext)
+    SELECT COUNT(*) AS n_distinct,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(c - 1) AS BIGINT) AS n_duplicates,
+           CAST(MAX(c) AS BIGINT) AS max_group,
+           CAST(SUM(keeper) AS BIGINT) AS keeper_checksum
+    FROM g
+    """,
+)
+def q121_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the CANONICAL text form (lowercase, punctuation
+    and whitespace jitter removed — operators/text.canonical_text):
+    the normalize-then-hash step production dedup runs before any
+    hashing, so 'Hello,  World!' and 'hello world' collapse. Reports
+    the dup profile plus a keeper-id checksum proving the min-id
+    canonical choice, all from ONE canonical-key shuffle."""
+    from tp_integ_data_pipeline_spark.operators.text import canonical_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select("doc_id", canonical_text("text").alias("ctext"))
+    g = canon.groupBy("ctext").agg(
+        F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("keeper")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_duplicates"),
+        F.max("c").cast("long").alias("max_group"),
+        F.sum("keeper").cast("long").alias("keeper_checksum"),
+    )
