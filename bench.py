@@ -58,6 +58,7 @@ HEADLINE = [
     "q118_label_centroids",
     "q119_weighted_sample",
     "q120_hll_shard_rollup",
+    "q121_canonical_dedup",
 ]
 
 
