@@ -518,3 +518,59 @@ def test_microbatch_ingest_with_curation_transform(spark, tmp_path):
     assert {r.n_tokens for r in got.collect()} == {8, 6}  # transform column landed
     drain()  # full replay: same transform output -> anti-join adds nothing
     assert lake.read("docs").count() == 2
+
+
+def test_stream_left_outer_join_semantics(spark, tmp_path):
+    """Left-outer stream-stream join: matched pairs emit; a click whose
+    match horizon is provably past (watermark + join range well behind
+    the stream max) emits null-padded; a click still inside the
+    horizon is withheld. Constructed timestamps keep every case far
+    from the engine's internal emission boundary."""
+    import datetime as dt
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.streaming.ingest import run_stream_to_memory
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10, "view", 1.0, None),
+        (2, base + dt.timedelta(minutes=5), 10, "click", 2.0, None),   # match
+        (3, base + dt.timedelta(minutes=10), 20, "click", 3.0, None),  # expired → null
+        (4, base + dt.timedelta(hours=30), 30, "click", 4.0, None),    # in horizon → withheld
+        (5, base + dt.timedelta(hours=31), 99, "view", 0.0, None),     # watermark anchor
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = os.path.join(str(tmp_path), "ev")
+    ev.write.parquet(d)
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = run_stream_to_memory(
+        joined.select("user_id", "c_value", "v_ts"),
+        f"lo_test_{uuid.uuid4().hex[:8]}",
+        "append",
+    )
+    got = sorted((r.user_id, r.c_value, r.v_ts is None) for r in out.collect())
+    assert got == [(10, 2.0, False), (20, 3.0, True)]

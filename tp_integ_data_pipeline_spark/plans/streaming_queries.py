@@ -256,3 +256,62 @@ def q68_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_rollup_maintenance(spark, stream, rollup_path)
     q.awaitTermination()
     return read_rollup(spark, rollup_path).orderBy("win_start", "event_type")
+
+
+# Rows-only by design: a finite run's null-emission set depends on
+# how far the final no-data micro-batches advance the watermark —
+# measured to vary by a few boundary rows between otherwise identical
+# runs, so no batch SQL reproduces it exactly. The SEMANTICS (matches
+# emitted, provably-expired clicks null-emitted, in-horizon clicks
+# withheld) are locked by tests/test_streaming.py::
+# test_stream_left_outer_join_semantics on constructed timestamps.
+@query("q122_stream_left_outer_join")
+def q122_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks pair with a preceding view
+    within 30 min; clicks with NO such view are emitted null-padded —
+    but only once the watermark proves no matching view can still
+    arrive (state eviction), which is the semantics that keeps outer
+    state finite on an unbounded stream. The batch summary counts only
+    rows ≥ 3 h below the last click: every unmatched click there is
+    past its eviction point (watermark 1 h + join range 30 min +
+    margin), excluding the boundary region where emission timing is
+    engine-internal."""
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = run_stream_to_memory(
+        joined.select("user_id", "c_ts", "c_value", "v_ts"),
+        f"q122_out_{uuid.uuid4().hex[:8]}",
+        "append",
+    )
+    # Cutoff anchored on the CLICK side's max — present identically in
+    # the sink (every click row appears, matched or null) and in the
+    # oracle's events table, unlike the global stream max (the sink
+    # never sees views that matched nothing). Still safely below the
+    # engine's emission boundary: global max ≥ click max, so the
+    # boundary sits ≥ 1.5 h above this cutoff.
+    cut = out.agg((F.max("c_ts") - F.expr("INTERVAL 3 HOURS")).alias("cut"))
+    return (
+        out.crossJoin(F.broadcast(cut))
+        .filter(F.col("c_ts") < F.col("cut"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("v_ts").isNull(), 1)).alias("n_unmatched"),
+            F.sum(F.col("c_value").cast("decimal(18,2)")).cast("double").alias("click_value"),
+        )
+    )
