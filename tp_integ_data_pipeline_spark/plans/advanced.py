@@ -398,3 +398,33 @@ def q63_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# q123 — LATERAL correlated subquery (per-group top-k, same text both engines)
+# --------------------------------------------------------------------------
+_Q123_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_custkey < 100
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("q123_lateral_topk", oracle=_Q123_SQL)
+def q123_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-2 orders via a LATERAL correlated subquery —
+    the FROM-clause correlation surface (Catalyst decorrelates it into
+    a ranked join; DuckDB executes the identical text), distinct from
+    q10's window formulation and q23's WHERE-clause EXISTS. One SQL
+    string serves as both the Spark query and the oracle, so the
+    engines cannot drift."""
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(_Q123_SQL)
