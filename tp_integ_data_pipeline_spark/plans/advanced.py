@@ -428,3 +428,41 @@ def q123_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines cannot drift."""
     register_views(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(_Q123_SQL)
+
+
+# --------------------------------------------------------------------------
+# q124 — WITH RECURSIVE chain walk (same text both engines)
+# --------------------------------------------------------------------------
+_Q124_SQL = """
+    WITH RECURSIVE ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders WHERE o_custkey < 50
+    ),
+    walk(o_custkey, rn, run_total) AS (
+        SELECT o_custkey, rn, o_totalprice FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT r.o_custkey, r.rn, w.run_total + r.o_totalprice
+        FROM walk w JOIN ranked r
+          ON r.o_custkey = w.o_custkey AND r.rn = w.rn + 1
+    )
+    SELECT o_custkey, CAST(rn AS INT) AS rn, round(run_total, 2) AS run_total
+    FROM walk
+    ORDER BY o_custkey, rn
+"""
+
+
+@query("q124_recursive_walk", oracle=_Q124_SQL)
+def q124_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order totals computed by WITH RECURSIVE —
+    the recursive-CTE surface that landed in Spark 4, run from the
+    SAME text the DuckDB oracle executes. The recursion walks each
+    customer's order chain in rank order (acyclic by construction —
+    Spark requires UNION ALL recursion, which would not terminate on
+    a cyclic edge set), one frontier join per step, depth = the
+    longest chain. The window formulation (q11) is the right tool for
+    THIS computation at scale; the query exists to pin the recursion
+    semantics against an independent engine."""
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(_Q124_SQL)
