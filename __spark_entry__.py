@@ -49,14 +49,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # run in the bench headline and every local check_oracle sweep).
 # NEXT ROUND: rotate the CORRECTNESS_r01 key set back to the front
 # (it will then be the stalest), plus the r2 keys benched out this
-# round (q23-q28 q38 q39 q52-q54 q75 q76 q81-q86 q93-q99) and any
+# round (q23-q28 q38 q39 q52-q54 q75 q76 q80-q86 q93-q99) and any
 # round-5-new queries.
 _ROTATE_FRONT = (
     "q100 q101 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111 "
     "q112 q113 q114 q115 q116 q117 q118 q119 q120 q121 q122 q123 "
-    "q124 q42 q87 "
+    "q124 q125 q42 q87 "
     "q90 q89 q91 q36 q37 q62 q63 q29 q92 q46 q45 q47 q48 q49 q69 q88 "
-    "q04 q72 q73 q74 q78 q79 q80"
+    "q04 q72 q73 q74 q78 q79"
 ).split()
 
 

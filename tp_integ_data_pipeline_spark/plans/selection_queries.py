@@ -415,3 +415,62 @@ def q120_hll_shard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_docs_est"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q125 — tokenizer vocabulary coverage / OOV-rate audit
+# --------------------------------------------------------------------------
+@query(
+    "q125_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ORDER BY c DESC, tok LIMIT 100
+        )
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (WHERE tok IN (SELECT tok FROM vocab)) AS n_in_vocab,
+           round(COUNT(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))
+                 * 1.0 / COUNT(*), 6) AS oov_rate
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q125_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: fix the top-100 corpus tokens as the
+    'tokenizer vocabulary' and measure per-source OOV rate — the check
+    run before shipping a tokenizer to training (a source with high
+    OOV gets its text mangled into unknowns). The vocab is a bounded
+    top-k (broadcast); token stream aggregates once per (source,
+    in-vocab) — two corpus-token shuffles total, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(100)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__in").isNotNull(), 1)).alias("n_in_vocab"),
+            F.round(
+                F.count(F.when(F.col("__in").isNull(), 1)) * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
