@@ -35,15 +35,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal. Round 4
-# priority order: (a) q100–q107 — the round-3/4-new operators with
-# ZERO driver-file signal yet (judge-verified only); (b) q42/q87 —
-# r3-validated but their candidate generation changed in round 4
-# (hot-bucket salting is now the default); (c) the CORRECTNESS_r02
-# key set, whose signal is oldest otherwise. (a)+(b)+(c) exceeds the
-# 50-slot cap, so some r2 keys sit this round out — chosen as the
-# ones with the strongest OTHER current-code evidence (q26/q52 are
-# rows-only with pytest property/recall tests; q23-q25/q27/q28/q38/
-# q39/q53-q54/q75-q76 are single-operator relational queries on code
+# priority order: (a) q100–q125 — the round-3/4-new operators with
+# ZERO driver-file signal yet (judge/local-sweep-verified only);
+# (b) q42/q87 — r3-validated but their candidate generation changed
+# in round 4 (hot-bucket salting is now the default, the signature
+# relation is lazily checkpointed); (c) the CORRECTNESS_r02 key set,
+# whose signal is oldest otherwise. (a)+(b)+(c) exceeds the 50-slot
+# cap, so some r2 keys sit this round out — chosen as the ones with
+# the strongest OTHER current-code evidence (q26/q52 are rows-only
+# with pytest property/recall tests; q23-q25/q27/q28/q38/q39/q53-q54/
+# q75-q76/q80-q85 are single-operator relational queries on code
 # untouched since round 2, each also pytest-covered; q86/q93-q99 have
 # r2 hash-match signal plus dedicated pytest coverage, and q93/q97
 # run in the bench headline and every local check_oracle sweep).
