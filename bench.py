@@ -59,6 +59,9 @@ HEADLINE = [
     "q119_weighted_sample",
     "q120_hll_shard_rollup",
     "q121_canonical_dedup",
+    "q123_lateral_topk",
+    "q124_recursive_walk",
+    "q125_vocab_coverage",
 ]
 
 
