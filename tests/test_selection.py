@@ -175,3 +175,38 @@ def test_hll_rollup_exact_regime(spark):
         assert max(exact.values()) < 0.75 * (1 << 14)
         est = {r["source"]: r["n_docs_est"] for r in q120_hll_shard_rollup(spark, sf_dir).collect()}
         assert est == exact, (sf_dir, est, exact)
+
+
+def test_canonical_text_matches_duckdb_on_adversarial_strings(spark):
+    # The q121 oracle re-implements canonical_text in DuckDB's regex
+    # dialect; lock the two engines together on strings chosen to
+    # probe dialect drift (unicode, regex metachars, control chars).
+    import duckdb
+
+    from tp_integ_data_pipeline_spark.operators.text import canonical_text
+
+    samples = [
+        "Hello,  World!",
+        "  leading and trailing  ",
+        "UPPER lower 123 456",
+        "tabs\tand\nnewlines",
+        "regex [meta] (chars) .* +? |x",
+        "café 中文 mixed ascii",
+        "a" * 50 + "   " + "b" * 50,
+        "", "   ", "!!!",
+    ]
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in docs.select("doc_id", canonical_text("text").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        want = con.execute(
+            "SELECT trim(regexp_replace(regexp_replace(lower(?), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))",
+            [s],
+        ).fetchone()[0]
+        assert got[i] == want, (i, s, got[i], want)

@@ -53,3 +53,27 @@ def test_csv_quarantine_separates_malformed(spark, tmp_path):
     assert {r["id"] for r in good.collect()} == {1, 3}
     bad = [r["raw_line"] for r in quarantine.collect()]
     assert len(bad) == 1 and "not_a_number" in bad[0]
+
+
+def test_jsonl_roundtrip_escapes_and_unicode(spark, tmp_path):
+    # newline, quote, backslash, tab, non-ASCII — the characters JSONL
+    # must escape to stay one-record-per-line
+    rows = [
+        (1, 'line one\nline two', "en", "s", 17),
+        (2, 'quote " and \\ backslash', "en", "s", 23),
+        (3, "tab\there + café 中文 \U0001f600", "xx", "s", 15),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "esc_jsonl")
+    write_jsonl(docs, out, compression="none")
+    back = read_jsonl(spark, out, DOC_SCHEMA)
+    assert back.count() == 3
+    assert docs.exceptAll(back).count() == 0 and back.exceptAll(docs).count() == 0
+    # one JSON object per line even with embedded newlines in values
+    import glob
+    lines = []
+    for f in glob.glob(out + "/part-*.json"):
+        lines += [l for l in open(f, encoding="utf-8").read().splitlines() if l.strip()]
+    assert len(lines) == 3
