@@ -210,3 +210,29 @@ def test_canonical_text_matches_duckdb_on_adversarial_strings(spark):
             [s],
         ).fetchone()[0]
         assert got[i] == want, (i, s, got[i], want)
+
+
+def test_hash_bucket_matches_duckdb_on_adversarial_strings(spark):
+    # hash_bucket is the oracle-replayable feature hash under q112/q119;
+    # lock the Spark and DuckDB computations together on arbitrary text.
+    import duckdb
+
+    from tp_integ_data_pipeline_spark.operators.selection import hash_bucket
+
+    samples = [
+        "", " ", "a", "hello world", "café 中文", '"quoted"', "back\\slash",
+        "newline\nin value", "ws1:12345", "0x1f", "ÿ" * 40,
+    ]
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    got = {
+        r["i"]: r["b"]
+        for r in docs.select("i", hash_bucket(docs.s, 4096).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        want = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 8)) AS BIGINT) % 4096", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (i, s, got[i], want)

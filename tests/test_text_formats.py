@@ -77,3 +77,14 @@ def test_jsonl_roundtrip_escapes_and_unicode(spark, tmp_path):
     for f in glob.glob(out + "/part-*.json"):
         lines += [l for l in open(f, encoding="utf-8").read().splitlines() if l.strip()]
     assert len(lines) == 3
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    # ORC is the other columnar interchange format Spark ships natively;
+    # verify the corpus round-trips bit-exactly through it.
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == docs.schema
+    assert docs.exceptAll(back).count() == 0 and back.exceptAll(docs).count() == 0
