@@ -68,6 +68,11 @@ BNLJ_ALLOWED = {
     "q113_trigram_surprisal": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row boundary-cutoff scalar (max c_ts − 3 h) over the sink
     "q122_stream_left_outer_join": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row count-of-vectors scalar attached to the gram triangle and
+    # to each of the two mean-relation references (d-row side)
+    "q126_embedding_covariance": {"scalar_aggs": 3, "filtered_batches": []},
+    # 1-row unigram-total and bigram-total scalars on the PMI score
+    "q130_bigram_pmi": {"scalar_aggs": 2, "filtered_batches": []},
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

@@ -1,0 +1,196 @@
+"""Distributed embedding moment statistics: covariance and PCA whitening.
+
+The scale shape for second moments of an n x d embedding table is NOT
+"explode (i, j) pairs" (that is an n*d^2 row blow-up — 4096x for d=64);
+it is the classic partial-aggregation form: each partition folds its
+rows into ONE d x d Gram triangle + a d-vector sum + a count with BLAS
+(`X.T @ X` per Arrow batch inside ``mapInPandas``), and only those
+O(partitions * d^2) tiny partial rows shuffle. A 100 TB table with
+10^5 partitions emits ~10^5 * 2080 rows — megabytes — regardless of n.
+
+PCA / whitening then factorizes the d x d covariance ON THE DRIVER
+(d is a model constant, so the eigh input is bounded, like the IVF
+centroid table in operators/similarity.py) and ships the projection
+back as a SparkContext broadcast — model-as-data, never plan literals,
+so the plan size stays O(1) in d.
+
+No reference-repo counterpart (the reference has no embedding ops);
+this implements the SURVEY.md §2.10 extension mandate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Sentinel index used for the d-vector sums ((i, -1)) and the row count
+# ((-1, -1)) so one shuffle carries all three moment kinds.
+_SUM_J = -1
+_COUNT_I = -1
+
+
+def partial_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Fold each partition's vectors into partial second-moment rows
+    ``(i, j, v)``: upper-triangle Gram sums (i <= j), per-dimension
+    sums ``(i, -1)``, and the row count ``(-1, -1)``. The output is
+    O(partitions * d^2) rows — the only thing that ever shuffles."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        vsum = None
+        count = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = x.T @ x
+            gram = g if gram is None else gram + g
+            s = x.sum(axis=0)
+            vsum = s if vsum is None else vsum + s
+            count += len(x)
+        if count == 0:
+            return
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        out = pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d), [_COUNT_I]]),
+                "j": np.concatenate([ju, np.full(d, _SUM_J), [_SUM_J]]),
+                "v": np.concatenate([gram[iu, ju], vsum, [float(count)]]),
+            }
+        )
+        out["i"] = out["i"].astype("int32")
+        out["j"] = out["j"].astype("int32")
+        yield out
+
+    return df.select(vec_col).mapInPandas(fold, schema="i int, j int, v double")
+
+
+def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Population covariance of an ``array<float>`` column as an upper
+    triangle of (i, j, cov) rows: cov = E[x_i x_j] - E[x_i] E[x_j].
+
+    One scan, one tiny shuffle (the partial-moment rows), then joins
+    against the d-row mean relation — every post-scan relation is
+    O(d^2), so the finishing joins broadcast."""
+    moments = partial_moments(df, vec_col).groupBy("i", "j").agg(F.sum("v").alias("v"))
+    # Keyless aggregate on top of the count-row filter: ≤ 1 row by
+    # construction AND provably so to the plan gate (Keys: [] shape) —
+    # a bare filter would be 1-row only by convention.
+    n = moments.filter((F.col("i") == _COUNT_I) & (F.col("j") == _SUM_J)).agg(
+        F.sum("v").alias("n")
+    )
+    means = (
+        moments.filter((F.col("i") != _COUNT_I) & (F.col("j") == _SUM_J))
+        .crossJoin(F.broadcast(n))
+        .select("i", (F.col("v") / F.col("n")).alias("mean"))
+    )
+    gram = moments.filter(F.col("j") != _SUM_J)
+    return (
+        gram.crossJoin(F.broadcast(n))
+        .join(F.broadcast(means.select(F.col("i"), F.col("mean").alias("__mi"))), "i")
+        .join(
+            F.broadcast(means.select(F.col("i").alias("j"), F.col("mean").alias("__mj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            ((F.col("v") / F.col("n")) - F.col("__mi") * F.col("__mj")).alias("cov"),
+        )
+    )
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str = "embedding", k: int | None = None, eps: float = 1e-9
+) -> dict:
+    """Eigendecompose the d x d covariance on the driver (bounded by
+    the model dimension, not the data — same justification as the IVF
+    centroid pull, operators/similarity.py) and return the model as
+    plain numpy: {mean (d,), components (d, k) eigenvector columns,
+    eigenvalues (k,) descending}.
+
+    ONE scan: the aggregated moment rows (<= d*(d+1)/2 + d + 1 of
+    them) are pulled once and covariance + mean both derive from that
+    bounded pull."""
+    mom = (
+        partial_moments(df, vec_col).groupBy("i", "j").agg(F.sum("v").alias("v")).toPandas()
+    )
+    if mom.empty:
+        raise ValueError("fit_pca: input has no rows")
+    n = float(mom.loc[(mom["i"] == _COUNT_I) & (mom["j"] == _SUM_J), "v"].iloc[0])
+    dims = mom[(mom["i"] != _COUNT_I) & (mom["j"] == _SUM_J)]
+    d = int(dims["i"].max()) + 1
+    mean = np.zeros(d)
+    mean[dims["i"].to_numpy()] = dims["v"].to_numpy() / n
+    gram = mom[mom["j"] != _SUM_J]
+    cov = np.zeros((d, d))
+    cov[gram["i"], gram["j"]] = gram["v"] / n
+    cov[gram["j"], gram["i"]] = gram["v"] / n
+    cov -= np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    # Deterministic sign convention: make each component's
+    # largest-magnitude coordinate positive (eigh's sign is arbitrary).
+    flip = np.sign(evecs[np.abs(evecs).argmax(axis=0), np.arange(d)])
+    flip[flip == 0] = 1.0
+    evecs = evecs * flip
+    k = d if k is None else min(k, d)
+
+    return {
+        "mean": mean,
+        "components": evecs[:, :k],
+        "eigenvalues": np.maximum(evals[:k], 0.0),
+        "eps": eps,
+    }
+
+
+def transform_pca(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    whiten: bool = False,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Project (and optionally whiten) vectors with a fitted model.
+    The model travels as a SparkContext broadcast captured by the
+    Arrow-batched ``mapInPandas`` closure — not as plan literals — so
+    plan size and compile time are O(1) in d and k."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {
+            "mean": model["mean"],
+            "components": model["components"],
+            "scale": 1.0 / np.sqrt(model["eigenvalues"] + model["eps"]),
+            "whiten": whiten,
+        }
+    )
+    keep = keep_cols if keep_cols is not None else [c for c in df.columns if c != vec_col]
+    k = model["components"].shape[1]
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = (x - m["mean"]) @ m["components"]
+            if m["whiten"]:
+                p = p * m["scale"]
+            out = pdf[keep].copy()
+            out[out_col] = list(p)
+            yield out
+
+    in_schema = df.select(*keep, vec_col).schema
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema if f.name != vec_col
+    )
+    schema = f"{fields}, {out_col} array<double>" if fields else f"{out_col} array<double>"
+    _ = k  # k documented via model shape; schema is array-typed
+    return df.select(*keep, vec_col).mapInPandas(project, schema=schema)

@@ -1,0 +1,103 @@
+"""Embedding second-moment queries: distributed covariance and PCA
+whitening (operators/embed_stats.py). No reference-repo counterpart —
+SURVEY.md §2.10 extension surface for the embedding side of a training
+pipeline (decorrelation before quantization/ANN, drift detection,
+SemDeDup preprocessing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.embed_stats import (
+    covariance_matrix,
+    fit_pca,
+    transform_pca,
+)
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+
+# --------------------------------------------------------------------------
+# q126 — full covariance matrix of the embedding table
+# --------------------------------------------------------------------------
+@query(
+    "q126_embedding_covariance",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    m AS (SELECT i, SUM(v) / (SELECT n FROM n) AS mean FROM x GROUP BY i),
+    g AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    )
+    SELECT g.i, g.j,
+           ROUND(g.sxy / (SELECT n FROM n) - mi.mean * mj.mean, 6) AS cov
+    FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
+    ORDER BY g.i, g.j
+    """,
+)
+def q126_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance (upper triangle, d*(d+1)/2 rows) of the
+    embedding table. The Spark plan is the partial-Gram shape: BLAS
+    ``X.T @ X`` per Arrow batch inside mapInPandas, O(partitions * d^2)
+    partial rows shuffled, bounded broadcast joins to finish — NOT an
+    n*d^2 pair explode (the oracle's shape, fine for DuckDB at check
+    scale, fatal at 100 TB)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        covariance_matrix(emb, "embedding")
+        .select("i", "j", F.round("cov", 6).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+# --------------------------------------------------------------------------
+# q127 — PCA whitening end-to-end (fit on driver-bounded moments,
+# transform distributed, verify variance spectrum distributed)
+# --------------------------------------------------------------------------
+# Rows-only by design: the eigendecomposition (np.linalg.eigh) is not
+# SQL-expressible. The pytest property suite carries the hard checks
+# (whitened covariance == identity, explained-variance ordering,
+# determinism) — tests/test_embed_stats.py.
+@query("q127_pca_whitening")
+def q127_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit PCA on the embedding table (one scan -> d x d moments ->
+    driver eigh), whiten-project the table with the model as a
+    SparkContext broadcast, then re-aggregate the projected variance
+    per component distributed. Output: (component, eigenvalue,
+    explained_ratio, whitened_var) — whitened_var ~= 1 by construction,
+    computed from the data (not the model) so it actually exercises
+    the transform path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = fit_pca(emb, "embedding", k=None)  # one scan; slice top-8 below
+    trace = float(full["eigenvalues"].sum()) or 1.0
+    model = {
+        "mean": full["mean"],
+        "components": full["components"][:, :8],
+        "eigenvalues": full["eigenvalues"][:8],
+        "eps": full["eps"],
+    }
+    proj = transform_pca(emb, model, "embedding", out_col="proj", whiten=True)
+    dims = proj.select(F.posexplode("proj").alias("component", "w"))
+    stats = dims.groupBy("component").agg(
+        F.round(F.avg(F.col("w") * F.col("w")) - F.avg("w") * F.avg("w"), 4).alias(
+            "whitened_var"
+        )
+    )
+    eig = spark.createDataFrame(
+        [
+            (int(c), float(round(ev, 6)), float(round(ev / trace, 6)))
+            for c, ev in enumerate(model["eigenvalues"])
+        ],
+        "component int, eigenvalue double, explained_ratio double",
+    )
+    return (
+        stats.join(F.broadcast(eig), "component")
+        .select("component", "eigenvalue", "explained_ratio", "whitened_var")
+        .orderBy("component")
+    )
