@@ -62,6 +62,9 @@ HEADLINE = [
     "q123_lateral_topk",
     "q124_recursive_walk",
     "q125_vocab_coverage",
+    "q126_embedding_covariance",
+    "q130_bigram_pmi",
+    "q131_length_trim",
 ]
 
 

@@ -73,6 +73,9 @@ BNLJ_ALLOWED = {
     "q126_embedding_covariance": {"scalar_aggs": 3, "filtered_batches": []},
     # 1-row unigram-total and bigram-total scalars on the PMI score
     "q130_bigram_pmi": {"scalar_aggs": 2, "filtered_batches": []},
+    # 1-row global [lo, hi] bounds attached to the scan and to the
+    # per-type quantile finish
+    "q133_histogram_quantiles": {"scalar_aggs": 2, "filtered_batches": []},
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

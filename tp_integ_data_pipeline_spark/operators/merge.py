@@ -564,3 +564,59 @@ class BucketedParquetTable:
                 stg.limit(0) if target is None else target.join(stg, self.keys, "left_anti")
             ),
         )
+
+
+def table_changes(table, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
+    """Change data feed between two committed versions (the Delta
+    `table_changes` idea re-expressed on the CAS-commit tables): rows
+    tagged ``_change_type`` in {insert, delete, update_preimage,
+    update_postimage}, comparing the state AS OF ``v_from`` with the
+    state AS OF ``v_to`` on ``keys``.
+
+    Shape at 100 TB: ONE full-outer equi-join on the merge keys (the
+    minimum any version diff needs without per-commit row tracking),
+    then a row-local when/explode to emit 0–2 change rows per key —
+    the four change kinds come out of a single evaluation of the join,
+    not four filtered re-evaluations. Works on VersionedParquetTable
+    and BucketedParquetTable alike (both expose ``read(version=)``).
+    """
+    old = table.read(version=v_from)
+    new = table.read(version=v_to)
+    if old is None and new is None:
+        raise ValueError("table_changes: both versions are empty")
+    template = new if new is not None else old
+    if old is None:
+        old = template.limit(0)
+    if new is None:
+        new = template.limit(0)
+    payload = [c for c in template.columns if c not in keys]
+    o = old.select(*keys, F.struct(*payload).alias("__o"), F.lit(True).alias("__in_o"))
+    n = new.select(*keys, F.struct(*payload).alias("__n"), F.lit(True).alias("__in_n"))
+    j = o.join(n, keys, "full_outer")
+    change_struct = "struct<_change_type:string,row:struct<" + ",".join(
+        f"`{f.name}`:{f.dataType.simpleString()}"
+        for f in template.schema
+        if f.name not in keys
+    ) + ">>"
+    changes = (
+        F.when(
+            F.col("__in_o").isNull(),
+            F.array(F.struct(F.lit("insert").alias("_change_type"), F.col("__n").alias("row"))),
+        )
+        .when(
+            F.col("__in_n").isNull(),
+            F.array(F.struct(F.lit("delete").alias("_change_type"), F.col("__o").alias("row"))),
+        )
+        .when(
+            ~F.col("__o").eqNullSafe(F.col("__n")),
+            F.array(
+                F.struct(F.lit("update_preimage").alias("_change_type"), F.col("__o").alias("row")),
+                F.struct(F.lit("update_postimage").alias("_change_type"), F.col("__n").alias("row")),
+            ),
+        )
+        .otherwise(F.array().cast(f"array<{change_struct}>"))
+    )
+    return (
+        j.select(*keys, F.explode(changes).alias("__c"))
+        .select(*keys, "__c._change_type", "__c.row.*")
+    )

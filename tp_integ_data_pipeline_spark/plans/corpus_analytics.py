@@ -255,3 +255,170 @@ def q131_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "p05", "p95", "n_kept", "n_trimmed")
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q133 — mergeable fixed-bin histogram quantiles (telemetry percentiles)
+# --------------------------------------------------------------------------
+_N_HIST_BINS = 64
+
+
+@query(
+    "q133_histogram_quantiles",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CAST(LEAST(FLOOR((value - b.lo) / (b.hi - b.lo) * {_N_HIST_BINS}),
+                          {_N_HIST_BINS - 1}) AS INT) AS bin
+        FROM events, bounds b
+    ),
+    hist AS (
+        SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND((SELECT lo FROM bounds)
+                 + MIN(CASE WHEN cum >= 0.5 * n THEN bin END)
+                   * ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))
+                   / {_N_HIST_BINS}, 6) AS p50_lo,
+           ROUND((SELECT lo FROM bounds)
+                 + MIN(CASE WHEN cum >= 0.95 * n THEN bin END)
+                   * ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))
+                   / {_N_HIST_BINS}, 6) AS p95_lo
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q133_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from a MERGEABLE fixed-bin histogram: global
+    [lo, hi) from a 1-row scalar, {_N_HIST_BINS} bins, per-(type, bin)
+    counts, quantile = lower edge of the first bin whose cumulative
+    count crosses q*n. The histogram relation is re-aggregable partial
+    state (shards union by summing bin counts — the same property HLL
+    gives distincts, q120), ≤ {_N_HIST_BINS} rows per key, so the
+    cumulative window is bounded; raw values are never sorted or
+    collected. Identical double expressions on both engines, rounded
+    at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * _N_HIST_BINS),
+            F.lit(_N_HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("event_type").orderBy("bin").rangeBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(F.when(F.col("cum") >= 0.5 * F.col("n"), F.col("bin"))).alias("__b50"),
+            F.min(F.when(F.col("cum") >= 0.95 * F.col("n"), F.col("bin"))).alias("__b95"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "n",
+            F.round(
+                F.col("lo") + F.col("__b50") * (F.col("hi") - F.col("lo")) / _N_HIST_BINS, 6
+            ).alias("p50_lo"),
+            F.round(
+                F.col("lo") + F.col("__b95") * (F.col("hi") - F.col("lo")) / _N_HIST_BINS, 6
+            ).alias("p95_lo"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q134 — pairwise source-corpus overlap (exact Jaccard over 3-gram sets)
+# --------------------------------------------------------------------------
+@query(
+    "q134_source_overlap",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT source, gram
+        FROM (
+            SELECT source,
+                   a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS gram
+            FROM (SELECT source, string_split(text, ' ') AS a FROM documents),
+                 UNNEST(range(1, len(a) - 1)) AS r(i)
+        )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           ROUND(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q134_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much do the corpus's sources overlap? Exact Jaccard between
+    each source pair over distinct word-3-gram sets. The pair counts
+    come from ONE grouped pass: per gram, the distinct sources as a
+    sorted array (bounded by |sources|, a catalog constant), pair
+    expansion row-local from that array — never a gram-keyed self-join
+    of the corpus against itself (the oracle's shape: fine at check
+    scale, quadratic scan at 100 TB)."""
+    from tp_integ_data_pipeline_spark.plans.curation import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("source", F.split("text", " ").alias("w"))
+        .select("source", F.explode(word_ngrams("w", 3)).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    by_gram = grams.groupBy("gram").agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    pairs = by_gram.filter(F.size("ss") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) ->"
+                " transform(slice(ss, i + 2, size(ss)), y -> struct(x AS src_a, y AS src_b))))"
+            )
+        ).alias("p")
+    )
+    inter = pairs.select("p.src_a", "p.src_b").groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("__na"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("__nb"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(F.col("n_common") / (F.col("__na") + F.col("__nb") - F.col("n_common")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

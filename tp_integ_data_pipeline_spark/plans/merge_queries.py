@@ -110,3 +110,76 @@ def q71_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "q132_table_changes",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    upd AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice
+        FROM v1 WHERE o_orderkey % 3 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderkey, 'delete' AS _change_type, o_custkey, o_orderstatus, o_totalprice
+    FROM v1 WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, 'insert', o_custkey, o_orderstatus, o_totalprice
+    FROM ins WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'update_preimage', o_custkey, o_orderstatus, o_totalprice
+    FROM v1 WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'update_postimage', o_custkey, o_orderstatus, o_totalprice
+    FROM upd WHERE o_orderkey % 5 <> 0
+    ORDER BY o_orderkey, _change_type
+    """,
+)
+def q132_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across three commits of a VersionedParquetTable
+    (overwrite base → overwrite updated+inserted → targeted delete),
+    diffed with operators/merge.table_changes: one full-outer key join
+    of the two AS-OF states, change rows emitted by a row-local
+    when/explode (never four filtered re-evaluations of the join). The
+    oracle reconstructs both states with set algebra and derives the
+    same feed — insert/delete/update_pre/update_post all hash-checked.
+    """
+    import tempfile
+
+    from tp_integ_data_pipeline_spark.operators.merge import (
+        VersionedParquetTable,
+        table_changes,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    t = VersionedParquetTable(spark, tempfile.mkdtemp(prefix="cdf_q132_"))
+    t.overwrite(base)
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    v2 = (
+        base.filter(F.col("o_orderkey") % 3 != 0)
+        .unionByName(upd)
+        .unionByName(o.filter(F.col("o_orderkey") % 7 == 0))
+    )
+    t.overwrite(v2)
+    t.delete_keys(o.filter(F.col("o_orderkey") % 5 == 0), ["o_orderkey"])
+    versions = [h["version"] for h in t.history()]
+    return (
+        table_changes(t, versions[0], versions[-1], ["o_orderkey"])
+        .select("o_orderkey", "_change_type", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey", "_change_type")
+    )
