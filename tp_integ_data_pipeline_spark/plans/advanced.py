@@ -466,3 +466,58 @@ def q124_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics against an independent engine."""
     register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(_Q124_SQL)
+
+
+# --------------------------------------------------------------------------
+# q136 — grouped-aggregate pandas UDF (UDAF), registered and called
+# from SQL — completes the custom-function family (q37 scalar
+# pandas_udf, q44 applyInPandas, q46 UDTF)
+# --------------------------------------------------------------------------
+@query(
+    "q136_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 6) AS gmean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q136_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (geometric mean) as a GROUPED_AGG pandas UDF —
+    the UDAF surface: Arrow ships each group's column once, numpy
+    reduces it, and the result is usable BOTH from the DataFrame agg
+    API and from SQL via spark.udf.register. Geometric mean is chosen
+    as a real custom metric that still has an exact SQL form
+    (exp(avg(ln))) so the UDAF answer is oracle-checkable; rounded to
+    6 dp because the two engines (and any two partition orders) sum
+    logs in different orders. Scale note: GROUPED_AGG materializes one
+    group per Arrow batch — fine for bounded groups like returnflag;
+    unbounded-group metrics should use expression-level partial aggs
+    instead (the q88 pattern)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def gmean(s: pd.Series) -> float:
+        return float(np.exp(np.log(s.to_numpy(dtype="float64")).mean()))
+
+    spark.udf.register("gmean", gmean)
+    register_views(spark, sf_dir, ["lineitem"])
+    # A GROUPED_AGG pandas UDF cannot share an Aggregate with built-in
+    # (non-pandas) aggregates — Spark restriction — so the count rides
+    # a separate 4-row aggregate joined back on the group key.
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT l_returnflag, ROUND(gmean(l_extendedprice), 6) AS gmean_price
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        c AS (
+            SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT c.l_returnflag, c.n, g.gmean_price
+        FROM c JOIN g USING (l_returnflag)
+        ORDER BY c.l_returnflag
+        """
+    )
