@@ -14,6 +14,10 @@ from tp_integ_data_pipeline_spark.operators.embed_stats import (
     fit_pca,
     transform_pca,
 )
+from tp_integ_data_pipeline_spark.operators.quantize import (
+    quantize_codes,
+    reconstruction_report,
+)
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.sources.fixtures import load_table
 
@@ -101,3 +105,48 @@ def q127_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component", "eigenvalue", "explained_ratio", "whitened_var")
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# q137 — int8 scalar quantization of the embedding table + per-dim
+# reconstruction audit (operators/quantize.py)
+# --------------------------------------------------------------------------
+@query(
+    "q137_embedding_quantize",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    st AS (SELECT dim, MIN(v) AS cmin, MAX(v) AS cmax FROM x GROUP BY dim),
+    q AS (
+        SELECT x.dim, v, cmin, cmax,
+               CASE WHEN cmax = cmin THEN 0
+                    ELSE CAST(FLOOR((v - cmin) / (cmax - cmin) * 255 + 0.5) AS INT)
+               END AS code
+        FROM x JOIN st USING (dim)
+    ),
+    r AS (
+        SELECT dim, cmin, cmax, code,
+               ABS(v - (cmin + code * (cmax - cmin) / 255)) AS abs_err
+        FROM q
+    )
+    SELECT dim, ROUND(MIN(cmin), 6) AS cmin, ROUND(MAX(cmax), 6) AS cmax,
+           COUNT(DISTINCT code) AS n_codes,
+           ROUND(AVG(abs_err), 6) AS avg_abs_err,
+           ROUND(MAX(abs_err), 6) AS max_abs_err
+    FROM r GROUP BY dim ORDER BY dim
+    """,
+)
+def q137_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max int8 codes over every embedding dimension, audited per
+    dim (bounds, code spread, reconstruction error). The whole code
+    path — not just the aggregate — is engine-reproducible (float32 ->
+    double exact, floor(x+0.5) instead of round()), so the oracle
+    recomputes the identical codes; the d-row stats table rides a
+    broadcast equi-join on dim (never a 1-row cross join). Storage
+    win at scale: 4x smaller ANN corpus with max error <= range/510
+    per dim (bound asserted in tests/test_quantize.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = quantize_codes(emb, "embedding", "vec_id", levels=255)
+    return reconstruction_report(ex).orderBy("dim")
