@@ -146,7 +146,10 @@ def q137_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the identical codes; the d-row stats table rides a
     broadcast equi-join on dim (never a 1-row cross join). Storage
     win at scale: 4x smaller ANN corpus with max error <= range/510
-    per dim (bound asserted in tests/test_quantize.py)."""
+    per dim (bound asserted in tests/test_quantize.py). Complements
+    q53's per-VECTOR symmetric quantizer: per-dim asymmetric min-max
+    adapts to anisotropic dimensions and supports the frozen-stats
+    train/apply split an incremental corpus needs."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = quantize_codes(emb, "embedding", "vec_id", levels=255)
     return reconstruction_report(ex).orderBy("dim")

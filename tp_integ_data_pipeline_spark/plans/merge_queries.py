@@ -183,3 +183,88 @@ def q132_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "_change_type", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey", "_change_type")
     )
+
+
+@query(
+    "q138_incremental_view",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    upd AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 5.0 AS o_totalprice
+        FROM v1 WHERE o_orderkey % 3 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey % 3 <> 0
+        UNION ALL SELECT * FROM upd
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    v3 AS (SELECT * FROM v2 WHERE o_orderkey % 5 <> 0)
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM v3 GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q138_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer (count, sum) view
+    materialized at commit v1 is rolled forward to v3 by applying the
+    change data feed (operators/ivm.delta_aggregate + apply_delta) —
+    the base table is never rescanned; work is O(|changes| + |touched
+    groups|). The oracle recomputes the view from the FINAL state with
+    set algebra, so the check is the IVM contract itself: delta-applied
+    == full recompute, exactly (sums ride decimal(18,2) so no float
+    summation-order slack; the update is +5.0, not *1.1, because Spark's
+    double->decimal cast rounds the SHORTEST string repr while DuckDB
+    rounds the binary value — off-cent prices would diverge). The reference's nightly full-refresh MERGE
+    (transf.py:215-273) is the shape this replaces at 100 TB."""
+    import tempfile
+
+    from tp_integ_data_pipeline_spark.operators.ivm import apply_delta, delta_aggregate
+    from tp_integ_data_pipeline_spark.operators.merge import (
+        VersionedParquetTable,
+        table_changes,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    t = VersionedParquetTable(spark, tempfile.mkdtemp(prefix="ivm_q138_"))
+    t.overwrite(base)
+    upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", (F.col("o_totalprice") + 5.0).alias("o_totalprice")
+    )
+    v2 = (
+        base.filter(F.col("o_orderkey") % 3 != 0)
+        .unionByName(upd)
+        .unionByName(o.filter(F.col("o_orderkey") % 7 == 0))
+    )
+    t.overwrite(v2)
+    t.delete_keys(o.filter(F.col("o_orderkey") % 5 == 0), ["o_orderkey"])
+    versions = [h["version"] for h in t.history()]
+
+    dec = lambda df: df.withColumn(  # noqa: E731
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    view_v1 = (
+        dec(t.read(versions[0]))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_dec").alias("total_price"),
+        )
+    )
+    feed = dec(table_changes(t, versions[0], versions[-1], ["o_orderkey"]))
+    delta = delta_aggregate(
+        feed, ["o_custkey"], {"total_price": "price_dec"}, count_col="n_orders"
+    )
+    maintained = apply_delta(
+        view_v1, delta, ["o_custkey"], {"total_price": "price_dec"}, count_col="n_orders"
+    )
+    return maintained.select(
+        "o_custkey", "n_orders", F.col("total_price").cast("double").alias("total_price")
+    ).orderBy("o_custkey")
