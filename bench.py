@@ -65,6 +65,12 @@ HEADLINE = [
     "q126_embedding_covariance",
     "q130_bigram_pmi",
     "q131_length_trim",
+    "q137_embedding_quantize",
+    "q138_incremental_view",
+    "q140_gapfill_resample",
+    "q141_pagerank",
+    "q142_scd2_history",
+    "q145_fuzzy_linkage",
 ]
 
 

@@ -54,6 +54,9 @@ BNLJ_ALLOWED = {
     "q50_knn_bruteforce": {"scalar_aggs": 0, "filtered_batches": ["vec_id"]},
     # 1-row broadcast centroid-list attach (corpus + queries)
     "q52_ann_ivf": {"scalar_aggs": 2, "filtered_batches": []},
+    # 1-row centroid-list (queries + ivf_assign) and codebook
+    # (encode + ADC) attaches
+    "q139_ann_ivf_pq": {"scalar_aggs": 4, "filtered_batches": []},
     "q54_tfidf_top_term": {"scalar_aggs": 1, "filtered_batches": []},  # corpus count
     "q85_idle_rich_customers": {"scalar_aggs": 1, "filtered_batches": []},  # avg balance
     "q86_part_value_concentration": {"scalar_aggs": 1, "filtered_batches": []},  # total value

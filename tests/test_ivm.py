@@ -113,3 +113,76 @@ def test_empty_feed_is_noop(spark):
     want = _view(base).toPandas().set_index("grp").sort_index()
     assert got["n"].to_dict() == want["n"].to_dict()
     assert got["total"].to_dict() == want["total"].to_dict()
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history-keeping upsert (operators/merge.scd2_upsert) — kept here
+# with the other state-evolution ops (IVM maintains aggregates across
+# commits; SCD2 maintains row history across merges)
+# ---------------------------------------------------------------------------
+from tp_integ_data_pipeline_spark.operators.merge import scd2_upsert  # noqa: E402
+
+_T = "k long, attr string, bal double, valid_from date, valid_to date, is_current boolean"
+_S = "k long, attr string, bal double"
+
+
+def _tgt(spark):
+    import datetime
+
+    d = datetime.date(2024, 1, 1)
+    rows = [
+        (1, "a", 10.0, d, None, True),
+        (2, "b", 20.0, d, None, True),
+        (3, None, 30.0, d, None, True),
+    ]
+    return spark.createDataFrame(rows, _T)
+
+
+def test_scd2_change_insert_unchanged_and_null(spark):
+    stage = spark.createDataFrame(
+        [(1, "a2", 11.0), (2, "b", 20.0), (3, None, 30.0), (9, "new", 0.0)], _S
+    )
+    out = (
+        scd2_upsert(_tgt(spark), stage, ["k"], ["attr", "bal"], "2024-06-01")
+        .toPandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    # k=1 changed: closed old + new current
+    k1 = out[out["k"] == 1]
+    assert len(k1) == 2
+    closed = k1[~k1["is_current"]].iloc[0]
+    assert str(closed["valid_to"]) == "2024-06-01" and closed["attr"] == "a"
+    assert k1[k1["is_current"]].iloc[0]["attr"] == "a2"
+    # k=2 identical, k=3 null==null: exactly one untouched current row
+    for k in (2, 3):
+        rows = out[out["k"] == k]
+        assert len(rows) == 1 and rows.iloc[0]["is_current"]
+        assert rows.iloc[0]["valid_to"] is None or str(rows.iloc[0]["valid_to"]) == "NaT"
+    # k=9 inserted as first version
+    k9 = out[out["k"] == 9].iloc[0]
+    assert k9["is_current"] and str(k9["valid_from"]) == "2024-06-01"
+
+
+def test_scd2_second_merge_builds_three_versions(spark):
+    s1 = spark.createDataFrame([(1, "a2", 11.0)], _S)
+    v1 = scd2_upsert(_tgt(spark), s1, ["k"], ["attr", "bal"], "2024-06-01")
+    s2 = spark.createDataFrame([(1, "a3", 12.0)], _S)
+    v2 = (
+        scd2_upsert(v1, s2, ["k"], ["attr", "bal"], "2024-09-01")
+        .filter("k = 1")
+        .toPandas()
+        .sort_values("valid_from")
+    )
+    assert list(v2["attr"]) == ["a", "a2", "a3"]
+    assert [str(v) for v in v2["valid_to"]][:2] == ["2024-06-01", "2024-09-01"]
+    assert list(v2["is_current"]) == [False, False, True]
+
+
+def test_scd2_reapply_is_noop(spark):
+    s1 = spark.createDataFrame([(1, "a2", 11.0)], _S)
+    v1 = scd2_upsert(_tgt(spark), s1, ["k"], ["attr", "bal"], "2024-06-01")
+    v2 = scd2_upsert(v1, s1, ["k"], ["attr", "bal"], "2024-07-01")
+    a = v1.toPandas().sort_values(["k", "valid_from"]).reset_index(drop=True)
+    b = v2.toPandas().sort_values(["k", "valid_from"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -572,3 +572,27 @@ def test_lake_read_tolerates_corrupt_file(spark, tmp_path):
     with _pytest.raises(Exception):
         lake.read("t").count()  # default: fail loudly
     assert lake.read("t", tolerate_corrupt=True).count() == 2
+
+
+def test_versioned_table_restore(spark, tmp_path):
+    """RESTORE rolls back to a historical commit as a NEW commit:
+    content equals the old version, history keeps growing, and the
+    restored commit survives vacuum of its source version (data was
+    re-written, not aliased)."""
+    import pytest as _pytest
+
+    tbl = VersionedParquetTable(spark, str(tmp_path / "rt"))
+    tbl.overwrite(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    tbl.overwrite(spark.createDataFrame([(1, "a"), (2, "BAD")], ["k", "v"]))
+    tbl.restore(1)
+    hist = tbl.history()
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[-1]["meta"] == {"op": "restore", "restored_from": 1}
+    assert {r["k"] for r in tbl.read().collect()} == {1}
+    # the bad commit stays readable for forensics
+    assert {r["v"] for r in tbl.read(version=2).collect()} == {"a", "BAD"}
+    # vacuum the source version away: restored state unaffected
+    tbl.vacuum(keep_last=1, retention_seconds=0)
+    assert {r["k"] for r in tbl.read().collect()} == {1}
+    with _pytest.raises(ValueError):
+        tbl.restore(99)

@@ -1,0 +1,81 @@
+"""Link-analysis over edge tables: fixed-iteration PageRank.
+
+Companions to the near-dup machinery: ``operators/dedup.dup_clusters``
+gives connected components (large-star/small-star); this module adds
+the rank side — the web-graph quality signal (domain/page authority)
+a Common-Crawl-scale curation pipeline mixes into its keep/drop
+decisions.
+
+Scale shape: each iteration is ONE src-keyed equi-join (edges ⋈ ranks)
+plus ONE dst-keyed rollup — both shuffle on graph keys, map-side
+combined; dangling mass (out-degree-0 nodes) is a 1-row global
+aggregate broadcast back (a bounded BNLJ of the audited
+``scalar_aggs`` shape). The rank relation is lazily localCheckpoint'd
+every iteration so the plan stays O(1) deep across iterations — the
+same lineage-bounding pattern as the CC loop (operators/dedup.py).
+No driver-side collect of anything data-sized; the only driver scalar
+is the node count (one count() action, O(1) result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank on a directed edge list (duplicate
+    edges should be pre-distinct'd by the caller if unweighted
+    semantics are wanted). Returns (node, rank); Σrank == 1 every
+    iteration (dangling mass redistributed uniformly)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # bounded driver scalar: one long
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # ranks carries deg along (null for dangling) so the per-iteration
+    # join count stays at one
+    ranks = nodes.join(outdeg, "node", "left").select(
+        "node", "deg", F.lit(1.0 / n).alias("r")
+    ).localCheckpoint(eager=False)
+    base = F.lit((1.0 - damping) / n)
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.filter(F.col("deg").isNotNull()), e["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangle = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dangle")
+        )
+        ranks = (
+            ranks.select("node", "deg")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangle))
+            .select(
+                "node",
+                "deg",
+                (
+                    base
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dangle") / n)
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -277,6 +277,71 @@ def scd1_upsert(
     return untouched.unionByName(upserted.select(*untouched.columns))
 
 
+def scd2_upsert(
+    target: DataFrame,
+    stage: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    effective_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """SCD Type-2 merge end-state: history-keeping upsert.
+
+    - current rows whose ``tracked`` attributes CHANGED in the stage
+      are closed (``valid_to`` = effective date, current flag off) and
+      a new current version is appended;
+    - stage keys absent from the target insert a first version;
+    - current rows with identical tracked values are left untouched
+      (no spurious versions — the null-safe ``eqNullSafe`` compare
+      treats null==null as unchanged);
+    - historical (non-current) rows always pass through unchanged.
+
+    One key-equi-join against the stage plus output-sized unions —
+    the same plain-DataFrame rewrite contract as :func:`scd1_upsert`
+    (end state as a SELECT, directly comparable to a set-algebra SQL
+    oracle). Extends the reference's Type-1 MERGE (transf.py:215-273)
+    with the history dimension the reference drops.
+    """
+    eff = F.lit(effective_date).cast("date")
+    cur = target.filter(F.col(is_current))
+    hist = target.filter(~F.col(is_current))
+    s = stage.select(
+        *keys, *[F.col(c).alias(f"__s_{c}") for c in tracked]
+    )
+    # one join, classified by an explicit marker (null tracked values
+    # in the stage must not read as "absent")
+    marked = cur.join(s.withColumn("__in_stage", F.lit(True)), keys, "left")
+    unchanged_pred = F.lit(True)
+    for c in tracked:
+        unchanged_pred = unchanged_pred & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+    changed = F.coalesce(F.col("__in_stage"), F.lit(False)) & ~unchanged_pred
+    passthrough = marked.filter(~changed).select(*target.columns)
+    closed = marked.filter(changed).select(
+        *[
+            eff.alias(c)
+            if c == valid_to
+            else (F.lit(False).alias(c) if c == is_current else F.col(c))
+            for c in target.columns
+        ]
+    )
+    new_versions = marked.filter(changed).select(
+        *keys, *[F.col(f"__s_{c}").alias(c) for c in tracked]
+    )
+    inserts = stage.join(target.select(*keys).distinct(), keys, "left_anti").select(
+        *keys, *tracked
+    )
+    fresh = (
+        new_versions.unionByName(inserts)
+        .withColumn(valid_from, eff)
+        .withColumn(valid_to, F.lit(None).cast("date"))
+        .withColumn(is_current, F.lit(True))
+        .select(*target.columns)
+    )
+    return hist.unionByName(passthrough).unionByName(closed).unionByName(fresh)
+
+
 def insert_if_absent(target: DataFrame, stage: DataFrame, keys: list[str]) -> DataFrame:
     """M2: append stage rows whose key is absent from the target;
     matched rows DO NOTHING. Idempotent by construction."""
@@ -352,6 +417,19 @@ class VersionedParquetTable:
         raise ConcurrentWriteError(
             f"overwrite of {self.path} lost {self.max_retries} commit races"
         )
+
+    def restore(self, version: int) -> None:
+        """RESTORE TABLE ... TO VERSION AS OF: roll the table back to a
+        historical commit by publishing a NEW commit whose data equals
+        that version — history is preserved (the bad commits stay
+        readable for forensics until vacuum), exactly Delta's RESTORE
+        semantics. Data is re-written (not manifest-aliased) so the
+        restored commit owns its files and vacuum of the source version
+        can't orphan it."""
+        old = self.read(version)
+        if old is None:
+            raise ValueError(f"version {version} not found in {self.path}")
+        self.overwrite(old, meta={"op": "restore", "restored_from": version})
 
     def _merge(self, stage: DataFrame, combine, meta: dict | None = None) -> None:
         for _ in range(self.max_retries):

@@ -23,3 +23,6 @@ from tp_integ_data_pipeline_spark.plans import selection_queries  # noqa: E402,F
 from tp_integ_data_pipeline_spark.plans import embedding_queries  # noqa: E402,F401
 from tp_integ_data_pipeline_spark.plans import corpus_analytics  # noqa: E402,F401
 from tp_integ_data_pipeline_spark.plans import observe_queries  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import timeseries_queries  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import graph_queries  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import linkage_queries  # noqa: E402,F401

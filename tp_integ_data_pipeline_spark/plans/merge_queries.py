@@ -268,3 +268,93 @@ def q138_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.select(
         "o_custkey", "n_orders", F.col("total_price").cast("double").alias("total_price")
     ).orderBy("o_custkey")
+
+
+@query(
+    "q142_scd2_history",
+    oracle="""
+    WITH tgt AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               DATE '2024-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    stg AS (
+        SELECT c_custkey, c_name || '_v2' AS c_name, c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR), 0.0
+        FROM customer WHERE c_custkey % 13 = 0
+    ),
+    changed_keys AS (
+        SELECT t.c_custkey FROM tgt t JOIN stg s USING (c_custkey)
+        WHERE s.c_name IS DISTINCT FROM t.c_name
+           OR s.c_acctbal IS DISTINCT FROM t.c_acctbal
+    )
+    SELECT t.c_custkey, t.c_name, t.c_acctbal, t.valid_from,
+           DATE '2024-06-01' AS valid_to, FALSE AS is_current
+    FROM tgt t JOIN changed_keys USING (c_custkey)
+    UNION ALL
+    SELECT * FROM tgt
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM changed_keys)
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, s.c_acctbal,
+           DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+    FROM stg s
+    WHERE s.c_custkey IN (SELECT c_custkey FROM changed_keys)
+       OR s.c_custkey NOT IN (SELECT c_custkey FROM tgt)
+    ORDER BY c_custkey, valid_from
+    """,
+)
+def q142_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history-keeping merge (operators/merge.scd2_upsert):
+    changed keys close their current version (valid_to = effective
+    date) AND append a new one; unchanged stage rows (the %11 branch)
+    produce NO spurious version — null-safe attribute compare; new
+    keys insert a first version; history rows pass through. One
+    key-equi-join + output-sized unions, same end-state-as-SELECT
+    contract as q70's Type-1. Extends the reference's MERGE
+    (transf.py:215-273) with the history dimension it drops."""
+    from tp_integ_data_pipeline_spark.operators.merge import scd2_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    target = c.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    stage = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_name"), F.lit("_v2")).alias("c_name"),
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        )
+        .unionByName(
+            c.filter((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0))
+            .select("c_custkey", "c_name", "c_acctbal")
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return scd2_upsert(
+        target,
+        stage,
+        keys=["c_custkey"],
+        tracked=["c_name", "c_acctbal"],
+        effective_date="2024-06-01",
+    ).orderBy("c_custkey", "valid_from")

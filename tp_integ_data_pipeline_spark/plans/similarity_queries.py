@@ -90,3 +90,28 @@ def q118_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("dim").cast("int"), "n_vecs", "centroid", "variance")
         .orderBy("label", "dim")
     )
+
+
+# Rows-only by design: PQ codebooks and IVF cells come from KMeans
+# (not SQL-expressible); the hard checks are the pytest properties
+# (tests/test_pq.py: recall vs brute force, ADC bound, code shape,
+# offline-trained model determinism).
+@query("q139_ann_ivf_pq")
+def q139_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py): offline KMeans coarse cells +
+    per-sub-space PQ codebooks; the query path probes cells via
+    equi-join, ranks candidates by asymmetric distance over the m-byte
+    codes (candidate floats never read), then exact-re-ranks only the
+    shortlist. The 100 TB storage story: 32x smaller candidate scan at
+    m=8 over d=64 float32, with both models travelling as broadcast
+    data — plan size O(1) in cells x codes."""
+    from tp_integ_data_pipeline_spark.operators.pq import ivf_pq_topk, pq_fit
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_fit(emb, n_cells=16, seed=42)
+    codebook = pq_fit(emb, m=8, k=16, seed=7)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(
+        emb, queries, centroids, codebook, m=8, k=5, n_probe=4, shortlist=4
+    ).orderBy("q_id", "rank")

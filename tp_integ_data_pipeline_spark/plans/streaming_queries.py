@@ -315,3 +315,42 @@ def q122_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_value").cast("decimal(18,2)")).cast("double").alias("click_value"),
         )
     )
+
+
+@query(
+    "q143_stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n,
+           {dsum_sql('e.value', 2)} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q143_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events micro-batch stream
+    inner-joins the static customer dimension (broadcast — the
+    canonical dim-table shape: the static side is planned per
+    micro-batch with NO stream state, unlike stream-stream joins) and
+    rolls up per (segment, event type). availableNow + complete mode
+    drains to a deterministic table, so the batch SQL oracle applies
+    exactly. At scale the static side is the broadcast-gated dim
+    (operators/joins.maybe_broadcast's stats gate would degrade it to
+    SMJ past the threshold)."""
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    stream = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(cust), "user_id")
+    agg = (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = run_stream_to_memory(agg, f"q143_out_{uuid.uuid4().hex[:8]}", "complete")
+    return out.orderBy("c_mktsegment", "event_type")
