@@ -71,6 +71,8 @@ BNLJ_ALLOWED = {
     "q113_trigram_surprisal": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row boundary-cutoff scalar (max c_ts − 3 h) over the sink
     "q122_stream_left_outer_join": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row total-cutoff-mass scalar in the heavy-hitters merge
+    "q147_heavy_hitters": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row count-of-vectors scalar attached to the gram triangle and
     # to each of the two mean-relation references (d-row side)
     "q126_embedding_covariance": {"scalar_aggs": 3, "filtered_batches": []},

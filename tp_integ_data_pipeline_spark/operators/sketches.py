@@ -1,0 +1,82 @@
+"""Mergeable heavy-hitters (shard top-k with deterministic error
+bounds) — the frequent-items member of the engine's re-aggregable
+sketch family (HLL distinct rollup q120, fixed-bin histogram
+quantiles q133). Metwally et al. 2005 Space-Saving semantics,
+re-expressed as relational partials instead of a stateful summary.
+
+Shape: each shard keeps its exact top-``c`` counts plus one scalar
+cutoff (its c-th count — the maximum any UNKEPT key can have there).
+Merging is pure aggregation over the kept rows; for every key,
+``true count ∈ [lower, upper]`` where lower = Σ kept counts and
+upper adds the cutoffs of shards that did NOT report the key. With
+``c ≥`` per-shard distinct keys every cutoff is 0 and the merge is
+EXACT — the oracle-able regime (the q120 coupon-exact pattern). The
+partials are what you'd persist per day/shard and re-aggregate
+without rescanning raw data.
+
+No reference-repo counterpart (SURVEY.md §2.10 extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def shard_topk_partials(
+    df: DataFrame, key: str, shard: str, c: int
+) -> tuple[DataFrame, DataFrame]:
+    """Per-shard partial state: (kept, cutoffs).
+
+    kept = (shard, key, cnt) — each shard's exact top-``c`` by
+    (count desc, key) — and cutoffs = (shard, cutoff) with cutoff =
+    the c-th count (0 when the shard has fewer than ``c`` distinct
+    keys, i.e. the partial is complete)."""
+    counts = df.groupBy(shard, key).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy(shard).orderBy(F.col("cnt").desc(), F.col(key))
+    ranked = counts.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rk") <= c).drop("_rk")
+    cutoffs = (
+        ranked.groupBy(shard)
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("_rk") == c, F.col("cnt"))), F.lit(0)
+            ).alias("cutoff")
+        )
+    )
+    return kept, cutoffs
+
+
+def merge_shard_topk(
+    kept: DataFrame, cutoffs: DataFrame, key: str, shard: str, k: int
+) -> DataFrame:
+    """Merge shard partials into global top-``k`` with bounds:
+    (key, lower, upper) ranked by lower. ``upper - lower`` =
+    Σ cutoffs of non-reporting shards; total cutoff mass rides one
+    audited 1-row scalar broadcast."""
+    total = cutoffs.agg(F.sum("cutoff").alias("_total_cutoff"))
+    per_key = (
+        kept.join(cutoffs, shard)
+        .groupBy(key)
+        .agg(
+            F.sum("cnt").alias("lower"),
+            F.sum("cutoff").alias("_present_cutoff"),
+        )
+    )
+    bounded = per_key.crossJoin(F.broadcast(total)).select(
+        key,
+        "lower",
+        (F.col("lower") + F.col("_total_cutoff") - F.col("_present_cutoff")).alias(
+            "upper"
+        ),
+    )
+    # top-k via TakeOrderedAndProject (orderBy+limit — per-partition
+    # top-k then a k-row driver merge, never a single-partition global
+    # window over the s·c candidate rows); ranks are then numbered
+    # over the ≤ k survivors only
+    topk = bounded.orderBy(F.col("lower").desc(), F.col(key)).limit(k)
+    wk = W.orderBy(F.col("lower").desc(), F.col(key))
+    return topk.select(
+        key, "lower", "upper", F.row_number().over(wk).cast("long").alias("rank")
+    )

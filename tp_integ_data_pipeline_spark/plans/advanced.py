@@ -521,3 +521,65 @@ def q136_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q146 — analytic window-function battery (the rank-family gaps:
+# ntile / percent_rank / cume_dist / nth_value / ignore-nulls
+# first+last). Engine-syntax differs (Spark: first(x, ignorenulls);
+# DuckDB: FIRST(x IGNORE NULLS)) so this is DataFrame-API + oracle
+# text, not the one-SQL-text q123/q124 pattern.
+# --------------------------------------------------------------------------
+@query(
+    "q146_window_rank_battery",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority AS prio, o_totalprice AS price,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_totalprice END
+                   AS nullable_price
+        FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT o_orderkey, prio,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           NTH_VALUE(price, 3) OVER w2 AS third_price,
+           FIRST(nullable_price IGNORE NULLS) OVER w2 AS first_nn,
+           LAST(nullable_price IGNORE NULLS) OVER w2 AS last_nn
+    FROM base
+    WINDOW w AS (PARTITION BY prio ORDER BY price, o_orderkey),
+           w2 AS (PARTITION BY prio ORDER BY price, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def q146_window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic rank family not exercised by q10-q18: quartile
+    buckets (ntile), relative standing (percent_rank / cume_dist —
+    exact rationals, bit-identical across engines), positional
+    nth_value, and null-skipping first/last over an explicit
+    full-partition frame. Single priority-keyed shuffle serves all six
+    functions (one WindowExec, deterministic (price, orderkey)
+    ordering); the %11 filter keeps the check bounded while spanning
+    every partition."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("nullable_price"),
+    )
+    w = W.partitionBy("prio").orderBy("price", "o_orderkey")
+    w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return base.select(
+        "o_orderkey",
+        "prio",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("price", 3).over(w2).alias("third_price"),
+        F.first("nullable_price", ignorenulls=True).over(w2).alias("first_nn"),
+        F.last("nullable_price", ignorenulls=True).over(w2).alias("last_nn"),
+    ).orderBy("o_orderkey")

@@ -246,3 +246,60 @@ def q88_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# q149 — error-safe expression battery (try_cast / try_divide /
+# try_add / try_to_timestamp): the ANSI-mode survival kit — malformed
+# feed values become NULLs instead of failed 100 TB jobs. The oracle
+# spells out the SQL-standard equivalents (TRY_CAST, NULLIF guards,
+# overflow CASE bounds), so the null semantics — not just the happy
+# path — are hash-checked.
+# --------------------------------------------------------------------------
+_Q149_ROWS = [
+    ("42", 10.0, 2.0, 9223372036854775807, 1, "2024-01-02 03:04:05"),
+    ("x7", 1.0, 0.0, 100, 200, "not-a-time"),
+    ("-3", -7.5, 0.5, -9223372036854775808, -1, "2024-12-31 23:59:59"),
+    (None, 5.0, None, 9000000000000000000, 9000000000000000000, None),
+]
+
+
+@query(
+    "q149_try_expr_battery",
+    oracle="""
+    WITH v(s_int, num, den, a, b, ts) AS (
+        VALUES ('42', 10.0, 2.0, 9223372036854775807, CAST(1 AS BIGINT),
+                '2024-01-02 03:04:05'),
+               ('x7', 1.0, 0.0, CAST(100 AS BIGINT), CAST(200 AS BIGINT),
+                'not-a-time'),
+               ('-3', -7.5, 0.5, -9223372036854775808, CAST(-1 AS BIGINT),
+                '2024-12-31 23:59:59'),
+               (NULL, 5.0, NULL, 9000000000000000000, 9000000000000000000, NULL)
+    )
+    SELECT s_int,
+           TRY_CAST(s_int AS INTEGER) AS i,
+           num / NULLIF(den, 0) AS q,
+           CASE WHEN (b > 0 AND a > 9223372036854775807 - b)
+                  OR (b < 0 AND a < -9223372036854775808 - b)
+                THEN NULL ELSE a + b END AS s,
+           TRY_CAST(ts AS TIMESTAMP) AS t
+    FROM v ORDER BY s_int NULLS FIRST
+    """,
+)
+def q149_try_expr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's try_* family over a fixture covering the failure modes:
+    unparsable casts, divide-by-zero, bigint overflow in BOTH
+    directions, garbage timestamps, null propagation. Completes the
+    cast battery (q33/q48): those prove conversions work; this proves
+    the ERROR PATHS degrade to null identically to the SQL-standard
+    guards an ANSI engine would write."""
+    df = spark.createDataFrame(
+        _Q149_ROWS, "s_int string, num double, den double, a long, b long, ts string"
+    )
+    return df.selectExpr(
+        "s_int",
+        "try_cast(s_int as int) as i",
+        "try_divide(num, den) as q",
+        "try_add(a, b) as s",
+        "try_to_timestamp(ts) as t",
+    ).orderBy(F.col("s_int").asc_nulls_first())

@@ -60,3 +60,59 @@ def q135_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, sum_qty double, min_key long, max_key long, n_null_flag long",
     )
+
+
+@query(
+    "q148_pseudonymize_join",
+    oracle="""
+    WITH ev AS (
+        SELECT substr(sha256('s3cret:person:' || CAST(user_id AS VARCHAR)), 1, 16)
+                   AS p
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    cu AS (
+        SELECT substr(sha256('s3cret:person:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+                   AS p,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           COUNT(DISTINCT ev.p) AS n_persons,
+           MIN(ev.p) AS sample_pseudonym
+    FROM ev JOIN cu ON ev.p = cu.p
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q148_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style pseudonymization with referential integrity
+    (operators/privacy.py): events.user_id and customer.c_custkey are
+    replaced by salted-sha256 pseudonyms under the SAME role, then the
+    tables are joined ON THE PSEUDONYMS — proving the irreversible ids
+    still link across tables (the property that lets a shared dataset
+    keep its join graph). Expression-level sha2, no UDF, no mapping
+    table to secure; the oracle rebuilds the identical pseudonyms, so
+    the actual hash values (not just counts) are verified."""
+    from tp_integ_data_pipeline_spark.operators.privacy import pseudonymize
+
+    ev = pseudonymize(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id"),
+        {"user_id": "person"},
+        salt="s3cret",
+    ).select(F.col("user_id").alias("p"))
+    cu = pseudonymize(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        {"c_custkey": "person"},
+        salt="s3cret",
+    ).select(F.col("c_custkey").alias("p"), "c_mktsegment")
+    return (
+        ev.join(cu, "p")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("p").alias("n_persons"),
+            F.min("p").alias("sample_pseudonym"),
+        )
+        .orderBy("c_mktsegment")
+    )
