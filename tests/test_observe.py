@@ -43,3 +43,50 @@ def test_with_audit_single_pass_and_plan_free_of_second_scan(spark):
 def test_with_audit_rejects_empty_metrics(spark):
     with pytest.raises(ValueError):
         with_audit(spark.range(1), {})
+
+
+# ---------------------------------------------------------------------------
+# CHECK-constrained commits (observe.constrained_overwrite)
+# ---------------------------------------------------------------------------
+def test_constrained_overwrite_commits_clean_data(spark, tmp_path):
+    from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
+    from tp_integ_data_pipeline_spark.operators.observe import constrained_overwrite
+
+    tbl = VersionedParquetTable(spark, str(tmp_path / "ct"))
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    counts = constrained_overwrite(
+        tbl, df, {"v_positive": "v > 0", "k_not_null": "k IS NOT NULL"}
+    )
+    assert counts == {"v_positive": 0, "k_not_null": 0}
+    assert tbl.read().count() == 2
+    assert tbl.meta() == {"op": "constrained", "checks": counts}
+
+
+def test_constrained_overwrite_rejects_and_leaves_no_trace(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
+    from tp_integ_data_pipeline_spark.operators.observe import (
+        CheckViolation,
+        constrained_overwrite,
+    )
+
+    tbl = VersionedParquetTable(spark, str(tmp_path / "ct2"))
+    constrained_overwrite(
+        tbl, spark.createDataFrame([(1, 1.0)], "k long, v double"), {"ok": "v > 0"}
+    )
+    bad = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None), (None, 4.0)], "k long, v double"
+    )
+    with _pytest.raises(CheckViolation) as ei:
+        constrained_overwrite(
+            tbl, bad, {"v_positive": "v > 0", "k_not_null": "k IS NOT NULL"}
+        )
+    # null predicate counts as violation (SQL CHECK unknown -> fail here)
+    assert ei.value.counts == {"v_positive": 2, "k_not_null": 1}
+    # failed load never became readable; staged dir cleaned up
+    assert tbl.read().count() == 1
+    vdirs = [d for d in os.listdir(tbl.path) if d.startswith("v")]
+    assert len(vdirs) == 1

@@ -36,7 +36,13 @@ def pagerank(
     iteration (dangling mass redistributed uniformly)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # lazily checkpoint the edge list: it feeds EVERY iteration's
+    # contrib join plus the degree/node builds — without this the
+    # upstream edge-derivation pipeline re-executes iters+2 times
+    # (the q103-probe lesson)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -298,9 +298,12 @@ def scd2_upsert(
       treats null==null as unchanged);
     - historical (non-current) rows always pass through unchanged.
 
-    One key-equi-join against the stage plus output-sized unions —
-    the same plain-DataFrame rewrite contract as :func:`scd1_upsert`
-    (end state as a SELECT, directly comparable to a set-algebra SQL
+    One key-equi-join against the stage, evaluated ONCE: each joined
+    row explodes row-locally into its output rows (1 for
+    untouched/unchanged, 2 for changed: closed + new version) — the
+    single-join-evaluation pattern of :func:`table_changes`, not three
+    filtered re-reads of the join. Same end-state-as-SELECT contract
+    as :func:`scd1_upsert` (directly comparable to a set-algebra SQL
     oracle). Extends the reference's Type-1 MERGE (transf.py:215-273)
     with the history dimension the reference drops.
     """
@@ -317,29 +320,38 @@ def scd2_upsert(
     for c in tracked:
         unchanged_pred = unchanged_pred & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
     changed = F.coalesce(F.col("__in_stage"), F.lit(False)) & ~unchanged_pred
-    passthrough = marked.filter(~changed).select(*target.columns)
-    closed = marked.filter(changed).select(
-        *[
-            eff.alias(c)
-            if c == valid_to
-            else (F.lit(False).alias(c) if c == is_current else F.col(c))
-            for c in target.columns
-        ]
+
+    def _struct(overrides: dict) -> F.Column:
+        return F.struct(
+            *[overrides.get(c, F.col(c)).alias(c) for c in target.columns]
+        )
+
+    passthrough_row = _struct({})
+    closed_row = _struct({valid_to: eff, is_current: F.lit(False)})
+    new_row = _struct(
+        {
+            **{c: F.col(f"__s_{c}") for c in tracked},
+            valid_from: eff,
+            valid_to: F.lit(None).cast("date"),
+            is_current: F.lit(True),
+        }
     )
-    new_versions = marked.filter(changed).select(
-        *keys, *[F.col(f"__s_{c}").alias(c) for c in tracked]
-    )
-    inserts = stage.join(target.select(*keys).distinct(), keys, "left_anti").select(
-        *keys, *tracked
-    )
-    fresh = (
-        new_versions.unionByName(inserts)
+    exploded = marked.select(
+        F.explode(
+            F.when(changed, F.array(closed_row, new_row)).otherwise(
+                F.array(passthrough_row)
+            )
+        ).alias("r")
+    ).select("r.*")
+    inserts = (
+        stage.join(target.select(*keys).distinct(), keys, "left_anti")
+        .select(*keys, *tracked)
         .withColumn(valid_from, eff)
         .withColumn(valid_to, F.lit(None).cast("date"))
         .withColumn(is_current, F.lit(True))
         .select(*target.columns)
     )
-    return hist.unionByName(passthrough).unionByName(closed).unionByName(fresh)
+    return hist.unionByName(exploded).unionByName(inserts)
 
 
 def insert_if_absent(target: DataFrame, stage: DataFrame, keys: list[str]) -> DataFrame:

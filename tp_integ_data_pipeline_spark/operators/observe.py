@@ -44,3 +44,60 @@ def audited_write(
     observed, obs = with_audit(df, metrics)
     observed.write.mode(mode).parquet(path)
     return dict(obs.get)
+
+
+class CheckViolation(RuntimeError):
+    """Raised by ``constrained_overwrite`` when a CHECK fails; carries
+    the per-constraint violation counts for the load report."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(f"CHECK constraints violated: {counts}")
+
+
+def constrained_overwrite(table, df: DataFrame, checks: dict[str, str]) -> dict:
+    """Delta-style CHECK constraints on a CAS-commit table: write the
+    candidate version dir while counting violations of every check IN
+    THE SAME JOB (Observation metrics — zero extra scan), then commit
+    only if all counts are zero; otherwise remove the staged dir and
+    raise :class:`CheckViolation`. The committed-or-absent contract of
+    ``VersionedParquetTable`` is preserved — a failed load never
+    becomes readable, exactly like a Delta transaction that fails its
+    constraint after writing its files.
+
+    ``table`` is a ``VersionedParquetTable``; ``checks`` maps
+    constraint name -> SQL boolean predicate that every row must
+    satisfy (nulls count as violations, matching SQL CHECK's
+    treat-unknown-as-failure for data-quality use). Returns the
+    violation-count dict (all zeros) on success.
+    """
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.operators import merge as _merge
+
+    metrics = {
+        name: F.sum(
+            (~F.coalesce(F.expr(pred), F.lit(False))).cast("long")
+        )
+        for name, pred in checks.items()
+    }
+    new_dir = os.path.join(table.path, f"v{time.time_ns()}")
+    observed, obs = with_audit(df, metrics)
+    observed.write.mode("overwrite").parquet(new_dir)
+    counts = {k: int(v or 0) for k, v in dict(obs.get).items()}
+    if any(counts.values()):
+        shutil.rmtree(new_dir, ignore_errors=True)
+        raise CheckViolation(counts)
+    manifest = {"current": new_dir, "meta": {"op": "constrained", "checks": counts}}
+    for _ in range(table.max_retries):
+        version, _cur = _merge._load_state(table.path)
+        if _merge._try_commit(table.path, version, manifest):
+            return counts
+    shutil.rmtree(new_dir, ignore_errors=True)
+    raise _merge.ConcurrentWriteError(
+        f"constrained_overwrite of {table.path} lost {table.max_retries} commit races"
+    )
