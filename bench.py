@@ -239,6 +239,38 @@ def scale_probe(spark, sf_dir: str) -> dict:
     # Θ(n²) work ⇒ 10× rows ≈ 100× FLOPs; normalize the time ratio by
     # the work ratio (see docstring). ≥1 = healthy.
     probe["cosine_eff_vs_quadratic"] = round(100.0 / probe["cosine_ratio"], 2)
+
+    # PageRank probe: 10 disjoint node-offset copies of the trade
+    # graph → 10 independent components, identical rank structure per
+    # copy, fixed 5 iterations. Near-linear is healthy (each iteration
+    # is one equi-join + one rollup over 10× edges); superlinear flags
+    # a lineage/checkpoint regression in the loop.
+    from tp_integ_data_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") + 10000000).alias("s"), F.col("o_custkey").alias("c")
+        )
+        .distinct()
+    )
+    e1 = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    e10 = (
+        e1.select(F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"), "src", "dst")
+        .select(
+            (F.col("src") + F.col("i").cast("long") * 1000000000).alias("src"),
+            (F.col("dst") + F.col("i").cast("long") * 1000000000).alias("dst"),
+        )
+    )
+    probe["pagerank_1x_sec"] = timed(lambda: materialize(pagerank(e1, iters=5)))
+    probe["pagerank_10x_sec"] = timed(lambda: materialize(pagerank(e10, iters=5)))
+    probe["pagerank_ratio"] = round(
+        probe["pagerank_10x_sec"] / probe["pagerank_1x_sec"], 2
+    )
     return probe
 
 

@@ -169,3 +169,60 @@ def test_decode_batch_parses_real_bmp_and_wav_headers(spark):
     assert (got[2].width, got[2].height, got[2].n_frames, got[2].fmt) == (44100, 2, 1000, "wav")
     w, h, f = decode_stub(b"plain text")
     assert (got[3].width, got[3].height, got[3].n_frames, got[3].fmt) == (w, h, f, "other")
+
+
+# ---------------------------------------------------------------------------
+# Real pixel decode: image_features over constructed 24-bit BMPs
+# ---------------------------------------------------------------------------
+def _make_bmp(px, top_down=False):
+    """Serialize an HxWx3 RGB uint8 array as an uncompressed 24-bit
+    BMP (4-byte row padding, BGR channel order, bottom-up unless
+    top_down)."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    bgr = px[:, :, ::-1]
+    rows = bgr if top_down else bgr[::-1]
+    body = b"".join(
+        rows[r].tobytes() + b"\x00" * (stride - w * 3) for r in range(h)
+    )
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return head + dib + body
+
+
+def test_image_features_real_bmp_decode(spark):
+    import hashlib
+
+    import numpy as np
+
+    from tp_integ_data_pipeline_spark.operators.multimodal import image_features
+
+    rng = np.random.default_rng(3)
+    px5 = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)  # width 5 -> padded rows
+    px4 = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(_make_bmp(px5))),
+        (2, bytearray(_make_bmp(px4, top_down=True))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = (
+        image_features(df, thumb=2).toPandas().set_index("doc_id").sort_index()
+    )
+    for did, px in ((1, px5), (2, px4)):
+        r = got.loc[did]
+        assert bool(r["decoded"]) and (r["width"], r["height"]) == (px.shape[1], px.shape[0])
+        want_means = px.reshape(-1, 3).mean(axis=0)
+        assert abs(r["mean_r"] - want_means[0]) < 1e-9
+        assert abs(r["mean_b"] - want_means[2]) < 1e-9
+        yi = (np.arange(2) * px.shape[0] // 2).astype(int)
+        xi = (np.arange(2) * px.shape[1] // 2).astype(int)
+        assert r["thumb_digest"] == hashlib.md5(px[np.ix_(yi, xi)].tobytes()).hexdigest()
+    import pandas as pd
+
+    assert not bool(got.loc[3]["decoded"]) and pd.isna(got.loc[3]["width"])

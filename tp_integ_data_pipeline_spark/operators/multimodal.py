@@ -147,3 +147,91 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", chunk: int = 1024)
         f"i -> substring({payload_col}, i * {chunk} + 1, {chunk}))"
     )
     return df.withColumn("frames", frames).withColumn("n_frames", F.size("frames"))
+
+
+IMG_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, mean_r double, mean_g double, "
+    "mean_b double, thumb_digest string, decoded boolean"
+)
+
+
+def _bmp_pixels(payload: bytes):
+    """numpy HxWx3 RGB array for an uncompressed (BI_RGB) 24-bit BMP,
+    or None for anything else. Pure struct/numpy work — this is a REAL
+    pixel decode, no media libs: rows are 4-byte aligned, stored
+    bottom-up for positive heights, channels BGR."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    dib = struct.unpack_from("<I", payload, 14)[0]
+    if dib < 40:
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if data_off + stride * h > len(payload):
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    thumb: int = 4,
+) -> DataFrame:
+    """Pixel-level feature extraction + resize over the Arrow batch
+    path: for decodable payloads (24-bit BI_RGB BMP — real numpy
+    decode, `_bmp_pixels`) emit per-channel means and the md5 of a
+    ``thumb``×``thumb`` nearest-neighbor thumbnail (the dedupable
+    perceptual fingerprint); undecodable payloads keep the row with
+    ``decoded=false`` and null features, so corpus audits see every
+    document. Swapping `_bmp_pixels` for a PIL call extends coverage
+    without touching the Spark plumbing."""
+    import hashlib
+
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                px = _bmp_pixels(bytes(p))
+                if px is None:
+                    out.append((int(did), None, None, None, None, None, None, False))
+                    continue
+                h, w = px.shape[:2]
+                means = px.reshape(-1, 3).mean(axis=0)
+                # nearest-neighbor resize: index grid sampling
+                yi = (np.arange(thumb) * h // thumb).astype(int)
+                xi = (np.arange(thumb) * w // thumb).astype(int)
+                tb = px[np.ix_(yi, xi)]
+                out.append(
+                    (
+                        int(did), int(w), int(h),
+                        float(means[0]), float(means[1]), float(means[2]),
+                        hashlib.md5(tb.tobytes()).hexdigest(), True,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                    "thumb_digest", "decoded",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(feats, schema=IMG_FEATURES_SCHEMA)

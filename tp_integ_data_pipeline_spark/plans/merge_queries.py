@@ -358,3 +358,82 @@ def q142_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked=["c_name", "c_acctbal"],
         effective_date="2024-06-01",
     ).orderBy("c_custkey", "valid_from")
+
+
+@query(
+    "q150_point_in_time_join",
+    oracle="""
+    WITH tgt AS (
+        SELECT c_custkey, c_acctbal,
+               DATE '1992-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    stg AS (
+        SELECT c_custkey, c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    dim AS (
+        SELECT t.c_custkey, t.c_acctbal, t.valid_from,
+               DATE '1995-06-01' AS valid_to, FALSE AS is_current
+        FROM tgt t JOIN stg s USING (c_custkey)
+        UNION ALL
+        SELECT t.* FROM tgt t
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM stg)
+        UNION ALL
+        SELECT s.c_custkey, s.c_acctbal, DATE '1995-06-01',
+               CAST(NULL AS DATE), TRUE
+        FROM stg s
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           d.c_acctbal AS acctbal_at_order, d.is_current AS from_current_version
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    WHERE o.o_orderkey % 13 = 0
+    ORDER BY o.o_orderkey
+    """,
+)
+def q150_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-time join — the SCD2 CONSUMER side: every
+    order row picks the customer-dimension VERSION that was valid at
+    its order date (half-open [valid_from, valid_to) semantics, the
+    q142 history as input). Spark shape: plain key equi-join + a
+    row-local validity predicate — per-key fan-out is bounded by
+    versions-per-key (2 here, always small for an SCD2 dim), so this
+    never becomes an interval cross join; at 100 TB the dim side
+    passes through the stats-gated broadcast. The dim is built with
+    scd2_upsert itself (balances changed for custkey%7 at 1995-06-01,
+    mid-way through TPC-H's 1992-1998 order dates), so every order
+    straddling the change date exercises the historical branch."""
+    from tp_integ_data_pipeline_spark.operators.merge import scd2_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    target = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    stage = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal")
+    )
+    dim = scd2_upsert(
+        target, stage, keys=["c_custkey"], tracked=["c_acctbal"],
+        effective_date="1995-06-01",
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    j = o.join(dim, o["o_custkey"] == dim["c_custkey"]).filter(
+        (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to")))
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("c_acctbal").alias("acctbal_at_order"),
+        F.col("is_current").alias("from_current_version"),
+    ).orderBy("o_orderkey")
