@@ -596,3 +596,65 @@ def test_versioned_table_restore(spark, tmp_path):
     assert {r["k"] for r in tbl.read().collect()} == {1}
     with _pytest.raises(ValueError):
         tbl.restore(99)
+
+
+def test_mor_delete_and_compact(spark, tmp_path):
+    """Merge-on-read deletes: only tombstone keys hit disk, reads
+    anti-join them lazily (current AND time-travel AND table_changes),
+    compact folds the debt, vacuum keeps referenced tombstones."""
+    import os
+
+    from tp_integ_data_pipeline_spark.operators.merge import table_changes
+
+    tbl = VersionedParquetTable(spark, str(tmp_path / "mor"))
+    tbl.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(10)], ["k", "v"]))
+    data_dir = tbl.current_version_dir()
+    tbl.delete_keys_mor(spark.createDataFrame([(2,), (5,)], ["k"]), ["k"])
+    tbl.delete_keys_mor(spark.createDataFrame([(7,), (99,)], ["k"]), ["k"])
+    # data dir unchanged — no rewrite happened
+    assert tbl.current_version_dir() == data_dir
+    assert {r["k"] for r in tbl.read().collect()} == {0, 1, 3, 4, 6, 8, 9}
+    # time travel: v1 full, v2 first tombstone only
+    assert tbl.read(version=1).count() == 10
+    assert {r["k"] for r in tbl.read(version=2).collect()} == {0, 1, 3, 4, 6, 8, 9} | {7}
+    # CDF sees MoR deletes as deletes
+    feed = table_changes(tbl, 1, 3, ["k"])
+    assert {(r["k"], r["_change_type"]) for r in feed.collect()} == {
+        (2, "delete"), (5, "delete"), (7, "delete")
+    }
+    # compact folds both tombstone sets into a rewritten commit
+    assert tbl.compact_tombstones() == 2
+    assert tbl.meta()["op"] == "compact_tombstones"
+    assert {r["k"] for r in tbl.read().collect()} == {0, 1, 3, 4, 6, 8, 9}
+    assert tbl.compact_tombstones() == 0  # idempotent no-op when clean
+    # vacuum after compact: old data dir + tombstone dirs all retire
+    removed = tbl.vacuum(keep_last=1, retention_seconds=0)
+    assert len(removed) == 3
+    assert tbl.read().count() == 7
+    # MoR delete on empty table is a no-op
+    empty = VersionedParquetTable(spark, str(tmp_path / "mor_empty"))
+    empty.delete_keys_mor(spark.createDataFrame([(1,)], ["k"]), ["k"])
+    assert empty.read() is None
+    assert not os.path.exists(os.path.join(str(tmp_path / "mor_empty"), "_commits"))
+
+
+def test_scd1_two_way_schema_evolution(spark):
+    """Delta autoMerge semantics: stage-only columns join the target
+    (null backfill for untouched rows); target-only columns survive
+    with nulls on upserted rows."""
+    tgt = spark.createDataFrame([(1, "a", 9.0), (2, "b", 8.0)], "k long, v string, legacy double")
+    stg = spark.createDataFrame([(2, "B2", "x"), (3, "c", "y")], "k long, v string, extra string")
+    out = (
+        scd1_upsert(tgt, stg, ["k"], merge_date="2024-06-01")
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert list(out.columns[:2]) == ["v", "legacy"] and "extra" in out.columns
+    assert out.loc[1, "v"] == "a" and out.loc[1, "legacy"] == 9.0
+    import pandas as pd
+
+    assert pd.isna(out.loc[1, "extra"])  # old row: new col backfilled null
+    assert out.loc[2, "v"] == "B2" and out.loc[2, "extra"] == "x"
+    assert pd.isna(out.loc[2, "legacy"])  # upserted row: target-only col null
+    assert out.loc[3, "extra"] == "y"

@@ -133,7 +133,9 @@ def _manifest_version_dirs(manifest: dict) -> set[str]:
     would never string-match a maintenance job's other spelling — and a
     full-path compare would then delete LIVE directories."""
     names = set()
-    for d in [manifest.get("current")] + list(manifest.get("buckets", {}).values()):
+    dirs = [manifest.get("current")] + list(manifest.get("buckets", {}).values())
+    dirs += [t.get("dir") for t in manifest.get("tombstones", [])]
+    for d in dirs:
         if d:
             v = _version_component(d)
             if v:
@@ -271,9 +273,15 @@ def scd1_upsert(
     if origin_date_col is not None:
         upserted = upserted.withColumn(audit_origin, F.col(origin_date_col).cast("date"))
     upserted = upserted.withColumn(audit_modified, merge_date_col)
+    # two-way schema evolution (Delta autoMerge semantics): stage-only
+    # columns are added to the target with null backfill, target-only
+    # columns stay and upserted rows carry null for them
     for col in upserted.columns:
         if col not in untouched.columns:
             untouched = untouched.withColumn(col, F.lit(None).cast(dict(upserted.dtypes)[col]))
+    for col in untouched.columns:
+        if col not in upserted.columns:
+            upserted = upserted.withColumn(col, F.lit(None).cast(dict(untouched.dtypes)[col]))
     return untouched.unionByName(upserted.select(*untouched.columns))
 
 
@@ -394,15 +402,23 @@ class VersionedParquetTable:
         commit ``version`` (as listed by ``history()``; vacuumed
         versions are gone)."""
         if version is None:
-            cur = self.current_version_dir()
-            return self.spark.read.parquet(cur) if cur else None
-        manifests = dict(_commit_history(self.path))
-        if version not in manifests:
-            raise ValueError(
-                f"version {version} not in commit log (have {sorted(manifests)})"
-            )
-        cur = manifests[version].get("current")
-        return self.spark.read.parquet(cur) if cur else None
+            manifest = _load_state(self.path)[1]
+        else:
+            manifests = dict(_commit_history(self.path))
+            if version not in manifests:
+                raise ValueError(
+                    f"version {version} not in commit log (have {sorted(manifests)})"
+                )
+            manifest = manifests[version]
+        cur = manifest.get("current")
+        if not cur:
+            return None
+        df = self.spark.read.parquet(cur)
+        # merge-on-read: tombstone key sets (delete_keys_mor) anti-join
+        # at read time — deletes cost O(|keys|) I/O, not a table rewrite
+        for t in manifest.get("tombstones", []):
+            df = df.join(self.spark.read.parquet(t["dir"]), t["keys"], "left_anti")
+        return df
 
     def history(self) -> list[dict]:
         """Commit log, ascending: version + manifest per commit."""
@@ -496,6 +512,44 @@ class VersionedParquetTable:
                 stg.limit(0) if cur is None else cur.join(stg, keys, "left_anti")
             ),
         )
+
+    def delete_keys_mor(self, stage: DataFrame, keys: list[str]) -> None:
+        """Merge-on-read delete (deletion-vector semantics): write ONLY
+        the tombstone key set — O(|stage|) I/O instead of the
+        copy-on-write table rewrite of :meth:`delete_keys` — and append
+        it to the manifest; every ``read()`` anti-joins the tombstones
+        lazily. The 100 TB shape for high-rate retraction streams;
+        fold the read-side debt back to zero with
+        :meth:`compact_tombstones` on a maintenance cadence. Deleting
+        from a non-existent table is a no-op, matching
+        :meth:`delete_keys`."""
+        if self.current_version_dir() is None:
+            return
+        ts_dir = os.path.join(self.path, f"v{time.time_ns()}")
+        stage.select(*keys).distinct().write.mode("overwrite").parquet(ts_dir)
+        entry = {"dir": ts_dir, "keys": list(keys)}
+        for _ in range(self.max_retries):
+            version, manifest = _load_state(self.path)
+            new_manifest = dict(manifest)
+            new_manifest["tombstones"] = list(manifest.get("tombstones", [])) + [entry]
+            new_manifest["meta"] = {"op": "delete_mor"}
+            if _try_commit(self.path, version, new_manifest):
+                return
+        shutil.rmtree(ts_dir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"delete_keys_mor of {self.path} lost {self.max_retries} commit races"
+        )
+
+    def compact_tombstones(self) -> int:
+        """Materialize the tombstone-filtered state into a plain
+        copy-on-write commit (read-side anti-join debt back to zero);
+        returns the number of tombstone sets folded. The old tombstone
+        dirs stay referenced by PRIOR commits only, so a later vacuum
+        retires them with the old versions."""
+        n = len(_load_state(self.path)[1].get("tombstones", []))
+        if n:
+            self.overwrite(self.read(), meta={"op": "compact_tombstones", "folded": n})
+        return n
 
 
 class BucketedParquetTable:
