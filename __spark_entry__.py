@@ -54,7 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round (q04 q23-q28 q38 q39 q45 q47-q49 q52-q54 q69 q72-q76 q78-q86
 # q93-q99) and any round-5-new queries.
 _ROTATE_FRONT = (
-    "q126 q127 q128 q129 q130 q131 q132 q133 q134 q135 q136 q137 q138 q139 q140 q141 q142 q143 q144 q145 q146 q147 q148 q149 q150 "
+    "q126 q127 q128 q129 q130 q131 q132 q133 q134 q135 q136 q137 q138 q139 q140 q141 q142 q143 q144 q145 q146 q147 q148 q149 q150 q151 "
     "q100 q101 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111 "
     "q112 q113 q114 q115 q116 q117 q118 q119 q120 q121 q122 q123 "
     "q124 q125 q42 q87 "

@@ -437,3 +437,35 @@ def q150_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal_at_order"),
         F.col("is_current").alias("from_current_version"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q151_mor_delete_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def q151_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read retraction end state: two stacked deletion-vector
+    commits (operators/merge.delete_keys_mor — tombstone key sets
+    only, the 10-GB-of-keys-not-100-TB-of-rewrite shape) applied at
+    read time as lazy anti-joins. The oracle is the plain residue
+    SELECT, so the read-side tombstone application — including the
+    stacking order — is hash-checked end-to-end, not just
+    pytest-checked."""
+    import tempfile
+
+    from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = VersionedParquetTable(spark, tempfile.mkdtemp(prefix="mor_q151_"))
+    t.overwrite(o)
+    t.delete_keys_mor(o.filter(F.col("o_orderkey") % 3 == 0), ["o_orderkey"])
+    t.delete_keys_mor(o.filter(F.col("o_orderkey") % 5 == 0), ["o_orderkey"])
+    return t.read().select("o_orderkey", "o_custkey", "o_totalprice").orderBy(
+        "o_orderkey"
+    )
