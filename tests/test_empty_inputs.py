@@ -180,3 +180,69 @@ def test_selection_ops_empty_input(spark):
     assert dsir_weights(some, F.lit(True)).count() == 2
     none = dsir_weights(some, F.lit(False)).toPandas()
     assert len(none) == 2 and none["weight"].notna().all()
+
+
+def test_round4_ops_on_empty(spark):
+    """This round's operators: empty edges, empty corpora, empty
+    feeds, empty stages — all degrade to empty/no-op, never crash."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.operators.graph import pagerank
+    from tp_integ_data_pipeline_spark.operators.ivm import apply_delta, delta_aggregate
+    from tp_integ_data_pipeline_spark.operators.linkage import edit_distance_join
+    from tp_integ_data_pipeline_spark.operators.merge import scd2_upsert
+    from tp_integ_data_pipeline_spark.operators.privacy import pseudonymize
+    from tp_integ_data_pipeline_spark.operators.quantize import (
+        codes_to_array,
+        quantize_codes,
+    )
+    from tp_integ_data_pipeline_spark.operators.sketches import (
+        merge_shard_topk,
+        shard_topk_partials,
+    )
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty_edges, iters=2).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    ex = quantize_codes(empty_emb, "embedding", "vec_id")
+    assert ex.count() == 0 and codes_to_array(ex).count() == 0
+
+    empty_keys = spark.createDataFrame([], "id long, key string")
+    assert (
+        edit_distance_join(
+            empty_keys, empty_keys, "key", "key", "id", "id"
+        ).count()
+        == 0
+    )
+
+    empty_toks = spark.createDataFrame([], "shard long, tok string")
+    kept, cutoffs = shard_topk_partials(empty_toks, key="tok", shard="shard", c=5)
+    assert merge_shard_topk(kept, cutoffs, key="tok", shard="shard", k=5).count() == 0
+
+    # IVM with empty view AND empty feed
+    empty_view = spark.createDataFrame([], "grp string, n long, total long")
+    empty_feed = spark.createDataFrame(
+        [], "id long, grp string, amt long, _change_type string"
+    )
+    delta = delta_aggregate(empty_feed, ["grp"], {"total": "amt"}, count_col="n")
+    assert (
+        apply_delta(empty_view, delta, ["grp"], {"total": "amt"}, count_col="n").count()
+        == 0
+    )
+
+    # SCD2: empty stage leaves the target identical; empty target inserts all
+    d = datetime.date(2024, 1, 1)
+    tgt = spark.createDataFrame(
+        [(1, "a", d, None, True)],
+        "k long, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    empty_stage = spark.createDataFrame([], "k long, attr string")
+    same = scd2_upsert(tgt, empty_stage, ["k"], ["attr"], "2024-06-01")
+    assert same.count() == 1 and same.collect()[0]["is_current"]
+    empty_tgt = tgt.limit(0)
+    stage = spark.createDataFrame([(9, "z")], "k long, attr string")
+    first = scd2_upsert(empty_tgt, stage, ["k"], ["attr"], "2024-06-01").collect()
+    assert len(first) == 1 and first[0]["is_current"]
+
+    assert pseudonymize(empty_keys, ["key"], salt="s").count() == 0

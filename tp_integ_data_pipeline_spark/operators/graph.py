@@ -50,6 +50,8 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()  # bounded driver scalar: one long
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
