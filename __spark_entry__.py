@@ -35,30 +35,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal. Round 4
-# priority order: (a) q100–q131 — the round-3/4-new operators with
-# ZERO driver-file signal yet (judge/local-sweep-verified only);
-# (b) q42/q87 — r3-validated but their candidate generation changed
-# in round 4 (hot-bucket salting is now the default, the signature
-# relation is lazily checkpointed); (c) the CORRECTNESS_r02 key set,
-# whose signal is oldest otherwise. (a)+(b)+(c) exceeds the 50-slot
-# cap, so some r2 keys sit this round out — chosen as the ones with
-# the strongest OTHER current-code evidence (q26/q52 are rows-only
-# with pytest property/recall tests; q04/q23-q25/q27/q28/q38/q39/
-# q53-q54/q72-q76/q78-q85 are single-operator relational queries on
-# code untouched since round 2, each also pytest-covered; q86/q93-q99
-# have r2 hash-match signal plus dedicated pytest coverage, and
-# q93/q97 run in the bench headline and every local check_oracle
-# sweep).
+# priority: every round-4-new query q100–q151 has ZERO driver-file
+# signal (judge/local-sweep-verified only), so ALL of them go in front
+# EXCEPT the four rows-only-by-design ones (q101 SemDeDup/KMeans,
+# q122 stream left-outer, q127 PCA eigh, q139 IVF-PQ — a driver slot
+# only buys them the weak rows check they'd get anyway; each carries
+# a dedicated pytest property suite instead), plus q42/q87 whose
+# candidate generation changed in round 4 (hot-bucket salting default,
+# lazily-checkpointed signature relation). 48 + 2 = exactly 50.
+# The r1/r2-graded relational keys (q36/q37/q29/q46/q62/q63/q88-q92
+# etc.) are unchanged since their last hash-match and sit this round
+# out.
 # NEXT ROUND: rotate the CORRECTNESS_r01 key set back to the front
-# (it will then be the stalest), plus the r2 keys benched out this
-# round (q04 q23-q28 q38 q39 q45 q47-q49 q52-q54 q69 q72-q76 q78-q86
-# q93-q99) and any round-5-new queries.
+# (it will then be the stalest), plus q101 q122 q127 q139 if desired
+# for rows-only signal, the r2 keys benched out this round (q04
+# q23-q28 q38 q39 q45 q47-q49 q52-q54 q69 q72-q76 q78-q86 q93-q99),
+# and any round-5-new queries.
 _ROTATE_FRONT = (
-    "q126 q127 q128 q129 q130 q131 q132 q133 q134 q135 q136 q137 q138 q139 q140 q141 q142 q143 q144 q145 q146 q147 q148 q149 q150 q151 "
-    "q100 q101 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111 "
-    "q112 q113 q114 q115 q116 q117 q118 q119 q120 q121 q122 q123 "
-    "q124 q125 q42 q87 "
-    "q90 q89 q91 q36 q37 q62 q63 q29 q92 q46 q88"
+    "q100 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111 "
+    "q112 q113 q114 q115 q116 q117 q118 q119 q120 q121 q123 "
+    "q124 q125 q126 q128 q129 q130 q131 q132 q133 q134 q135 "
+    "q136 q137 q138 q140 q141 q142 q143 q144 q145 q146 q147 "
+    "q148 q149 q150 q151 q42 q87"
 ).split()
 
 
