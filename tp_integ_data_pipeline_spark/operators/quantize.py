@@ -65,11 +65,18 @@ def quantize_codes(
     increments — the train/apply split every production quantizer
     needs. Joined on the dim key as a broadcast hash join (d rows).
     """
-    st = stats if stats is not None else dim_stats(df, vec_col)
     x = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(vec_col).alias("dim", "vf"),
     ).select("id", "dim", F.col("vf").cast("double").alias("v"))
+    if stats is None:
+        # self-trained path: stats AND codes both consume the exploded
+        # relation — lazily checkpoint it so the base table is scanned
+        # once, not once per branch (the q103-probe lesson)
+        x = x.localCheckpoint(eager=False)
+        st = x.groupBy("dim").agg(F.min("v").alias("cmin"), F.max("v").alias("cmax"))
+    else:
+        st = stats
     j = x.join(F.broadcast(st), "dim")
     code = _code_expr(F.col("v"), F.col("cmin"), F.col("cmax"), levels)
     recon = F.col("cmin") + F.col("code") * (F.col("cmax") - F.col("cmin")) / F.lit(
