@@ -1,0 +1,69 @@
+"""BPE train + apply (operators/bpe.py): Sennrich reference behavior
+on a hand-computed corpus, greedy-overlap semantics, train/apply
+consistency, monotonic compression, early stop."""
+
+from __future__ import annotations
+
+from tp_integ_data_pipeline_spark.operators.bpe import (
+    _tokenize_word,
+    apply_bpe,
+    train_bpe,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_train_learns_expected_merges(spark):
+    # 'ab' appears in every word; 'abc' in two of three occurrences
+    docs = _docs(spark, ["abc abc abd", "abc abd ab"])
+    merges = train_bpe(docs, n_merges=2)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "c")
+
+
+def test_apply_matches_hand_tokenization(spark):
+    docs = _docs(spark, ["abc abc abd", "abc abd ab"])
+    merges = train_bpe(docs, n_merges=2)
+    got = {
+        r["word"]: (list(r["tokens"]), r["wf"])
+        for r in apply_bpe(docs, merges).collect()
+    }
+    assert got["abc"] == (["abc"], 3)
+    assert got["abd"] == (["ab", "d"], 2)
+    assert got["ab"] == (["ab"], 1)
+
+
+def test_greedy_overlap_like_reference():
+    # 'aaaa' with merge (a,a): greedy left-to-right -> [aa, aa];
+    # 'aaa' -> [aa, a]
+    assert _tokenize_word("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert _tokenize_word("aaa", [("a", "a")]) == ["aa", "a"]
+    # second-order merge consumes first-order output
+    assert _tokenize_word("aaaa", [("a", "a"), ("aa", "aa")]) == ["aaaa"]
+
+
+def test_compression_monotonic_and_early_stop(spark):
+    docs = _docs(spark, ["the cat sat on the mat", "the cat ate the rat"])
+    prev = None
+    for k in (0, 2, 4, 8):
+        merges = train_bpe(docs, n_merges=k)
+        total = sum(
+            r["wf"] * r["n_tokens"] for r in apply_bpe(docs, merges).collect()
+        )
+        if prev is not None:
+            assert total <= prev
+        prev = total
+    # min_count stop: a unique-word corpus has no pair with count >= 2
+    assert train_bpe(_docs(spark, ["xyz"]), n_merges=5, min_count=2) == []
+
+
+def test_spark_merge_pass_equals_python(spark):
+    """The JVM aggregate() greedy pass used in training must tokenize
+    exactly like the Python fold used in application."""
+    docs = _docs(spark, ["aaab aab baaa aa b"])
+    merges = train_bpe(docs, n_merges=3)
+    applied = {r["word"]: list(r["tokens"]) for r in apply_bpe(docs, merges).collect()}
+    for w, toks in applied.items():
+        assert toks == _tokenize_word(w, merges), (w, toks)

@@ -583,3 +583,56 @@ def q146_window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("nullable_price", ignorenulls=True).over(w2).alias("first_nn"),
         F.last("nullable_price", ignorenulls=True).over(w2).alias("last_nn"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q152 — SQL UDFs (CREATE FUNCTION ... RETURN, Spark 4): the
+# declarative member of the custom-function family (q37 scalar
+# pandas_udf, q44 applyInPandas, q46 UDTF, q136 grouped-agg UDAF).
+# Unlike every Python-side variant these inline into Catalyst —
+# optimized, codegen'd, zero serde — which is exactly why a pipeline
+# should prefer them for expressible logic.
+# --------------------------------------------------------------------------
+@query(
+    "q152_sql_udf",
+    oracle="""
+    SELECT CASE WHEN c.c_acctbal < 0 THEN 'neg'
+                WHEN c.c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS tier,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
+                    * (1 - CAST(0.05 AS DECIMAL(3,2)))) AS DOUBLE) AS disc_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q152_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two SQL UDFs (a scalar discount and a CASE-based tiering
+    function) declared with CREATE FUNCTION ... RETURN and used inside
+    a join+aggregate. The oracle inlines the same expressions — which
+    is also what Catalyst does to the UDF bodies, the point of the
+    feature: user-defined logic with zero Python worker cost. Inputs
+    are cast to DECIMAL before the arithmetic (not after): Spark's
+    double->decimal cast rounds the shortest string repr while DuckDB
+    rounds the binary value, so casting a computed double diverges by
+    a cent — decimal-in, decimal-out keeps both engines exact."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DECIMAL(18,2), "
+        "d DECIMAL(3,2)) RETURNS DECIMAL(22,4) RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tier(b DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN b < 0 THEN 'neg' WHEN b < 5000 THEN 'low' "
+        "ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT tier(c.c_acctbal) AS tier,
+               COUNT(*) AS n_orders,
+               CAST(SUM(disc_price(CAST(o.o_totalprice AS DECIMAL(18,2)),
+                                CAST(0.05 AS DECIMAL(3,2)))) AS DOUBLE) AS disc_revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY tier(c.c_acctbal) ORDER BY tier
+        """
+    )

@@ -474,3 +474,39 @@ def q125_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Rows-only by design: the BPE training loop (count → argmax → merge,
+# iterated) is not SQL-expressible; the hard checks are
+# tests/test_bpe.py (hand-computed merge sequence and tokenizations,
+# greedy-overlap reference semantics, JVM-train == Python-apply
+# consistency, monotonic compression, early stop).
+@query("q153_bpe_tokenizer")
+def q153_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer pass over the corpus (operators/bpe.py):
+    train 8 merges distributed (pair counts and greedy merge passes
+    over the word VOCABULARY — one corpus-token shuffle total, 1-row
+    driver state per round), apply the merge table via
+    vocabulary-side mapInPandas, and report the top tokens by corpus
+    occurrence plus the compression this merge table bought
+    (chars-per-token fertility). Completes q114 (one counting round)
+    into the actual train→apply tokenizer workflow."""
+    from tp_integ_data_pipeline_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=8)
+    toked = apply_bpe(docs, merges)
+    return (
+        toked.select(
+            "wf", F.explode("tokens").alias("token")
+        )
+        .groupBy("token")
+        .agg(F.sum("wf").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(20)
+        .select(
+            "token",
+            "n_occurrences",
+            F.length("token").cast("long").alias("token_chars"),
+        )
+    )
