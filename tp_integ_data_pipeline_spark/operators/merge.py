@@ -306,6 +306,10 @@ def scd2_upsert(
       treats null==null as unchanged);
     - historical (non-current) rows always pass through unchanged.
 
+    The stage must be unique per key (standard MERGE precondition —
+    pre-aggregate a multi-update feed to last-wins first); duplicate
+    stage keys would fan the join out into duplicate versions.
+
     One key-equi-join against the stage, evaluated ONCE: each joined
     row explodes row-locally into its output rows (1 for
     untouched/unchanged, 2 for changed: closed + new version) — the
