@@ -186,3 +186,12 @@ def test_scd2_reapply_is_noop(spark):
     a = v1.toPandas().sort_values(["k", "valid_from"]).reset_index(drop=True)
     b = v2.toPandas().sort_values(["k", "valid_from"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_unknown_change_type_raises_even_with_pruned_columns(spark):
+    """The guard rides the row-level sign expression, so selecting
+    only a sum-delta column (pruning the count) still fails loudly."""
+    feed = spark.createDataFrame([(1, "a", 10, "upsert")], FEED_SCHEMA)
+    delta = delta_aggregate(feed, ["grp"], {"total": "amt"}, count_col="n")
+    with pytest.raises(Exception, match="unknown _change_type"):
+        delta.select("grp", "d_total").collect()

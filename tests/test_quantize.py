@@ -86,3 +86,22 @@ def test_codes_to_array_order_and_degenerate_dim(spark):
     # dim 0 values 1,2,3 -> codes 0, 127|128, 255 in position order
     codes0 = [c[0] for c in packed["codes"]]
     assert codes0[0] == 0 and codes0[1] == 255 and codes0[2] in (127, 128)
+
+
+def test_frozen_stats_out_of_range_clamps(spark):
+    """Apply path: increment values outside the trained [cmin, cmax]
+    saturate to 0 / levels (int8 contract) instead of escaping the
+    code range."""
+    base = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    st = dim_stats(base, "embedding")
+    inc = spark.createDataFrame(
+        [(2, [2.0, -1.0])], "vec_id long, embedding array<double>"
+    )
+    got = (
+        quantize_codes(inc, "embedding", "vec_id", levels=255, stats=st)
+        .orderBy("dim")
+        .collect()
+    )
+    assert [r["code"] for r in got] == [255, 0]

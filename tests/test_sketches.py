@@ -83,3 +83,18 @@ def test_q147_fixture_in_exact_regime(spark, sf_dir):
         .collect()[0]["mx"]
     )
     assert per_shard < 200_000, per_shard
+
+
+def test_exactly_c_distinct_is_still_exact(spark):
+    """A shard with EXACTLY c distinct keys truncated nothing — its
+    cutoff must be 0 so keys it fully counted keep lower == upper."""
+    rows = [(0, "a")] * 5 + [(0, "b")] * 3 + [(0, "c")] * 2 + [(1, "a")] * 4
+    df = spark.createDataFrame(rows, "shard long, tok string")
+    # shard 0 has exactly c=3 distinct keys; shard 1 has 1
+    kept, cutoffs = shard_topk_partials(df, key="tok", shard="shard", c=3)
+    cut = {r["shard"]: r["cutoff"] for r in cutoffs.collect()}
+    assert cut == {0: 0, 1: 0}
+    got = merge_shard_topk(kept, cutoffs, key="tok", shard="shard", k=3).collect()
+    assert [(r["tok"], r["lower"], r["upper"]) for r in got] == [
+        ("a", 9, 9), ("b", 3, 3), ("c", 2, 2)
+    ]

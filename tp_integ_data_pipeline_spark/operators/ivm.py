@@ -31,11 +31,21 @@ from pyspark.sql import functions as F
 
 
 def _sign():
-    # built lazily: Column construction needs an active SparkContext
+    # built lazily: Column construction needs an active SparkContext.
+    # Unknown change types raise AT THE ROW — the guard rides the sign
+    # expression every delta column consumes, so it cannot be pruned
+    # away when a caller selects only a subset of the d_* outputs
+    # (a column-level guard on one output would be)
     return (
         F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
         .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
-        .otherwise(F.lit(None))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unknown _change_type in feed: "), F.col("_change_type")
+                )
+            )
+        )
     )
 
 
@@ -54,13 +64,7 @@ def delta_aggregate(
         F.sum(F.col(src) * F.col("_sign")).alias(f"d_{out}")
         for out, src in sum_cols.items()
     ]
-    bad = [F.sum(F.col("_sign").isNull().cast("int")).alias("bad")]
-    out = signed.groupBy(*group_keys).agg(*aggs, *bad)
-    return out.withColumn(
-        f"d_{count_col}",
-        F.when(F.col("bad") > 0, F.raise_error(F.lit("unknown _change_type in feed")))
-        .otherwise(F.col(f"d_{count_col}")),
-    ).drop("bad")
+    return signed.groupBy(*group_keys).agg(*aggs)
 
 
 def apply_delta(

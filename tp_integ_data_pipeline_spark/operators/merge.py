@@ -431,13 +431,13 @@ class VersionedParquetTable:
     def vacuum(self, keep_last: int = 1, retention_seconds: float = 3600.0) -> list[str]:
         return vacuum(self.path, keep_last, retention_seconds)
 
-    def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
-        """Blind replace (no read-modify-write): the data directory is
-        written once; only the commit is retried on a lost race, so
-        concurrent overwrites serialize as last-committed-wins with no
-        torn manifest."""
-        new_dir = os.path.join(self.path, f"v{time.time_ns()}")
-        df.write.mode("overwrite").parquet(new_dir)
+    def commit_staged_dir(self, new_dir: str, meta: dict | None = None) -> None:
+        """Publish an already-written data directory as the new
+        current version (last-committed-wins CAS retry; the staged dir
+        is removed on a lost race so a failed publish leaves no
+        readable or orphaned state). The single commit-protocol
+        implementation — overwrite() and any external staged writer
+        (e.g. observe.constrained_overwrite) route through here."""
         manifest = {"current": new_dir}
         if meta is not None:
             manifest["meta"] = meta
@@ -447,8 +447,22 @@ class VersionedParquetTable:
                 return
         shutil.rmtree(new_dir, ignore_errors=True)
         raise ConcurrentWriteError(
-            f"overwrite of {self.path} lost {self.max_retries} commit races"
+            f"commit to {self.path} lost {self.max_retries} commit races"
         )
+
+    def staged_dir(self) -> str:
+        """A fresh version-directory path inside the table root (the
+        ``v{time_ns}`` naming vacuum's age check relies on)."""
+        return os.path.join(self.path, f"v{time.time_ns()}")
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
+        """Blind replace (no read-modify-write): the data directory is
+        written once; only the commit is retried on a lost race, so
+        concurrent overwrites serialize as last-committed-wins with no
+        torn manifest."""
+        new_dir = self.staged_dir()
+        df.write.mode("overwrite").parquet(new_dir)
+        self.commit_staged_dir(new_dir, meta)
 
     def restore(self, version: int) -> None:
         """RESTORE TABLE ... TO VERSION AS OF: roll the table back to a

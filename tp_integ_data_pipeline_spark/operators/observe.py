@@ -71,13 +71,9 @@ def constrained_overwrite(table, df: DataFrame, checks: dict[str, str]) -> dict:
     treat-unknown-as-failure for data-quality use). Returns the
     violation-count dict (all zeros) on success.
     """
-    import os
     import shutil
-    import time
 
     from pyspark.sql import functions as F
-
-    from tp_integ_data_pipeline_spark.operators import merge as _merge
 
     metrics = {
         name: F.sum(
@@ -85,19 +81,12 @@ def constrained_overwrite(table, df: DataFrame, checks: dict[str, str]) -> dict:
         )
         for name, pred in checks.items()
     }
-    new_dir = os.path.join(table.path, f"v{time.time_ns()}")
+    new_dir = table.staged_dir()
     observed, obs = with_audit(df, metrics)
     observed.write.mode("overwrite").parquet(new_dir)
     counts = {k: int(v or 0) for k, v in dict(obs.get).items()}
     if any(counts.values()):
         shutil.rmtree(new_dir, ignore_errors=True)
         raise CheckViolation(counts)
-    manifest = {"current": new_dir, "meta": {"op": "constrained", "checks": counts}}
-    for _ in range(table.max_retries):
-        version, _cur = _merge._load_state(table.path)
-        if _merge._try_commit(table.path, version, manifest):
-            return counts
-    shutil.rmtree(new_dir, ignore_errors=True)
-    raise _merge.ConcurrentWriteError(
-        f"constrained_overwrite of {table.path} lost {table.max_retries} commit races"
-    )
+    table.commit_staged_dir(new_dir, meta={"op": "constrained", "checks": counts})
+    return counts

@@ -44,6 +44,11 @@ def pq_fit(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # lazily checkpoint: first() plus m KMeans fits would otherwise
+    # re-execute the upstream pipeline m+1 times (the q103-probe
+    # lesson); training is offline, so the materialization is paid
+    # once per model, not per query
+    emb = emb.select(vec_col).localCheckpoint(eager=False)
     d = len(emb.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -135,6 +140,29 @@ def _adc(qv: Column, codes: Column, cb: Column, m: int) -> Column:
     )
 
 
+def build_inverted_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The offline index-build step: (n_id, cell, codes) — IVF cell
+    assignment joined with PQ codes, ONE scan of the float corpus
+    (lazily checkpointed so the two consumers share it). Persist this
+    partitioned/bucketed by ``cell``; the query path then reads only
+    probed cells and never the float column."""
+    base = emb.select(id_col, vec_col).localCheckpoint(eager=False)
+    from tp_integ_data_pipeline_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(base, centroids, id_col, vec_col).select("n_id", "cell")
+    coded = pq_encode(base, codebook, m, id_col, vec_col).select(
+        F.col("id").alias("n_id"), "codes"
+    )
+    return assigned.join(coded, "n_id")
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -146,6 +174,7 @@ def ivf_pq_topk(
     shortlist: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    inverted: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN query: probe n_probe IVF cells (equi-join on cell) →
     ADC-rank the cell members by their PQ codes (no float reads on the
@@ -153,21 +182,22 @@ def ivf_pq_topk(
     survivors against the true vectors. ``centroids`` from
     similarity.ivf_fit, ``codebook`` from pq_fit — both offline.
 
-    At 100 TB the candidate scan touches codes (m bytes/vec) instead
-    of vectors (4d bytes/vec); only shortlist*k rows per query ever
-    read floats again (an id equi-join back into the bucketed corpus).
+    ``inverted`` is the PERSISTED index — ``build_inverted_index``'s
+    (n_id, cell, codes) table, written once offline. Pass it so the
+    query path never reads the float corpus for candidates; when
+    omitted (small corpora / tests) it is derived inline, which scans
+    the floats once per call. At 100 TB with a persisted index the
+    candidate scan touches codes (m bytes/vec) instead of vectors
+    (4d bytes/vec); only shortlist*k rows per query ever read floats
+    again (an id equi-join back into the bucketed corpus).
     """
     from tp_integ_data_pipeline_spark.operators.similarity import (
         _nearest_cells,
         _with_centroid_list,
-        ivf_assign,
     )
 
-    assigned = ivf_assign(emb, centroids, id_col, vec_col).select("n_id", "cell")
-    coded = pq_encode(emb, codebook, m, id_col, vec_col).select(
-        F.col("id").alias("n_id"), "codes"
-    )
-    inverted = assigned.join(coded, "n_id")
+    if inverted is None:
+        inverted = build_inverted_index(emb, centroids, codebook, m, id_col, vec_col)
 
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
     probed = (

@@ -38,17 +38,20 @@ def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def _code_expr(v: Column, cmin: Column, cmax: Column, levels: int) -> Column:
-    """Nearest-level min-max code in [0, levels]; engine-portable:
-    floor(x + 0.5) (not round()) so Spark and any ANSI engine agree
-    bit-for-bit on the same IEEE doubles. Degenerate dims (cmax ==
-    cmin) code to 0."""
+    """Nearest-level min-max code CLAMPED to [0, levels]; engine-
+    portable: floor(x + 0.5) (not round()) so Spark and any ANSI
+    engine agree bit-for-bit on the same IEEE doubles. The clamp
+    matters on the frozen-stats apply path, where an increment value
+    outside the trained [cmin, cmax] must saturate (int8 contract)
+    rather than emit an out-of-range code; self-trained codes are in
+    range by construction, so the clamp is a no-op there. Degenerate
+    dims (cmax == cmin) code to 0."""
     rng = cmax - cmin
     scaled = (v - cmin) / rng * F.lit(float(levels))
-    return (
-        F.when(rng == 0.0, F.lit(0))
-        .otherwise(F.floor(scaled + F.lit(0.5)).cast("int"))
-        .alias("code")
+    clamped = F.least(
+        F.lit(levels), F.greatest(F.lit(0), F.floor(scaled + F.lit(0.5)).cast("int"))
     )
+    return F.when(rng == 0.0, F.lit(0)).otherwise(clamped).alias("code")
 
 
 def quantize_codes(

@@ -31,8 +31,10 @@ def shard_topk_partials(
 
     kept = (shard, key, cnt) — each shard's exact top-``c`` by
     (count desc, key) — and cutoffs = (shard, cutoff) with cutoff =
-    the c-th count (0 when the shard has fewer than ``c`` distinct
-    keys, i.e. the partial is complete)."""
+    the LARGEST count the shard TRUNCATED (the (c+1)-th count; 0 when
+    the shard kept every key, i.e. the partial is complete — so a
+    shard with EXACTLY ``c`` distinct keys still reports 0 and the
+    exact-regime guarantee holds)."""
     counts = df.groupBy(shard, key).agg(F.count(F.lit(1)).alias("cnt"))
     w = W.partitionBy(shard).orderBy(F.col("cnt").desc(), F.col(key))
     ranked = counts.withColumn("_rk", F.row_number().over(w))
@@ -41,7 +43,7 @@ def shard_topk_partials(
         ranked.groupBy(shard)
         .agg(
             F.coalesce(
-                F.max(F.when(F.col("_rk") == c, F.col("cnt"))), F.lit(0)
+                F.max(F.when(F.col("_rk") == c + 1, F.col("cnt"))), F.lit(0)
             ).alias("cutoff")
         )
     )

@@ -122,7 +122,8 @@ def q127_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
         SELECT x.dim, v, cmin, cmax,
                CASE WHEN cmax = cmin THEN 0
-                    ELSE CAST(FLOOR((v - cmin) / (cmax - cmin) * 255 + 0.5) AS INT)
+                    ELSE LEAST(255, GREATEST(0,
+                        CAST(FLOOR((v - cmin) / (cmax - cmin) * 255 + 0.5) AS INT)))
                END AS code
         FROM x JOIN st USING (dim)
     ),
