@@ -195,3 +195,25 @@ def test_unknown_change_type_raises_even_with_pruned_columns(spark):
     delta = delta_aggregate(feed, ["grp"], {"total": "amt"}, count_col="n")
     with pytest.raises(Exception, match="unknown _change_type"):
         delta.select("grp", "d_total").collect()
+
+
+def test_scd2_reintroduces_key_with_history_only(spark):
+    """A key whose current row was retracted (history remains) must be
+    re-insertable — the insert anti-join runs against CURRENT keys."""
+    import datetime
+
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 3, 1)
+    tgt = spark.createDataFrame(
+        [(1, "old", 1.0, d1, d2, False)],  # history only, no current row
+        _T,
+    )
+    stage = spark.createDataFrame([(1, "back", 2.0)], _S)
+    out = (
+        scd2_upsert(tgt, stage, ["k"], ["attr", "bal"], "2024-06-01")
+        .toPandas()
+        .sort_values("valid_from")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert list(out["attr"]) == ["old", "back"]
+    assert list(out["is_current"]) == [False, True]

@@ -658,3 +658,62 @@ def test_scd1_two_way_schema_evolution(spark):
     assert out.loc[2, "v"] == "B2" and out.loc[2, "extra"] == "x"
     assert pd.isna(out.loc[2, "legacy"])  # upserted row: target-only col null
     assert out.loc[3, "extra"] == "y"
+
+
+def test_merge_after_mor_delete_does_not_resurrect(spark, tmp_path):
+    """Copy-on-write merges snapshot through the manifest (tombstones
+    applied), so an interleaved MoR delete is materialized out — never
+    resurrected — and the new commit carries no tombstone debt."""
+    from tp_integ_data_pipeline_spark.operators.merge import _load_state
+
+    tbl = VersionedParquetTable(spark, str(tmp_path / "morm"))
+    tbl.overwrite(spark.createDataFrame([(i, "v") for i in range(6)], ["k", "v"]))
+    tbl.delete_keys_mor(spark.createDataFrame([(1,), (4,)], ["k"]), ["k"])
+    tbl.merge_insert_if_absent(spark.createDataFrame([(9, "new")], ["k", "v"]), ["k"])
+    assert {r["k"] for r in tbl.read().collect()} == {0, 2, 3, 5, 9}
+    # merge materialized the deletes: no tombstones left in the manifest
+    assert _load_state(tbl.path)[1].get("tombstones", []) == []
+    # and a MoR-deleted key can be re-inserted afterwards
+    tbl.merge_insert_if_absent(spark.createDataFrame([(1, "back")], ["k", "v"]), ["k"])
+    assert {r["k"] for r in tbl.read().collect()} == {0, 1, 2, 3, 5, 9}
+
+
+def test_meta_survives_interleaved_writers(spark, tmp_path):
+    """Durable meta keys (the streaming rollup's epoch guard) survive
+    merges and MoR deletes that don't set them; blind overwrite still
+    resets meta."""
+    tbl = VersionedParquetTable(spark, str(tmp_path / "metacarry"))
+    tbl.overwrite(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    tbl._merge(
+        spark.createDataFrame([(2, "b")], ["k", "v"]),
+        lambda cur, stg: stg if cur is None else cur.unionByName(stg),
+        meta={"last_epoch": 7, "epoch_scope": "s1"},
+    )
+    tbl.delete_keys_mor(spark.createDataFrame([(1,)], ["k"]), ["k"])
+    m = tbl.meta()
+    assert m["last_epoch"] == 7 and m["epoch_scope"] == "s1" and m["op"] == "delete_mor"
+    tbl.merge_insert_if_absent(spark.createDataFrame([(3, "c")], ["k", "v"]), ["k"])
+    assert tbl.meta()["last_epoch"] == 7
+    tbl.overwrite(spark.createDataFrame([(9, "z")], ["k", "v"]))
+    assert tbl.meta() == {}
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """CDF between versions with different schemas: evolved columns
+    show null in the preimage instead of crashing the feed."""
+    from tp_integ_data_pipeline_spark.operators.merge import table_changes
+
+    tbl = VersionedParquetTable(spark, str(tmp_path / "evocdf"))
+    tbl.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    tbl.overwrite(
+        spark.createDataFrame([(1, "a", 10.0), (3, "c", 30.0)], ["k", "v", "extra"])
+    )
+    feed = {
+        (r["k"], r["_change_type"]): (r["v"], r["extra"])
+        for r in table_changes(tbl, 1, 2, ["k"]).collect()
+    }
+    assert feed[(2, "delete")] == ("b", None)
+    assert feed[(3, "insert")] == ("c", 30.0)
+    # k=1: v unchanged but extra went null->10.0 => update pair
+    assert feed[(1, "update_preimage")] == ("a", None)
+    assert feed[(1, "update_postimage")] == ("a", 10.0)

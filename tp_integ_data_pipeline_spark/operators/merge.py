@@ -143,6 +143,34 @@ def _manifest_version_dirs(manifest: dict) -> set[str]:
     return names
 
 
+def _manifest_frame(spark, manifest: dict) -> DataFrame | None:
+    """Materialize a manifest's logical state: the current data dir
+    with every tombstone key set (merge-on-read deletes) anti-joined
+    away. THE single definition of 'what this commit contains' —
+    read(), time travel, and every copy-on-write merge go through it,
+    so an interleaved delete_keys_mor can never be resurrected by a
+    writer that only looked at the raw data dir."""
+    cur = manifest.get("current")
+    if not cur:
+        return None
+    df = spark.read.parquet(cur)
+    for t in manifest.get("tombstones", []):
+        df = df.join(spark.read.parquet(t["dir"]), t["keys"], "left_anti")
+    return df
+
+
+def _merged_meta(manifest: dict, meta: dict | None) -> dict | None:
+    """Commit meta for incremental writers: shallow-merge over the
+    previous commit's meta so durable keys a DIFFERENT writer owns
+    (e.g. the streaming rollup's last_epoch replay guard) survive
+    interleaved merges/deletes that don't set them. Blind replaces
+    (overwrite / commit_staged_dir) intentionally reset meta instead."""
+    out = dict(manifest.get("meta", {}))
+    if meta:
+        out.update(meta)
+    return out or None
+
+
 def vacuum(path: str, keep_last: int = 1, retention_seconds: float = 3600.0) -> list[str]:
     """GC version directories unreferenced by the last ``keep_last``
     commits — without it every merge's copy-on-write dir lives forever.
@@ -355,8 +383,12 @@ def scd2_upsert(
             )
         ).alias("r")
     ).select("r.*")
+    # anti-join against CURRENT keys (not all target keys): a key whose
+    # current row was retracted but whose history remains must be
+    # re-insertable — anti-joining the full target would silently drop
+    # its stage row (neither matched nor inserted)
     inserts = (
-        stage.join(target.select(*keys).distinct(), keys, "left_anti")
+        stage.join(cur.select(*keys).distinct(), keys, "left_anti")
         .select(*keys, *tracked)
         .withColumn(valid_from, eff)
         .withColumn(valid_to, F.lit(None).cast("date"))
@@ -414,15 +446,9 @@ class VersionedParquetTable:
                     f"version {version} not in commit log (have {sorted(manifests)})"
                 )
             manifest = manifests[version]
-        cur = manifest.get("current")
-        if not cur:
-            return None
-        df = self.spark.read.parquet(cur)
         # merge-on-read: tombstone key sets (delete_keys_mor) anti-join
         # at read time — deletes cost O(|keys|) I/O, not a table rewrite
-        for t in manifest.get("tombstones", []):
-            df = df.join(self.spark.read.parquet(t["dir"]), t["keys"], "left_anti")
-        return df
+        return _manifest_frame(self.spark, manifest)
 
     def history(self) -> list[dict]:
         """Commit log, ascending: version + manifest per commit."""
@@ -471,7 +497,10 @@ class VersionedParquetTable:
         readable for forensics until vacuum), exactly Delta's RESTORE
         semantics. Data is re-written (not manifest-aliased) so the
         restored commit owns its files and vacuum of the source version
-        can't orphan it."""
+        can't orphan it. Deliberately last-writer-wins: RESTORE's
+        meaning is "discard whatever the table says now in favor of
+        version N" — a commit racing the restore is discarded with the
+        rest; don't run it concurrently with writers you care about."""
         old = self.read(version)
         if old is None:
             raise ValueError(f"version {version} not found in {self.path}")
@@ -480,14 +509,17 @@ class VersionedParquetTable:
     def _merge(self, stage: DataFrame, combine, meta: dict | None = None) -> None:
         for _ in range(self.max_retries):
             version, manifest = _load_state(self.path)
-            cur_dir = manifest.get("current")
-            cur = self.spark.read.parquet(cur_dir) if cur_dir else None
+            # tombstone-aware snapshot: a merge after delete_keys_mor
+            # sees (and materializes out) the deletions, never the raw
+            # data dir — the committed manifest then needs no tombstones
+            cur = _manifest_frame(self.spark, manifest)
             merged = combine(cur, stage)
             new_dir = os.path.join(self.path, f"v{time.time_ns()}")
             merged.write.mode("overwrite").parquet(new_dir)
             new_manifest = {"current": new_dir}
-            if meta is not None:
-                new_manifest["meta"] = meta
+            carried = _merged_meta(manifest, meta)
+            if carried is not None:
+                new_manifest["meta"] = carried
             if _try_commit(self.path, version, new_manifest):
                 return
             # Lost the race: drop this attempt's data dir and re-merge
@@ -550,7 +582,7 @@ class VersionedParquetTable:
             version, manifest = _load_state(self.path)
             new_manifest = dict(manifest)
             new_manifest["tombstones"] = list(manifest.get("tombstones", [])) + [entry]
-            new_manifest["meta"] = {"op": "delete_mor"}
+            new_manifest["meta"] = _merged_meta(manifest, {"op": "delete_mor"})
             if _try_commit(self.path, version, new_manifest):
                 return
         shutil.rmtree(ts_dir, ignore_errors=True)
@@ -561,12 +593,21 @@ class VersionedParquetTable:
     def compact_tombstones(self) -> int:
         """Materialize the tombstone-filtered state into a plain
         copy-on-write commit (read-side anti-join debt back to zero);
-        returns the number of tombstone sets folded. The old tombstone
-        dirs stay referenced by PRIOR commits only, so a later vacuum
-        retires them with the old versions."""
+        returns the number of tombstone sets folded (as of the first
+        snapshot — a tombstone landing mid-compact is still folded,
+        the count in the commit meta is just conservative). Routed
+        through ``_merge``, NOT a read-then-overwrite: a lost commit
+        race re-reads the winner's manifest and re-materializes, so a
+        concurrent delete_keys_mor can never be erased by the compact.
+        The old tombstone dirs stay referenced by PRIOR commits only,
+        so a later vacuum retires them with the old versions."""
         n = len(_load_state(self.path)[1].get("tombstones", []))
         if n:
-            self.overwrite(self.read(), meta={"op": "compact_tombstones", "folded": n})
+            self._merge(
+                None,
+                lambda cur, _stage: cur,
+                meta={"op": "compact_tombstones", "folded": n},
+            )
         return n
 
 
@@ -683,10 +724,12 @@ class BucketedParquetTable:
                     # path. Bounded check: one isdir per dirty bucket.
                     buckets.pop(str(b), None)
             new_manifest = {**manifest, "buckets": buckets}
-            if meta is not None:
-                # same writer-metadata contract as VersionedParquetTable
-                # (e.g. a streaming sink's epoch replay guard)
-                new_manifest["meta"] = meta
+            carried = _merged_meta(manifest, meta)
+            if carried is not None:
+                # same writer-metadata contract as VersionedParquetTable:
+                # shallow-merge so durable keys another writer owns
+                # (e.g. a streaming sink's epoch replay guard) survive
+                new_manifest["meta"] = carried
             if _try_commit(self.path, version, new_manifest):
                 return
             # Lost the race: the winner may have rewritten some of OUR
@@ -751,14 +794,35 @@ def table_changes(table, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
         old = template.limit(0)
     if new is None:
         new = template.limit(0)
-    payload = [c for c in template.columns if c not in keys]
+    # schema evolution between the versions: diff over the UNION of
+    # both schemas (new side's type wins on a shared name), each side
+    # null-padded for columns it lacks — an evolved column shows as
+    # null in the preimage instead of crashing the feed, and a dropped
+    # column still surfaces in delete/preimage rows
+    union_fields: dict = {}
+    for f in old.schema:
+        union_fields[f.name] = f.dataType
+    for f in new.schema:
+        union_fields[f.name] = f.dataType
+
+    def _pad(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).cast(t).alias(c)
+                for c, t in union_fields.items()
+            ]
+        )
+
+    old, new = _pad(old), _pad(new)
+    payload = [c for c in union_fields if c not in keys]
     o = old.select(*keys, F.struct(*payload).alias("__o"), F.lit(True).alias("__in_o"))
     n = new.select(*keys, F.struct(*payload).alias("__n"), F.lit(True).alias("__in_n"))
     j = o.join(n, keys, "full_outer")
     change_struct = "struct<_change_type:string,row:struct<" + ",".join(
-        f"`{f.name}`:{f.dataType.simpleString()}"
-        for f in template.schema
-        if f.name not in keys
+        f"`{c}`:{t.simpleString()}"
+        for c, t in union_fields.items()
+        if c not in keys
     ) + ">>"
     changes = (
         F.when(

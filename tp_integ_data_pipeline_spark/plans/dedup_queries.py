@@ -20,7 +20,7 @@ from tp_integ_data_pipeline_spark.operators.dedup import (
 )
 from tp_integ_data_pipeline_spark.operators.similarity import cosine_pairs
 from tp_integ_data_pipeline_spark.plans.registry import query
-from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table, scratch_dir
 
 # DuckDB CTEs mirroring operators.dedup.shingles / pair_jaccard (k=3).
 _SHINGLE_CTES = """
@@ -487,8 +487,8 @@ def q109_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mid = docs.agg(F.max("doc_id")).first()[0] // 2  # 1-value scalar
-    lake = DataLake(spark, tempfile.mkdtemp(prefix="stream_dedup_lake_"))
-    idx = NearDupIndex(spark, tempfile.mkdtemp(prefix="stream_dedup_idx_"))
+    lake = DataLake(spark, scratch_dir(prefix="stream_dedup_lake_"))
+    idx = NearDupIndex(spark, scratch_dir(prefix="stream_dedup_idx_"))
     for half in (
         docs.filter(F.col("doc_id") < mid),
         docs.filter(F.col("doc_id") >= mid),
@@ -606,7 +606,7 @@ def q103_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = docs.agg(F.max("doc_id")).first()[0] // 2
     old = docs.filter(F.col("doc_id") < mid)
     new = docs.filter(F.col("doc_id") >= mid)
-    idx = NearDupIndex(spark, tempfile.mkdtemp(prefix="neardup_idx_"))
+    idx = NearDupIndex(spark, scratch_dir(prefix="neardup_idx_"))
     idx.add(old)
     sigma = (0.6 * 0.4 / idx.num_perm) ** 0.5
     cand = (

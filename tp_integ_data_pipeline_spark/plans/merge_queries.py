@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from tp_integ_data_pipeline_spark.operators.merge import insert_if_absent, scd1_upsert
 from tp_integ_data_pipeline_spark.plans.registry import query
-from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table, scratch_dir
 
 
 def _customer_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +162,7 @@ def q132_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     base = o.filter(F.col("o_orderkey") % 7 != 0)
-    t = VersionedParquetTable(spark, tempfile.mkdtemp(prefix="cdf_q132_"))
+    t = VersionedParquetTable(spark, scratch_dir(prefix="cdf_q132_"))
     t.overwrite(base)
     upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
@@ -233,7 +233,7 @@ def q138_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     base = o.filter(F.col("o_orderkey") % 7 != 0)
-    t = VersionedParquetTable(spark, tempfile.mkdtemp(prefix="ivm_q138_"))
+    t = VersionedParquetTable(spark, scratch_dir(prefix="ivm_q138_"))
     t.overwrite(base)
     upd = base.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey", "o_custkey", (F.col("o_totalprice") + 5.0).alias("o_totalprice")
@@ -462,7 +462,7 @@ def q151_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    t = VersionedParquetTable(spark, tempfile.mkdtemp(prefix="mor_q151_"))
+    t = VersionedParquetTable(spark, scratch_dir(prefix="mor_q151_"))
     t.overwrite(o)
     t.delete_keys_mor(o.filter(F.col("o_orderkey") % 3 == 0), ["o_orderkey"])
     t.delete_keys_mor(o.filter(F.col("o_orderkey") % 5 == 0), ["o_orderkey"])

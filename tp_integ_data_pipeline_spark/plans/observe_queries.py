@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from tp_integ_data_pipeline_spark.operators.observe import audited_write
 from tp_integ_data_pipeline_spark.plans.registry import query
-from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table, scratch_dir
 
 
 @query(
@@ -39,7 +39,7 @@ def q135_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
     m = audited_write(
         li,
-        tempfile.mkdtemp(prefix="obs_q135_") + "/out",
+        scratch_dir(prefix="obs_q135_") + "/out",
         {
             "n_rows": F.count(F.lit(1)),
             "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.plans.relational import dsum_sql
+from tp_integ_data_pipeline_spark.sources.fixtures import scratch_dir
 from tp_integ_data_pipeline_spark.streaming.ingest import run_stream_to_memory
 
 
@@ -41,7 +42,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    staging = tempfile.mkdtemp(prefix="events_stream_")
+    staging = scratch_dir(prefix="events_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
     schema = spark.read.parquet(staging).schema
     stream = spark.readStream.schema(schema).parquet(staging)
@@ -122,10 +123,10 @@ def q89_stream_late_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    staging = tempfile.mkdtemp(prefix="events_late_")
+    staging = scratch_dir(prefix="events_late_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(staging, "a_events.parquet"))
     raw = spark.read.parquet(staging)
-    dup_tmp = tempfile.mkdtemp(prefix="events_dup_")
+    dup_tmp = scratch_dir(prefix="events_dup_")
     raw.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode("overwrite").parquet(dup_tmp)
     part = next(f for f in os.listdir(dup_tmp) if f.endswith(".parquet"))
     shutil.copy(os.path.join(dup_tmp, part), os.path.join(staging, "z_redelivery.parquet"))
@@ -252,7 +253,7 @@ def q68_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = _events_stream(spark, sf_dir)
-    rollup_path = tempfile.mkdtemp(prefix="rollup_q68_")
+    rollup_path = scratch_dir(prefix="rollup_q68_")
     q = start_rollup_maintenance(spark, stream, rollup_path)
     q.awaitTermination()
     return read_rollup(spark, rollup_path).orderBy("win_start", "event_type")

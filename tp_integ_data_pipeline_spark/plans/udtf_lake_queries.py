@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from tp_integ_data_pipeline_spark.plans.registry import query
-from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table, scratch_dir
 from tp_integ_data_pipeline_spark.sources.lake import DataLake
 
 
@@ -77,7 +77,7 @@ def q45_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("2001-10-01").cast("timestamp")
     )
     staged = li.withColumn("fecha_partic", F.date_format("l_shipdate", "MM-dd-yy"))
-    lake = DataLake(spark, tempfile.mkdtemp(prefix="lake_q45_"))
+    lake = DataLake(spark, scratch_dir(prefix="lake_q45_"))
     keys = ["l_orderkey", "l_linenumber"]
     # probe_partitions=True: fecha_partic is derived from l_shipdate,
     # which is fixed per (l_orderkey, l_linenumber) — key → partition FD

@@ -52,3 +52,18 @@ def register_views(spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES) -> N
     """Register each fixture table as a temp view for spark.sql use."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scratch_dir(prefix: str) -> str:
+    """Query-lifetime scratch directory: mkdtemp plus an atexit
+    cleanup, so repeated bench/correctness runs don't accumulate
+    unbounded /tmp state (lazy DataFrames over the dir stay readable
+    for the life of the process, which is exactly the window the
+    registry queries need)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
