@@ -59,3 +59,31 @@ def test_insert_if_absent_idempotent_property(spark, target_rows, stage_rows):
     for k, v in a:
         if k in tmap:
             assert v == tmap[k]
+
+
+def test_q47_range_join_covers_id_time_disorder(spark, tmp_path):
+    """Bucketized range join must not depend on event ids being
+    ordered like timestamps: id=1 fires AFTER id=2 across a minute
+    boundary (61 s vs 59 s, Δ=2 s) — symmetric pairing still finds the
+    pair; an a_id < b_id join predicate would drop it."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.plans.batteries import q47_range_join
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base + datetime.timedelta(seconds=61), 7, "click", 1.0, "{}"),
+        (2, base + datetime.timedelta(seconds=59), 7, "click", 1.0, "{}"),
+        # control pair, same bucket, id order == time order
+        (3, base + datetime.timedelta(seconds=10), 8, "click", 1.0, "{}"),
+        (4, base + datetime.timedelta(seconds=20), 8, "click", 1.0, "{}"),
+        # non-pair: 90 s apart
+        (5, base, 9, "click", 1.0, "{}"),
+        (6, base + datetime.timedelta(seconds=90), 9, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r["n_close_pairs"] for r in q47_range_join(spark, str(tmp_path)).collect()}
+    assert got == {7: 1, 8: 1}

@@ -79,12 +79,27 @@ def train_bpe(
     n_merges: int,
     text_col: str = "text",
     min_count: int = 2,
+    vocab: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merges from the corpus. Returns the ordered
     merge table (the model — bounded driver state, one tuple per
     round). Ties break deterministically on the pair string. Stops
-    early when the best pair drops under ``min_count``."""
-    vocab = _word_vocab(docs, text_col).withColumn(
+    early when the best pair drops under ``min_count``.
+
+    ``vocab`` (a precomputed (word, wf) table — ideally lazily
+    checkpointed) lets train and apply share ONE corpus-token shuffle;
+    omitted, it is derived here. Each round's checkpointed symbol
+    table supersedes the previous one — the explicit gc nudge below
+    lets the ContextCleaner release the superseded blocks between
+    rounds, so storage holds ~one vocab copy, not n_merges of them.
+    The distributed loop is built for corpus-scale COUNTING with a
+    modest merge budget; a production 30k-merge train would collect
+    the (bounded, Heaps-law) vocabulary after this loop's first count
+    and run the remaining rounds driver-side over it."""
+    import gc
+
+    base = vocab if vocab is not None else _word_vocab(docs, text_col)
+    vocab = base.withColumn(
         "syms", F.split(F.col("word"), "(?!^)")
     ).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
@@ -115,6 +130,10 @@ def train_bpe(
         vocab = vocab.withColumn("syms", _merge_pass(F.col("syms"), a, b)).localCheckpoint(
             eager=False
         )
+        # the collect() above materialized the PREVIOUS checkpoint and
+        # truncated its lineage; dropping the Python refs + gc lets the
+        # ContextCleaner free its storage blocks before the next round
+        gc.collect()
     return merges
 
 
@@ -141,16 +160,19 @@ def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus with a trained merge table: fold the merges
     over each DISTINCT word (mapInPandas — Python ∝ vocabulary), then
     rejoin by word. Returns (word, wf, tokens array<string>, n_tokens)
     per vocabulary entry — corpus-level rollups (total token counts,
     fertility per word) derive from (wf × n_tokens) without touching
-    text again."""
+    text again. Pass the same precomputed ``vocab`` given to
+    ``train_bpe`` so the corpus-token shuffle runs once for the whole
+    train→apply workflow."""
     import pandas as pd
 
-    vocab = _word_vocab(docs, text_col)
+    vocab = vocab if vocab is not None else _word_vocab(docs, text_col)
     mlist = list(merges)
 
     def tok(batches):

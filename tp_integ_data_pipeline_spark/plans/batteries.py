@@ -31,8 +31,13 @@ def q47_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate space to adjacent buckets, then the exact |Δt| ≤ 60 s
     predicate filters — the scalable form of an interval self-join
     (a raw theta-join would be O(n²) per user). Only the left side is
-    bucket-exploded (2×), so each qualifying pair appears exactly once
-    per side-bucket; distinct collapses the double-bucket hits."""
+    bucket-exploded (2×). Pairing is SYMMETRIC (a_id != b_id, then
+    canonicalized to (least, greatest) ids before distinct): for any
+    qualifying pair the orientation whose a-side sits in the earlier
+    bucket always matches, so coverage never depends on event ids
+    being ordered like timestamps — an a_id < b_id join predicate
+    would silently drop boundary-straddling pairs whose smaller id is
+    the later event."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     us = F.unix_micros(F.col("ts"))
     minute = (us / F.lit(60_000_000)).cast("long")
@@ -45,10 +50,14 @@ def q47_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         left.join(right, ["user_id", "bucket"])
         .filter(
-            (F.col("a_id") < F.col("b_id"))
+            (F.col("a_id") != F.col("b_id"))
             & (F.abs(F.col("a_us") - F.col("b_us")) <= 60_000_000)
         )
-        .select("user_id", "a_id", "b_id")
+        .select(
+            "user_id",
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
         .distinct()
     )
     return (

@@ -477,8 +477,7 @@ def q109_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verification, then appended to the lake and indexed. The
     final lake must equal the oracle's two-phase dedup — hard evidence
     the ingest-time composition matches batch semantics."""
-    import tempfile
-
+    
     from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
     from tp_integ_data_pipeline_spark.sources.lake import DataLake
     from tp_integ_data_pipeline_spark.streaming.dedup_ingest import (
@@ -596,8 +595,7 @@ def q103_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joining the candidate ids back to the corpus store. At 100 TB the
     index holds fixed-width rows (~1000× smaller than the text), and a
     probe touches only matching buckets."""
-    import tempfile
-
+    
     from tp_integ_data_pipeline_spark.operators.dedup import pair_jaccard, shingles
     from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
 

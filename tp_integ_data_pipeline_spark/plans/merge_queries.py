@@ -151,8 +151,7 @@ def q132_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reconstructs both states with set algebra and derives the
     same feed — insert/delete/update_pre/update_post all hash-checked.
     """
-    import tempfile
-
+    
     from tp_integ_data_pipeline_spark.operators.merge import (
         VersionedParquetTable,
         table_changes,
@@ -221,8 +220,7 @@ def q138_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     double->decimal cast rounds the SHORTEST string repr while DuckDB
     rounds the binary value — off-cent prices would diverge). The reference's nightly full-refresh MERGE
     (transf.py:215-273) is the shape this replaces at 100 TB."""
-    import tempfile
-
+    
     from tp_integ_data_pipeline_spark.operators.ivm import apply_delta, delta_aggregate
     from tp_integ_data_pipeline_spark.operators.merge import (
         VersionedParquetTable,
@@ -455,8 +453,7 @@ def q151_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT, so the read-side tombstone application — including the
     stacking order — is hash-checked end-to-end, not just
     pytest-checked."""
-    import tempfile
-
+    
     from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
 
     o = load_table(spark, sf_dir, "orders").select(

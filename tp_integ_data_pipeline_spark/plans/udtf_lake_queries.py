@@ -4,7 +4,6 @@ lake write-path queries (S6 exercised inside the oracle-checked path).
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
