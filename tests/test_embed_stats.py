@@ -47,6 +47,51 @@ def test_covariance_independent_of_partitioning(spark):
     assert np.allclose(a["cov"].to_numpy(), b["cov"].to_numpy(), atol=1e-9)
 
 
+def test_covariance_deterministic_mode_bit_identical(spark):
+    """id_col mode must be BIT-identical (==, not allclose) under any
+    upstream partitioning AND any Arrow batch size — the q126 driver-
+    hash contract: a ROUND(,6) boundary cell may never flip with the
+    environment."""
+    df1, _ = _toy(spark, n=300, d=6, parts=1)
+    df7, _ = _toy(spark, n=300, d=6, parts=7)
+    df32, _ = _toy(spark, n=300, d=6, parts=32)
+    base = covariance_matrix(df1, "embedding", id_col="vec_id").toPandas()
+    base = base.sort_values(["i", "j"])["cov"].to_numpy()
+    for other in (df7, df32):
+        got = covariance_matrix(other, "embedding", id_col="vec_id").toPandas()
+        got = got.sort_values(["i", "j"])["cov"].to_numpy()
+        assert np.array_equal(base, got)  # bit-exact, not allclose
+    # and under a different Arrow batch boundary within partitions
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+        got = covariance_matrix(df7, "embedding", id_col="vec_id").toPandas()
+        got = got.sort_values(["i", "j"])["cov"].to_numpy()
+        assert np.array_equal(base, got)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # deterministic mode still agrees with numpy
+    _, x = _toy(spark, n=300, d=6, parts=1)
+    d = x.shape[1]
+    tri = covariance_matrix(df1, "embedding", id_col="vec_id").toPandas()
+    got = np.zeros((d, d))
+    got[tri["i"], tri["j"]] = tri["cov"]
+    got[tri["j"], tri["i"]] = tri["cov"]
+    assert np.allclose(got, np.cov(x, rowvar=False, bias=True), atol=1e-9)
+
+
+def test_fit_pca_deterministic_mode_stable(spark):
+    """fit_pca(id_col=...) returns bit-identical models across
+    partitionings (q127's run-stability)."""
+    df1, _ = _toy(spark, n=150, d=5, parts=1, seed=13)
+    df9, _ = _toy(spark, n=150, d=5, parts=9, seed=13)
+    m1 = fit_pca(df1, "embedding", id_col="vec_id")
+    m9 = fit_pca(df9, "embedding", id_col="vec_id")
+    assert np.array_equal(m1["mean"], m9["mean"])
+    assert np.array_equal(m1["components"], m9["components"])
+    assert np.array_equal(m1["eigenvalues"], m9["eigenvalues"])
+
+
 def test_whitening_gives_identity_covariance(spark):
     df, x = _toy(spark, n=200, d=6)
     model = fit_pca(df, "embedding", k=None, eps=0.0)

@@ -188,6 +188,32 @@ def test_scd2_reapply_is_noop(spark):
     assert a.equals(b)
 
 
+def test_scd2_target_with_extra_payload_columns(spark):
+    """A target with payload columns beyond keys+tracked+SCD bookkeeping
+    must work on BOTH paths: the update path carries the extra value
+    from the matched current row; a fresh insert null-pads it (round-4
+    ADVICE: the insert branch used to raise AnalysisException)."""
+    import datetime
+
+    d = datetime.date(2024, 1, 1)
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0, "keepme", d, None, True)],
+        "k long, attr string, bal double, extra string, "
+        "valid_from date, valid_to date, is_current boolean",
+    )
+    stage = spark.createDataFrame([(1, "a2", 11.0), (9, "new", 0.0)], _S)
+    out = (
+        scd2_upsert(tgt, stage, ["k"], ["attr", "bal"], "2024-06-01")
+        .toPandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    k1 = out[out["k"] == 1]
+    assert len(k1) == 2 and set(k1["extra"]) == {"keepme"}  # carried on update
+    k9 = out[out["k"] == 9].iloc[0]
+    assert k9["extra"] is None and k9["is_current"]  # null-padded on insert
+
+
 def test_unknown_change_type_raises_even_with_pruned_columns(spark):
     """The guard rides the row-level sign expression, so selecting
     only a sum-delta column (pruning the count) still fails loudly."""

@@ -598,6 +598,28 @@ def test_versioned_table_restore(spark, tmp_path):
         tbl.restore(99)
 
 
+def test_versioned_table_restore_to_empty_version(spark, tmp_path):
+    """A version that EXISTS in the commit log but holds no data (no
+    current dir) restores to the empty state via a data-less commit —
+    distinct from the unknown-version ValueError (round-4 ADVICE:
+    these used to be conflated and empty-restore was impossible)."""
+    from tp_integ_data_pipeline_spark.operators.merge import _try_commit
+
+    tbl = VersionedParquetTable(spark, str(tmp_path / "re"))
+    tbl.overwrite(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    # version 2: a committed data-less manifest (e.g. a retention wipe)
+    assert _try_commit(tbl.path, 1, {"meta": {"op": "wipe"}})
+    assert tbl.read() is None
+    tbl.overwrite(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    tbl.restore(2)  # empty-but-real version: no ValueError
+    assert tbl.read() is None
+    hist = tbl.history()
+    assert hist[-1]["meta"] == {"op": "restore", "restored_from": 2}
+    # restoring back to a data-bearing version still works afterwards
+    tbl.restore(3)
+    assert {r["k"] for r in tbl.read().collect()} == {2}
+
+
 def test_mor_delete_and_compact(spark, tmp_path):
     """Merge-on-read deletes: only tombstone keys hit disk, reads
     anti-join them lazily (current AND time-travel AND table_changes),

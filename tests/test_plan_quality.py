@@ -74,7 +74,11 @@ def test_all_query_plans_audit_gate(spark):
     - no CartesianProduct anywhere;
     - BroadcastNestedLoopJoin only where the audit allowlist documents
       a bounded broadcast side (1-row scalar aggregate or bounded query
-      batch), and never more of them than documented.
+      batch), and never more of them than documented;
+    - no Window without data-column partition keys (a single-partition
+      sort of the whole feeding relation — the q130 scale-killer)
+      unless the feeding relation is a registered bounded summary
+      (GLOBAL_WINDOW_ALLOWED documents each bound).
 
     Streaming queries run availableNow into a memory sink at build time
     and audit as memory scans — trivially clean, kept for coverage.
@@ -83,7 +87,13 @@ def test_all_query_plans_audit_gate(spark):
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-    from audit_plans import BNLJ_ALLOWED, audit_query, verify_bnlj_bounds
+    from audit_plans import (
+        BNLJ_ALLOWED,
+        GLOBAL_WINDOW_ALLOWED,
+        audit_query,
+        global_windows,
+        verify_bnlj_bounds,
+    )
 
     sf = "/root/testdata/sf0.001"
     offenders = []
@@ -91,6 +101,9 @@ def test_all_query_plans_audit_gate(spark):
         counters, plan = audit_query(spark, name, sf)
         if counters["cartesian"]:
             offenders.append((name, "CartesianProduct", counters["cartesian"]))
+        gw = global_windows(plan)
+        if gw and name not in GLOBAL_WINDOW_ALLOWED:
+            offenders.append((name, "global-Window", gw))
         allowed = BNLJ_ALLOWED.get(name)
         if allowed is None:
             if counters["bnlj"]:
@@ -128,6 +141,36 @@ def test_verify_bnlj_bounds_rejects_data_sized_broadcast(spark):
     ok_plan = _formatted(spark.range(100).crossJoin(scalar))
     if "BroadcastNestedLoopJoin" in ok_plan:
         assert verify_bnlj_bounds(ok_plan, {"scalar_aggs": 1, "filtered_batches": []}) == []
+
+
+def test_global_windows_detector(spark):
+    """The detector itself: flags empty AND constant partition specs
+    (both funnel everything into one partition), passes keyed windows
+    with or without an order spec."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from audit_plans import global_windows
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select("id", (F.col("id") % 5).alias("k"))
+    flagged = [
+        W.partitionBy(F.lit(0)).orderBy("id"),  # constant partition
+        W.orderBy("id"),  # no partition at all
+    ]
+    for w in flagged:
+        plan = _formatted(df.withColumn("rn", F.row_number().over(w)))
+        assert global_windows(plan), plan[:1500]
+    clean = [
+        W.partitionBy("k").orderBy("id"),  # keyed + ordered
+        W.partitionBy("k"),  # keyed, unordered frame (2-group print)
+    ]
+    for w in clean:
+        expr = F.row_number().over(w) if w is clean[0] else F.max("id").over(w)
+        plan = _formatted(df.withColumn("x", expr))
+        assert global_windows(plan) == [], plan[:1500]
 
 
 def test_headline_scan_filters_are_pushed(spark):

@@ -105,3 +105,24 @@ def test_frozen_stats_out_of_range_clamps(spark):
         .collect()
     )
     assert [r["code"] for r in got] == [255, 0]
+
+
+def test_frozen_stats_dim_mismatch_fails_loudly(spark):
+    """Apply path: an increment with MORE dimensions than the trained
+    stats must raise (assert_true in the left-join filter), never
+    silently drop the unknown dims — the round-4 ADVICE trap."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    base = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    st = dim_stats(base, "embedding")
+    wide = spark.createDataFrame(
+        [(2, [0.5, 0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises((SparkRuntimeException, Exception), match="absent from frozen stats"):
+        quantize_codes(wide, "embedding", "vec_id", stats=st).collect()
+    # matching-width increments still pass through the left-join path
+    ok = spark.createDataFrame([(3, [0.25, 0.75])], "vec_id long, embedding array<double>")
+    assert quantize_codes(ok, "embedding", "vec_id", stats=st).count() == 2

@@ -32,26 +32,80 @@ from pyspark.sql import functions as F
 _SUM_J = -1
 _COUNT_I = -1
 
+# Deterministic-mode layout constants. The partition count is FIXED (not
+# cores-derived) and the fold works in FIXED-size row chunks so the
+# per-partition partial is a function of (partition contents, row order)
+# only — never of upstream split sizes or Arrow batch boundaries.
+_DET_PARTITIONS = 64
+_DET_CHUNK = 4096
 
-def partial_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+# Partial Gram values are order-sensitive float64 sums; combining them
+# across partitions with a float F.sum reintroduces combine-order
+# nondeterminism. Summing as DECIMAL is exact and therefore
+# order-independent: 38 digits with 12 decimal places leaves 26 integer
+# digits of headroom — far beyond any Gram partial magnitude here.
+_DEC = "decimal(38,12)"
+
+
+def partial_moments(
+    df: DataFrame, vec_col: str = "embedding", id_col: str | None = None
+) -> DataFrame:
     """Fold each partition's vectors into partial second-moment rows
     ``(i, j, v)``: upper-triangle Gram sums (i <= j), per-dimension
     sums ``(i, -1)``, and the row count ``(-1, -1)``. The output is
-    O(partitions * d^2) rows — the only thing that ever shuffles."""
+    O(partitions * d^2) rows — the only thing that ever shuffles.
+
+    With ``id_col`` set, the fold is made bit-reproducible across
+    environments: rows are hash-repartitioned on the id to a FIXED
+    partition count (murmur3 hash partitioning — no sampling, unlike
+    repartitionByRange), sorted within each partition by the id, and
+    accumulated in fixed 4096-row chunks independent of incoming Arrow
+    batch boundaries. Every float addition then happens in an order
+    determined solely by the data, not by upstream file splits, core
+    count, or ``maxRecordsPerBatch``. Cost: one full shuffle of the
+    vectors — so determinism is OPT-IN; the default path keeps the
+    zero-data-shuffle shape (only O(partitions * d^2) partial rows
+    move) and tolerates last-ULP run variance, which is the right
+    trade at 100 TB. The correctness-graded queries (q126/q127) use
+    the deterministic mode so a ROUND(,6) boundary cell can never
+    flip between the builder's run and the driver's run."""
+    if id_col is not None:
+        src = (
+            df.select(id_col, vec_col)
+            .repartition(_DET_PARTITIONS, F.col(id_col))
+            .sortWithinPartitions(id_col)
+        )
+    else:
+        src = df.select(vec_col)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gram = None
         vsum = None
         count = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        pending: list[np.ndarray] = []
+        n_pending = 0
+
+        def accumulate(x: np.ndarray) -> None:
+            nonlocal gram, vsum, count
             g = x.T @ x
             gram = g if gram is None else gram + g
             s = x.sum(axis=0)
             vsum = s if vsum is None else vsum + s
             count += len(x)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pending.append(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            n_pending += len(pending[-1])
+            while n_pending >= _DET_CHUNK:
+                block = np.concatenate(pending) if len(pending) > 1 else pending[0]
+                accumulate(block[:_DET_CHUNK])
+                rest = block[_DET_CHUNK:]
+                pending = [rest] if len(rest) else []
+                n_pending = len(rest)
+        if n_pending:
+            accumulate(np.concatenate(pending) if len(pending) > 1 else pending[0])
         if count == 0:
             return
         d = gram.shape[0]
@@ -67,17 +121,34 @@ def partial_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         out["j"] = out["j"].astype("int32")
         yield out
 
-    return df.select(vec_col).mapInPandas(fold, schema="i int, j int, v double")
+    return src.mapInPandas(fold, schema="i int, j int, v double")
 
 
-def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def _exact_sum(col: str) -> F.Column:
+    """Order-independent combine of float partials: cast each partial
+    to DECIMAL (deterministic shortest-repr cast), sum exactly, return
+    double. Used wherever partial-moment rows from different partitions
+    meet, so the combined value is identical under any partitioning."""
+    return F.sum(F.col(col).cast(_DEC)).cast("double")
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", id_col: str | None = None
+) -> DataFrame:
     """Population covariance of an ``array<float>`` column as an upper
     triangle of (i, j, cov) rows: cov = E[x_i x_j] - E[x_i] E[x_j].
 
     One scan, one tiny shuffle (the partial-moment rows), then joins
     against the d-row mean relation — every post-scan relation is
-    O(d^2), so the finishing joins broadcast."""
-    moments = partial_moments(df, vec_col).groupBy("i", "j").agg(F.sum("v").alias("v"))
+    O(d^2), so the finishing joins broadcast. Pass ``id_col`` for the
+    bit-reproducible mode (see :func:`partial_moments`): deterministic
+    partition layout for the fold plus exact DECIMAL combine of the
+    partials, so the result is identical under any environment."""
+    moments = (
+        partial_moments(df, vec_col, id_col)
+        .groupBy("i", "j")
+        .agg(_exact_sum("v").alias("v"))
+    )
     # Keyless aggregate on top of the count-row filter: ≤ 1 row by
     # construction AND provably so to the plan gate (Keys: [] shape) —
     # a bare filter would be 1-row only by convention.
@@ -106,7 +177,11 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def fit_pca(
-    df: DataFrame, vec_col: str = "embedding", k: int | None = None, eps: float = 1e-9
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int | None = None,
+    eps: float = 1e-9,
+    id_col: str | None = None,
 ) -> dict:
     """Eigendecompose the d x d covariance on the driver (bounded by
     the model dimension, not the data — same justification as the IVF
@@ -116,9 +191,16 @@ def fit_pca(
 
     ONE scan: the aggregated moment rows (<= d*(d+1)/2 + d + 1 of
     them) are pulled once and covariance + mean both derive from that
-    bounded pull."""
+    bounded pull.
+
+    ``id_col`` opts into the bit-reproducible moment fold (see
+    :func:`partial_moments`) plus exact DECIMAL combine, making the
+    fitted model — and everything derived from it — run-stable."""
     mom = (
-        partial_moments(df, vec_col).groupBy("i", "j").agg(F.sum("v").alias("v")).toPandas()
+        partial_moments(df, vec_col, id_col)
+        .groupBy("i", "j")
+        .agg(_exact_sum("v").alias("v"))
+        .toPandas()
     )
     if mom.empty:
         raise ValueError("fit_pca: input has no rows")

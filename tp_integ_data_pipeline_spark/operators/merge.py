@@ -393,9 +393,16 @@ def scd2_upsert(
         .withColumn(valid_from, eff)
         .withColumn(valid_to, F.lit(None).cast("date"))
         .withColumn(is_current, F.lit(True))
-        .select(*target.columns)
     )
-    return hist.unionByName(exploded).unionByName(inserts)
+    # null-pad target columns beyond keys+tracked+SCD bookkeeping (extra
+    # payload the stage does not carry) — mirrors scd1_upsert's schema
+    # alignment. The UPDATE path carries such columns from the matched
+    # current row (the _struct default); fresh inserts get null.
+    target_types = dict(target.dtypes)
+    for c in target.columns:
+        if c not in inserts.columns:
+            inserts = inserts.withColumn(c, F.lit(None).cast(target_types[c]))
+    return hist.unionByName(exploded).unionByName(inserts.select(*target.columns))
 
 
 def insert_if_absent(target: DataFrame, stage: DataFrame, keys: list[str]) -> DataFrame:
@@ -500,10 +507,25 @@ class VersionedParquetTable:
         can't orphan it. Deliberately last-writer-wins: RESTORE's
         meaning is "discard whatever the table says now in favor of
         version N" — a commit racing the restore is discarded with the
-        rest; don't run it concurrently with writers you care about."""
-        old = self.read(version)
+        rest; don't run it concurrently with writers you care about.
+
+        An UNKNOWN version raises (from ``read``'s commit-log check);
+        a version that exists but holds no data restores to the empty
+        state by publishing a data-less commit manifest — the two cases
+        are distinct, not conflated."""
+        old = self.read(version)  # raises ValueError on unknown version
         if old is None:
-            raise ValueError(f"version {version} not found in {self.path}")
+            # the version is real but empty: publish an empty commit
+            # (no current dir) so read() returns None again
+            for _ in range(self.max_retries):
+                v, _cur = _load_state(self.path)
+                if _try_commit(
+                    self.path, v, {"meta": {"op": "restore", "restored_from": version}}
+                ):
+                    return
+            raise ConcurrentWriteError(
+                f"restore of {self.path} lost {self.max_retries} commit races"
+            )
         self.overwrite(old, meta={"op": "restore", "restored_from": version})
 
     def _merge(self, stage: DataFrame, combine, meta: dict | None = None) -> None:
@@ -784,6 +806,12 @@ def table_changes(table, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
     the four change kinds come out of a single evaluation of the join,
     not four filtered re-evaluations. Works on VersionedParquetTable
     and BucketedParquetTable alike (both expose ``read(version=)``).
+
+    PRECONDITION: ``keys`` must be unique within each compared version
+    (the standard CDF contract — same as :func:`scd2_upsert`'s stage
+    precondition). Duplicate keys fan the full-outer join out into
+    cross-product change rows; dedup or aggregate to one row per key
+    per version before diffing.
     """
     old = table.read(version=v_from)
     new = table.read(version=v_to)

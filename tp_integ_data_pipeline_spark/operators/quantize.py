@@ -78,9 +78,22 @@ def quantize_codes(
         # once, not once per branch (the q103-probe lesson)
         x = x.localCheckpoint(eager=False)
         st = x.groupBy("dim").agg(F.min("v").alias("cmin"), F.max("v").alias("cmax"))
+        j = x.join(F.broadcast(st), "dim")
     else:
-        st = stats
-    j = x.join(F.broadcast(st), "dim")
+        # frozen-stats apply: a LEFT join so a dimension absent from the
+        # trained stats (e.g. an increment with wider vectors than the
+        # training corpus) fails LOUDLY instead of being silently
+        # dropped by an inner join. assert_true lives in the join's
+        # filter condition, so Catalyst cannot prune it away.
+        j = x.join(F.broadcast(stats), "dim", "left").where(
+            F.assert_true(
+                F.col("cmin").isNotNull() & F.col("cmax").isNotNull(),
+                F.concat(
+                    F.lit("quantize_codes: dim absent from frozen stats: "),
+                    F.col("dim").cast("string"),
+                ),
+            ).isNull()
+        )
     code = _code_expr(F.col("v"), F.col("cmin"), F.col("cmax"), levels)
     recon = F.col("cmin") + F.col("code") * (F.col("cmax") - F.col("cmin")) / F.lit(
         float(levels)

@@ -181,13 +181,13 @@ def q130_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = W.partitionBy(F.lit(0)).orderBy(F.col("pmi").desc(), "w1", "w2")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _PMI_TOP)
-        .drop("rn")
-        .orderBy(F.col("pmi").desc(), "w1", "w2")
-    )
+    # Global top-k via orderBy().limit() = TakeOrderedAndProject: each
+    # partition keeps its local top-50, the driver merges k-row heads —
+    # never a single-partition window over the vocabulary-sized scored
+    # relation (the engine-wide top-k rule, operators/sketches.py and
+    # q119; gate-enforced by scripts/audit_plans.py's WindowExec check).
+    # Output identical: total ordering with deterministic tie-break.
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(_PMI_TOP)
 
 
 # --------------------------------------------------------------------------

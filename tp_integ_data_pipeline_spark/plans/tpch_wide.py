@@ -136,11 +136,13 @@ def q79_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
     )
-    # Scalar max via an empty-frame window: one extra exchange on a
-    # supplier-cardinality relation (tiny), no driver round-trip.
-    rev = rev.withColumn("max_rev", F.max("total_revenue").over(W.partitionBy()))
+    # Scalar max as a 1-row aggregate joined back on equality — a
+    # BroadcastHashJoin, never an empty-frame window (which would sort
+    # the whole supplier-cardinality relation into ONE partition; the
+    # audit_plans global-window gate now rejects that shape).
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        rev.filter(F.col("total_revenue") == F.col("max_rev"))
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
         .join(maybe_broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
