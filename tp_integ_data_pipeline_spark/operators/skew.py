@@ -84,3 +84,58 @@ def salted_broadcast_left(
         salted_fact["__salt"] == replicated["__salt"]
     )
     return salted_fact.join(F.broadcast(replicated), cond, "left").drop("__salt")
+
+
+def skew_report(df: DataFrame, keys: list[str], top: int = 20) -> DataFrame:
+    """Per-key frequency of the ``top`` heaviest join keys plus their
+    share of the table — the diagnosis a pipeline runs BEFORE choosing
+    a join strategy (broadcast / salt / AQE split). One keyed
+    aggregate + a 1-row total broadcast; top-k via orderBy().limit()
+    (TakeOrderedAndProject, never a global window)."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(top)
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-mitigated SHUFFLE equi-join — the non-broadcast sibling of
+    :func:`salted_broadcast_left`, for the moderate dim that exceeds
+    broadcast range but is far smaller than the fact. Fact rows get
+    the retry-stable content salt (see ``_row_salt``); the dim side is
+    replicated once per salt via a row-local explode; the join keys
+    become (keys..., salt), spreading a hot fact key over ``n_salts``
+    reducers at the cost of an n_salts× dim shuffle. Row multiplicity
+    is exactly preserved (each fact row matches the single replica
+    carrying its salt), so the result is IDENTICAL to the unsalted
+    join — which is what the q154 oracle checks. ``how`` supports the
+    fact-preserving shapes (inner/left); right/outer would need
+    dim-side salting instead."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_fact = fact.withColumn(
+        "__salt", _row_salt(fact, n_salts, salt_source).cast("int")
+    )
+    # sequence(int, int) is array<int>, so the exploded salt is already
+    # int-typed to match the cast fact salt (no cast around explode —
+    # generators cannot nest in expressions)
+    salted_dim = dim.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt"),
+        "*",
+    )
+    return salted_fact.join(salted_dim, [*keys, "__salt"], how).drop("__salt")

@@ -1,0 +1,77 @@
+"""Time-series repair: grouped linear interpolation of missing values
+(the hypertable ``interpolate`` verb, complementing q140's LOCF
+``locf``). No reference-repo counterpart — SURVEY.md §2.10 extension
+surface for sensor/telemetry feature pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    out_col: str = "v_interp",
+) -> DataFrame:
+    """Fill null ``value_col`` rows by linear interpolation between the
+    nearest non-null neighbors WITHIN each key's time order; leading
+    (no previous anchor) and trailing (no next anchor) gaps fall back
+    to the single available anchor (nearest-value extrapolation), and
+    a key with no anchors at all stays null.
+
+    Shape at 100 TB: two key-partitioned windows (running last/first
+    with ignorenulls over preceding / following frames) — both reuse
+    the SAME (key, t) sort order, so Catalyst plans one shuffle + one
+    sort for the pair; no self-join, no driver state. ``t_col`` must
+    be numeric (epoch/bucket); interpolation weights are computed in
+    double.
+    """
+    prev_frame = (
+        W.partitionBy(key_col).orderBy(t_col).rowsBetween(W.unboundedPreceding, -1)
+    )
+    next_frame = (
+        W.partitionBy(key_col).orderBy(t_col).rowsBetween(1, W.unboundedFollowing)
+    )
+    anchor = F.when(F.col(value_col).isNotNull(), F.struct(F.col(t_col).alias("t"), F.col(value_col).alias("v")))
+    prev = F.last(anchor, ignorenulls=True).over(prev_frame)
+    nxt = F.first(anchor, ignorenulls=True).over(next_frame)
+    with_n = df.withColumn("__p", prev).withColumn("__n", nxt)
+    span = F.col("__n.t") - F.col("__p.t")
+    interp = F.col("__p.v") + (F.col("__n.v") - F.col("__p.v")) * (
+        (F.col(t_col) - F.col("__p.t")) / span
+    )
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(F.col("__p").isNotNull() & F.col("__n").isNotNull() & (span != 0), interp)
+        .when(F.col("__p").isNotNull(), F.col("__p.v"))
+        .otherwise(F.col("__n.v"))
+    )
+    return with_n.withColumn(out_col, filled).drop("__p", "__n")
+
+
+def stratified_sample(
+    df: DataFrame, strata: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Deterministic exact-k-per-stratum sample: rows are ranked within
+    each stratum by a content hash of the id (md5 — portable to the
+    SQL oracle, unlike xxhash64) and the first ``k`` are kept. Fully
+    reproducible across runs/engines — the property a train/eval split
+    audit needs; use weighted_sample (q119) when inclusion must track
+    a weight column instead.
+
+    Shape: one stratum-keyed window; Spark ≥3.5 rewrites the rank
+    filter to WindowGroupLimit, keeping per-partition state at k rows
+    per stratum before the shuffle."""
+    w = W.partitionBy(*strata).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
