@@ -44,18 +44,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # - never driver-graded: q153 (registered after the r4 list froze) and
 #   the rows-only-by-design q101 q122 q127 q139 (a slot buys them the
 #   rows check; the hard checks stay in their pytest property suites);
-# - round-5-new: q154 q155 q156 q157 q158 q159;
-# - remaining 33 slots: the STALEST cohort — keys whose newest grade
+# - round-5-new: q154–q163 (10);
+# - remaining 29 slots: the STALEST cohort — keys whose newest grade
 #   is CORRECTNESS_r02 — in numeric order (q04 q23–q29 q36–q39 q45–q49
-#   q52–q54 q62 q63 q69 q72–q78 q80–q82).
-# NEXT ROUND: the rest of the r2 cohort (q83–q86 q88–q99, 16 keys),
-# the round-3-graded set (then stalest), and any round-6-new queries.
+#   q52–q54 q62 q63 q69 q72–q77).
+# NEXT ROUND: the rest of the r2 cohort (q78 q80–q86 q88–q99,
+# 19 keys), the round-3-graded set (then stalest), and any
+# round-6-new queries.
 _ROTATE_FRONT = (
     "q126 q130 q79 q142 q150 q42 q153 q101 q122 q127 q139 "
-    "q154 q155 q156 q157 q158 q159 "
+    "q154 q155 q156 q157 q158 q159 q160 q161 q162 q163 "
     "q04 q23 q24 q25 q26 q27 q28 q29 q36 q37 q38 q39 q45 q46 "
-    "q47 q48 q49 q52 q53 q54 q62 q63 q69 q72 q73 q74 q75 q76 "
-    "q77 q78 q80 q81 q82"
+    "q47 q48 q49 q52 q53 q54 q62 q63 q69 q72 q73 q74 q75 q76 q77"
 ).split()
 
 

@@ -77,6 +77,10 @@ HEADLINE = [
     "q157_dq_audit",
     "q158_stratified_sample",
     "q159_embedding_dup_clusters",
+    "q160_asof_join",
+    "q161_inverted_search",
+    "q162_robust_outliers",
+    "q163_triangle_count",
 ]
 
 

@@ -177,3 +177,134 @@ def test_audit_battery(spark):
     assert uniq["violations"] == 1  # key 3 appears twice
     orph = audit_reference(li, orders, ["ok"], ["ok"], "orphan").first()
     assert orph["violations"] == 1  # lineitem ok=9 has no order
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+def test_asof_join_semantics(spark):
+    from tp_integ_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, 1), ("a", 10, 2), ("a", 20, 3), ("b", 7, 4)],
+        "k string, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 10, 1, 100.0),   # tie with left t=10 -> matched (inclusive)
+            ("a", 10, 2, 200.0),   # duplicate ts: higher seq wins
+            ("a", 15, 3, 300.0),
+            # key b has no right rows at all
+        ],
+        "k string, t long, seq long, v double",
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "t", "t", "seq", ["v"]
+        ).collect()
+    }
+    assert got[1] is None          # t=5: nothing at or before
+    assert got[2] == 200.0         # t=10: inclusive tie, seq 2 beats seq 1
+    assert got[3] == 300.0         # t=20: latest prior is t=15
+    assert got[4] is None          # key with no right side
+
+
+def test_asof_join_tolerance_and_columns(spark):
+    from tp_integ_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 100, 1), ("a", 200, 2)], "k string, t long, lid long")
+    right = spark.createDataFrame([("a", 95, 1, 7.0)], "k string, t long, seq long, v double")
+    out = asof_join(left, right, "k", "t", "t", "seq", ["v"], tolerance=10)
+    got = {r["lid"]: r["v"] for r in out.collect()}
+    assert got[1] == 7.0           # 5 units old: within tolerance
+    assert got[2] is None          # 105 units old: nulled out
+    assert set(out.columns) == {"k", "t", "lid", "v"}  # left payload + right vals
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+def test_triangle_count_known_graphs(spark):
+    from tp_integ_data_pipeline_spark.operators.graph import triangle_count
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).first()["n_triangles"]
+
+    # K4: C(4,3) = 4 triangles; mixed orientations + a duplicate + self-loop
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(3, 2), (1, 1), (0, 1)]  # reversed dup, loop, exact dup
+    assert tc(k4) == 4 and tc(noisy) == 4
+    # path graph: no triangles
+    assert tc([(0, 1), (1, 2), (2, 3)]) == 0
+    # celebrity hub: star + one rim edge -> exactly 1 triangle
+    star = [(0, i) for i in range(1, 30)] + [(1, 2)]
+    assert tc(star) == 1
+
+
+# ---------------------------------------------------------------------------
+# grouped_median / robust_outliers
+# ---------------------------------------------------------------------------
+def test_grouped_median_matches_statistics(spark):
+    import statistics
+
+    from tp_integ_data_pipeline_spark.operators.timeseries import grouped_median
+
+    odd = [1.0, 9.0, 5.0]
+    even = [4.0, 1.0, 3.0, 2.0]
+    rows = [("odd", v) for v in odd] + [("even", v) for v in even]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+    got = {r["g"]: r["m"] for r in grouped_median(df, ["g"], "v", "m").collect()}
+    assert got["odd"] == statistics.median(odd)
+    assert got["even"] == statistics.median(even)  # interpolated 2.5
+
+
+def test_robust_outliers_planted(spark):
+    from tp_integ_data_pipeline_spark.operators.timeseries import robust_outliers
+
+    base = [("g", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 9]]
+    planted = base + [("g", 1000.0), ("g", -500.0)]
+    df = spark.createDataFrame(planted, "g string, v double")
+    r = robust_outliers(df, ["g"], "v").first()
+    assert r["n"] == 10 and r["n_outliers"] == 2 and r["med"] == 10.0
+    # constant group: mad = 0 -> nothing flagged, by convention
+    const = spark.createDataFrame([("c", 5.0)] * 6, "g string, v double")
+    rc = robust_outliers(const, ["g"], "v").first()
+    assert rc["mad"] == 0.0 and rc["n_outliers"] == 0
+
+
+# ---------------------------------------------------------------------------
+# inverted index search
+# ---------------------------------------------------------------------------
+def test_inverted_index_and_search(spark):
+    from tp_integ_data_pipeline_spark.operators.search import (
+        inverted_index,
+        postings,
+        search_all_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join hash join scan"),   # repeated token: posting is distinct
+            (2, "join filter"),
+            (3, "filter sort"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {r["token"]: r for r in inverted_index(docs).collect()}
+    assert idx["join"]["doc_ids"] == [1, 2] and idx["join"]["df"] == 2
+    assert "" not in idx
+    post = postings(docs)
+    both = sorted(r["id"] for r in search_all_terms(post, ["join", "filter"]).collect())
+    assert both == [2]
+    assert search_all_terms(post, ["join", "nosuchtoken"]).count() == 0
+    # duplicate terms in the query must not change the required count
+    assert sorted(
+        r["id"] for r in search_all_terms(post, ["join", "join"]).collect()
+    ) == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search_all_terms(post, [])

@@ -87,3 +87,56 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected simple graph (edges in
+    either orientation; self-loops ignored), returned as one
+    ``(n_triangles)`` row.
+
+    The scale shape is DEGREE ORIENTATION (the standard distributed
+    algorithm): every undirected edge is directed from its lower-
+    (degree, id) endpoint to the higher one, making the out-adjacency
+    of EVERY node O(sqrt(m)) — so the wedge join below is bounded even
+    when the raw graph has celebrity nodes whose naive adjacency would
+    explode quadratically. Each triangle is then counted exactly once:
+    one equi-join builds wedges (a->b, b->c) and one more equi-join
+    checks the closing edge (a->c). Two shuffles on edge keys, one
+    keyless count — no per-node adjacency collection, no driver state.
+    """
+    canon = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("n")).unionAll(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        canon.join(deg.select(F.col("n").alias("u"), F.col("d").alias("__du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("__dv")), "v")
+    )
+    # orient lower (degree, id) -> higher; total order so exactly one
+    # direction per edge
+    u_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    wedges = directed.alias("e1").join(
+        directed.alias("e2"), F.col("e1.t") == F.col("e2.s")
+    ).select(F.col("e1.s").alias("a"), F.col("e1.t").alias("b"), F.col("e2.t").alias("c"))
+    closed = wedges.join(
+        directed.select(F.col("s").alias("a"), F.col("t").alias("c")).withColumn(
+            "__hit", F.lit(1)
+        ),
+        ["a", "c"],
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

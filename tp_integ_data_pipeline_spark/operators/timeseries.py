@@ -75,3 +75,56 @@ def stratified_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def grouped_median(df: DataFrame, keys: list[str], val: str, out: str) -> DataFrame:
+    """Exact per-group median via the rank/count window formulation
+    (the q131 percentile pattern): distributed sort WITHIN each group,
+    average of the two middle ranks for even counts — matching the SQL
+    interpolating MEDIAN() — and never Spark's percentile aggregate,
+    whose buffer holds every group value in one task at 100 TB."""
+    wk = W.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(val).alias("__v"),
+        F.row_number().over(wk.orderBy(F.col(val))).alias("__rk"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    mid = ranked.filter(
+        (F.col("__rk") == F.floor((F.col("__n") + 1) / 2))
+        | (F.col("__rk") == F.ceil((F.col("__n") + 1) / 2))
+    )
+    return mid.groupBy(*keys).agg(F.avg("__v").alias(out))
+
+
+def robust_outliers(
+    df: DataFrame, keys: list[str], val: str, z: float = 3.5
+) -> DataFrame:
+    """Per-group robust outlier summary via the modified z-score
+    (Iglewicz-Hoaglin): 0.6745 * (x - median) / MAD > z, with MAD the
+    median absolute deviation — immune to the outliers themselves,
+    unlike mean/stddev z-scores. Returns (keys..., med, mad, n,
+    n_outliers). A zero MAD (over half the group identical) flags
+    nothing, by convention. Shape: two grouped-median passes (each one
+    group-keyed sort) + broadcastable |groups|-row stat joins — no
+    all-values-in-one-buffer percentile aggregate."""
+    med = grouped_median(df, keys, val, "med")
+    with_med = df.join(F.broadcast(med), keys).withColumn(
+        "__ad", F.abs(F.col(val) - F.col("med"))
+    )
+    mad = grouped_median(with_med, keys, "__ad", "mad")
+    scored = with_med.join(F.broadcast(mad), keys).withColumn(
+        "__mz",
+        F.when(
+            F.col("mad") > 0,
+            F.lit(0.6745) * (F.col(val) - F.col("med")) / F.col("mad"),
+        ),
+    )
+    return (
+        scored.groupBy(*keys, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.abs(F.col("__mz")) > z, 1)).alias("n_outliers"),
+        )
+        .select(*keys, "med", "mad", "n", "n_outliers")
+    )

@@ -10,17 +10,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tp_integ_data_pipeline_spark.operators.asof import asof_join
 from tp_integ_data_pipeline_spark.operators.change_feed import compact_cdc
 from tp_integ_data_pipeline_spark.operators.dedup import dup_clusters
+from tp_integ_data_pipeline_spark.operators.graph import triangle_count
 from tp_integ_data_pipeline_spark.operators.quality_audit import (
     audit_checks,
     audit_reference,
     audit_uniqueness,
 )
+from tp_integ_data_pipeline_spark.operators.search import postings, search_all_terms
 from tp_integ_data_pipeline_spark.operators.similarity import cosine_pairs
 from tp_integ_data_pipeline_spark.operators.skew import salted_join, skew_report
 from tp_integ_data_pipeline_spark.operators.timeseries import (
     interpolate_linear,
+    robust_outliers,
     stratified_sample,
 )
 from tp_integ_data_pipeline_spark.plans.registry import query
@@ -366,3 +370,193 @@ def q159_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"), F.min("id").alias("canonical"))
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# q160 — time-series AS-OF join (latest prior purchase per click)
+# --------------------------------------------------------------------------
+@query(
+    "q160_asof_join",
+    oracle="""
+    WITH l AS (
+        SELECT user_id % 100 AS k, ts, event_id, value
+        FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+        SELECT user_id % 100 AS k, ts, event_id AS seq, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.k, l.event_id, l.ts, ROUND(l.value, 6) AS click_value,
+           ROUND(m.value, 6) AS last_purchase_value
+    FROM l LEFT JOIN LATERAL (
+        SELECT r.value FROM r
+        WHERE r.k = l.k AND r.ts <= l.ts
+        ORDER BY r.ts DESC, r.seq DESC LIMIT 1
+    ) m ON TRUE
+    ORDER BY l.k, l.event_id
+    """,
+)
+def q160_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the value of the user's latest prior-or-equal
+    purchase (pandas merge_asof semantics). The engine runs the
+    union-tag-and-carry-forward shape (operators/asof.py: ONE keyed
+    sort, output-sized, never a range join or per-row lateral scan);
+    the oracle is the explicit LATERAL latest-prior lookup — the
+    hash-match pins inclusive-tie and duplicate-timestamp (seq
+    tie-break) semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % 100).alias("k"),
+        "event_id",
+        "ts",
+        F.round("value", 6).alias("click_value"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 100).alias("k"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.round("value", 6).alias("last_purchase_value"),
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_seq="seq", right_vals=["last_purchase_value"],
+    )
+    return out.select(
+        "k", "event_id", "ts", "click_value", "last_purchase_value"
+    ).orderBy("k", "event_id")
+
+
+# --------------------------------------------------------------------------
+# q161 — inverted-index conjunctive keyword search
+# --------------------------------------------------------------------------
+_SEARCH_TERMS = ["join", "filter"]
+
+
+@query(
+    "q161_inverted_search",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE list_contains(string_split(text, ' '), '{_SEARCH_TERMS[0]}')
+      AND list_contains(string_split(text, ' '), '{_SEARCH_TERMS[1]}')
+    ORDER BY doc_id
+    """,
+)
+def q161_inverted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-search for documents containing all query terms THROUGH the
+    inverted index (operators/search.py): the engine filters the
+    posting relation to the m terms and intersects with one doc-keyed
+    aggregate — cost tracks the terms' posting lengths, not corpus
+    size — while the oracle rescans every document's text. The
+    hash-match proves the index path returns exactly the rescan's
+    answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = postings(docs, "doc_id", "text")
+    hits = search_all_terms(post, _SEARCH_TERMS, id_col="id")
+    return (
+        hits.join(docs, hits["id"] == docs["doc_id"])
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q162 — robust per-group outlier detection (median/MAD modified z)
+# --------------------------------------------------------------------------
+@query(
+    "q162_robust_outliers",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, AVG(value) AS med FROM ranked
+        WHERE rk = FLOOR((n + 1) / 2.0) OR rk = CEIL((n + 1) / 2.0)
+        GROUP BY event_type
+    ),
+    ad AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS adv, m.med
+        FROM events e JOIN med m USING (event_type)
+    ),
+    ranked2 AS (
+        SELECT event_type, adv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adv) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ad
+    ),
+    mad AS (
+        SELECT event_type, AVG(adv) AS mad FROM ranked2
+        WHERE rk = FLOOR((n + 1) / 2.0) OR rk = CEIL((n + 1) / 2.0)
+        GROUP BY event_type
+    )
+    SELECT e.event_type, ROUND(m.med, 6) AS med, ROUND(d.mad, 6) AS mad,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (
+               WHERE d.mad > 0 AND ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
+           ) AS n_outliers
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med, d.mad
+    ORDER BY e.event_type
+    """,
+)
+def q162_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier rates per event type via the Iglewicz-Hoaglin modified
+    z-score over exact median/MAD — robust to the outliers themselves,
+    unlike mean/stddev. Both medians use the rank/count formulation
+    (distributed in-group sort, q131's pattern; the oracle spells the
+    identical formulation so even-count interpolation is arithmetic-
+    for-arithmetic the same), never Spark's one-buffer percentile
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    out = robust_outliers(ev.select("event_type", "value"), ["event_type"], "value")
+    return out.select(
+        "event_type",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n",
+        "n_outliers",
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q163 — triangle counting on the part co-occurrence graph
+# --------------------------------------------------------------------------
+@query(
+    "q163_triangle_count",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 JOIN e e3
+      ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    """,
+)
+def q163_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the parts-bought-together graph. Edge construction
+    is ROW-LOCAL (per-order sorted part set exploded into pairs — lines
+    per order are bounded, never a fact self-join), and the count runs
+    the degree-oriented algorithm (operators/graph.triangle_count):
+    every node's out-adjacency is O(sqrt(m)) after orientation, so the
+    wedge join survives celebrity parts at 100 TB. The oracle is the
+    naive three-way self-join — fine at check scale, the contrast is
+    the point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))"
+    )
+    edges = (
+        per_order.select(F.explode(pair_expr).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    return triangle_count(edges)
