@@ -40,7 +40,7 @@ from tp_integ_data_pipeline_spark.sources.fixtures import load_table
         GROUP BY 1, 2
     )
     SELECT g.i, g.j,
-           ROUND(g.sxy / (SELECT n FROM n) - mi.mean * mj.mean, 6) AS cov
+           ROUND(g.sxy / (SELECT n FROM n) - mi.mean * mj.mean, 6) + 0 AS cov
     FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
     ORDER BY g.i, g.j
     """,
@@ -54,11 +54,14 @@ def q126_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, fatal at 100 TB). Graded queries run the deterministic fold
     (id-keyed fixed repartition + fixed chunks + exact DECIMAL partial
     combine) so a ROUND(,6) boundary cell cannot flip with the
-    environment's partitioning — the round-4 driver-hash lesson."""
+    environment's partitioning — the round-4 driver-hash lesson. Both
+    sides also add +0 after ROUND to normalize IEEE -0.0 (the round-5
+    residual: one cell Spark 0.0 vs DuckDB -0.0, numerically equal but
+    hash-different)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         covariance_matrix(emb, "embedding", id_col="vec_id")
-        .select("i", "j", F.round("cov", 6).alias("cov"))
+        .select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
         .orderBy("i", "j")
     )
 
