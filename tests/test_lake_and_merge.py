@@ -739,3 +739,18 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
     # k=1: v unchanged but extra went null->10.0 => update pair
     assert feed[(1, "update_preimage")] == ("a", None)
     assert feed[(1, "update_postimage")] == ("a", 10.0)
+
+
+def test_bucketed_table_rejects_mismatched_bucket_spec(spark, tmp_path):
+    # (keys, n_buckets) define the on-disk hash layout; reopening with a
+    # different spec must fail loudly, not silently mis-bucket merges
+    p = str(tmp_path / "bspec")
+    tbl = BucketedParquetTable(spark, p, keys=["k"], n_buckets=8)
+    tbl.merge_insert_if_absent(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    with pytest.raises(ValueError, match="n_buckets"):
+        BucketedParquetTable(spark, p, keys=["k"], n_buckets=16)
+    with pytest.raises(ValueError, match="keys"):
+        BucketedParquetTable(spark, p, keys=["v"], n_buckets=8)
+    # identical spec reopens fine and sees the committed rows
+    again = BucketedParquetTable(spark, p, keys=["k"], n_buckets=8)
+    assert again.read().count() == 1

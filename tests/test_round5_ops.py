@@ -97,6 +97,22 @@ def test_compact_cdc_latest_state(spark):
     assert "op" not in snap[1].asDict() and snap[1]["ts"] == 20
 
 
+def test_compact_cdc_null_op_is_upsert(spark):
+    # convention (round-5 advice): a NULL op is an upsert, not a
+    # three-valued-logic silent drop
+    rows = [
+        (1, 10, 1, None, 5.0),  # only event for key 1: NULL op -> kept
+        (2, 10, 2, "upsert", 1.0),
+        (2, 20, 3, None, 2.0),  # latest is NULL op -> kept with v=2.0
+        (3, 10, 4, None, 9.0),
+        (3, 20, 5, "delete", None),  # latest is delete -> dropped
+    ]
+    feed = spark.createDataFrame(rows, "k long, ts long, seq long, op string, v double")
+    snap = {r["k"]: r for r in compact_cdc(feed, ["k"], "ts", "seq").collect()}
+    assert set(snap) == {1, 2}
+    assert snap[1]["v"] == 5.0 and snap[2]["v"] == 2.0
+
+
 def test_compact_cdc_partition_invariant(spark):
     a = compact_cdc(_feed(spark).repartition(1), ["k"], "ts", "seq")
     b = compact_cdc(_feed(spark).repartition(13), ["k"], "ts", "seq")
@@ -177,6 +193,10 @@ def test_audit_battery(spark):
     assert uniq["violations"] == 1  # key 3 appears twice
     orph = audit_reference(li, orders, ["ok"], ["ok"], "orphan").first()
     assert orph["violations"] == 1  # lineitem ok=9 has no order
+    # empty input: SUM over zero groups coalesces to 0, never NULL
+    # (round-5 advice — downstream `violations > 0` rules stay sound)
+    empty = audit_uniqueness(orders.limit(0), ["ok"], "dup").first()
+    assert empty["violations"] == 0 and empty["violations"] is not None
 
 
 # ---------------------------------------------------------------------------

@@ -68,3 +68,16 @@ def test_full_delete_then_reinsert(spark, tmp_path):
     v = [h["version"] for h in t.history()]
     ch = table_changes(t, v[0], v[-1], ["k"]).toPandas()
     assert sorted(ch["_change_type"]) == ["delete", "delete"]
+
+
+def test_all_columns_are_keys_membership_diff(spark, tmp_path):
+    # every column is a key -> payload struct would be empty; the feed
+    # degrades to a membership diff (insert/delete only; updates are
+    # impossible by construction) instead of a plan-time struct() error
+    t = VersionedParquetTable(spark, str(tmp_path / "m"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, g string"))
+    t.overwrite(spark.createDataFrame([(2, "b"), (3, "c")], "k long, g string"))
+    v = [h["version"] for h in t.history()]
+    ch = table_changes(t, v[0], v[1], ["k", "g"]).toPandas()
+    got = sorted(zip(ch["k"], ch["_change_type"]))
+    assert got == [(1, "delete"), (3, "insert")]

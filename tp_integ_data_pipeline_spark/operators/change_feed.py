@@ -60,6 +60,16 @@ def table_changes(table, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
 
     old, new = _pad(old), _pad(new)
     payload = [c for c in union_fields if c not in keys]
+    if not payload:
+        # struct() with zero fields fails at plan time; an all-columns-
+        # are-keys table is a membership set, so diff as one: synthesize
+        # a constant marker payload — inserts/deletes come out right and
+        # updates are impossible by construction (round-5 advice).
+        marker = "__cdf_present"
+        old = old.withColumn(marker, F.lit(True))
+        new = new.withColumn(marker, F.lit(True))
+        union_fields[marker] = old.schema[marker].dataType
+        payload = [marker]
     o = old.select(*keys, F.struct(*payload).alias("__o"), F.lit(True).alias("__in_o"))
     n = new.select(*keys, F.struct(*payload).alias("__n"), F.lit(True).alias("__in_n"))
     j = o.join(n, keys, "full_outer")
@@ -110,6 +120,11 @@ def compact_cdc(
     row per key before the shuffle). ``seq_col`` is the REQUIRED
     tie-break: CDC timestamps collide under batching, and an
     unordered tie would make the snapshot nondeterministic.
+
+    NULL-op convention: a NULL ``op_col`` is treated as an upsert (the
+    common changelog encoding where only deletes are tagged) — the
+    filter is null-safe, so NULL-op keys are KEPT, not silently dropped
+    by SQL three-valued logic (round-5 advice, change_feed.py:94).
     """
     payload = [c for c in feed.columns if c not in (*keys, ts_col, seq_col)]
     ordk = F.struct(F.col(ts_col), F.col(seq_col))
@@ -120,6 +135,6 @@ def compact_cdc(
     )
     return (
         agg.select(*keys, "__last.*")
-        .filter(F.col(op_col) != F.lit(delete_op))
+        .filter(F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_op)))
         .drop(op_col)
     )

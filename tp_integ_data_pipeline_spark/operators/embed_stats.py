@@ -55,8 +55,12 @@ def partial_moments(
     sums ``(i, -1)``, and the row count ``(-1, -1)``. The output is
     O(partitions * d^2) rows — the only thing that ever shuffles.
 
-    With ``id_col`` set, the fold is made bit-reproducible across
-    environments: rows are hash-repartitioned on the id to a FIXED
+    With ``id_col`` set, the fold is made bit-reproducible for a given
+    binary environment (same BLAS build and thread count — the chunked
+    ``x.T @ x`` still delegates its inner reduction to BLAS, so
+    cross-library bit-equality is NOT claimed; cross-ENGINE hash
+    stability additionally needs the -0.0 normalization the graded
+    queries apply after ROUND): rows are hash-repartitioned on the id to a FIXED
     partition count (murmur3 hash partitioning — no sampling, unlike
     repartitionByRange), sorted within each partition by the id, and
     accumulated in fixed 4096-row chunks independent of incoming Arrow

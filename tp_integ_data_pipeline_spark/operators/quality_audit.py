@@ -43,7 +43,10 @@ def audit_uniqueness(df: DataFrame, keys: list[str], name: str) -> DataFrame:
     per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     return per.agg(
         F.lit(name).alias("check"),
-        F.sum(F.col("n") - F.lit(1)).cast("long").alias("violations"),
+        # coalesce: SUM over zero groups (empty input) is NULL, but the
+        # contract is violations=0 so downstream `violations > 0` alert
+        # rules stay sound (round-5 advice)
+        F.coalesce(F.sum(F.col("n") - F.lit(1)), F.lit(0)).cast("long").alias("violations"),
     )
 
 

@@ -109,7 +109,9 @@ def dsir_weights(
     return (
         base.join(F.broadcast(lr), "bucket")
         .groupBy("id")
-        .agg(F.round(F.sum("__lr"), 6).alias("weight"))
+        # + 0.0 normalizes IEEE -0.0 after ROUND (cross-engine hash trap:
+        # DuckDB's ROUND keeps a tiny-negative's sign of zero, Spark drops it)
+        .agg((F.round(F.sum("__lr"), 6) + F.lit(0.0)).alias("weight"))
     )
 
 
@@ -144,7 +146,7 @@ def trigram_surprisal(
     scored = base.join(maybe_broadcast(counts), "gram").crossJoin(F.broadcast(total))
     return scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_grams"),
-        F.round(-F.avg(F.log(F.col("c") / F.col("__N"))), 6).alias("surprisal"),
+        (F.round(-F.avg(F.log(F.col("c") / F.col("__N"))), 6) + F.lit(0.0)).alias("surprisal"),
     )
 
 

@@ -536,6 +536,24 @@ class BucketedParquetTable:
         self.n_buckets = n_buckets
         self.max_retries = max_retries
         os.makedirs(path, exist_ok=True)
+        # The bucket layout on disk is a function of (keys, n_buckets):
+        # reopening with different values would hash stage rows to dirty
+        # buckets laid out under the OLD scheme — insert_if_absent would
+        # silently duplicate keys and scd1 miss updates. Fail loudly
+        # instead (round-5 advice, table_store.py:530).
+        self._check_bucket_spec(_load_state(self.path)[1])
+
+    def _check_bucket_spec(self, manifest: dict) -> None:
+        spec = manifest.get("bucket_spec")
+        if spec is not None and (
+            spec.get("keys") != list(self.keys) or spec.get("n_buckets") != self.n_buckets
+        ):
+            raise ValueError(
+                f"bucketed table at {self.path} was committed with "
+                f"keys={spec.get('keys')} n_buckets={spec.get('n_buckets')}; "
+                f"constructor got keys={list(self.keys)} n_buckets={self.n_buckets} — "
+                "a mismatched bucket layout silently corrupts merges"
+            )
 
     def bucket_dirs(self) -> dict[int, str]:
         return {
@@ -588,6 +606,9 @@ class BucketedParquetTable:
         )
         for _ in range(self.max_retries):
             version, manifest = _load_state(self.path)
+            # re-validate per attempt: a racing writer created the table
+            # between our __init__ and this commit loop
+            self._check_bucket_spec(manifest)
             buckets = dict(manifest.get("buckets", {}))
             cur_dirty_dirs = [buckets[str(b)] for b in dirty if str(b) in buckets]
             target = self._read_buckets(cur_dirty_dirs)
@@ -609,7 +630,11 @@ class BucketedParquetTable:
                     # must leave the manifest or reads hit a missing
                     # path. Bounded check: one isdir per dirty bucket.
                     buckets.pop(str(b), None)
-            new_manifest = {**manifest, "buckets": buckets}
+            new_manifest = {
+                **manifest,
+                "buckets": buckets,
+                "bucket_spec": {"keys": list(self.keys), "n_buckets": self.n_buckets},
+            }
             carried = _merged_meta(manifest, meta)
             if carried is not None:
                 # same writer-metadata contract as VersionedParquetTable:

@@ -208,9 +208,9 @@ _MOM = {
            round(sx / n, 10) AS mean_qty,
            round((sxx - sx * sx / n) / (n - 1), 10) AS var_qty,
            round(sqrt((sxx - sx * sx / n) / (n - 1)), 10) AS stddev_qty,
-           round((sxy - sx * sy / n) / (n - 1), 10) AS covar_qty_price,
+           round((sxy - sx * sy / n) / (n - 1), 10) + 0 AS covar_qty_price,
            round((sxy - sx * sy / n)
-             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 10) AS corr_qty_price
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 10) + 0 AS corr_qty_price
     FROM (
         SELECT l_returnflag,
                {_MOM['n']} AS n, {_MOM['sx']} AS sx, {_MOM['sy']} AS sy,
@@ -248,11 +248,17 @@ def q88_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sx / n, 10).alias("mean_qty"),
         F.round((sxx - sx * sx / n) / (n - 1), 10).alias("var_qty"),
         F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 10).alias("stddev_qty"),
-        F.round((sxy - sx * sy / n) / (n - 1), 10).alias("covar_qty_price"),
-        F.round(
-            (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
-            10,
+        # + 0.0 normalizes IEEE -0.0: DuckDB's ROUND keeps the sign of a
+        # tiny-negative pre-image, Spark's BigDecimal round drops it —
+        # numerically equal, hash-different (the q126 round-5 lesson).
+        (F.round((sxy - sx * sy / n) / (n - 1), 10) + F.lit(0.0)).alias("covar_qty_price"),
+        (
+            F.round(
+                (sxy - sx * sy / n)
+                / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+                10,
+            )
+            + F.lit(0.0)
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 

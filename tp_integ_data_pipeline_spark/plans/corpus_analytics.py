@@ -122,7 +122,7 @@ _PMI_TOP = 50
         SELECT b.w1, b.w2, b.c_xy,
                ROUND(ln((b.c_xy / (SELECT n FROM n_bi))
                         / ((cx.c / (SELECT n FROM n_uni))
-                           * (cy.c / (SELECT n FROM n_uni)))), 6) AS pmi
+                           * (cy.c / (SELECT n FROM n_uni)))), 6) + 0 AS pmi
         FROM bi_c b
         JOIN uni_c cx ON cx.tok = b.w1
         JOIN uni_c cy ON cy.tok = b.w2
@@ -172,12 +172,15 @@ def q130_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c_xy",
-            F.round(
-                F.log(
-                    (F.col("c_xy") / F.col("n_bi"))
-                    / ((F.col("__cx") / F.col("n_uni")) * (F.col("__cy") / F.col("n_uni")))
-                ),
-                6,
+            (
+                F.round(
+                    F.log(
+                        (F.col("c_xy") / F.col("n_bi"))
+                        / ((F.col("__cx") / F.col("n_uni")) * (F.col("__cy") / F.col("n_uni")))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (cross-engine hash trap)
             ).alias("pmi"),
         )
     )
@@ -289,11 +292,11 @@ _N_HIST_BINS = 64
            ROUND((SELECT lo FROM bounds)
                  + MIN(CASE WHEN cum >= 0.5 * n THEN bin END)
                    * ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))
-                   / {_N_HIST_BINS}, 6) AS p50_lo,
+                   / {_N_HIST_BINS}, 6) + 0 AS p50_lo,
            ROUND((SELECT lo FROM bounds)
                  + MIN(CASE WHEN cum >= 0.95 * n THEN bin END)
                    * ((SELECT hi FROM bounds) - (SELECT lo FROM bounds))
-                   / {_N_HIST_BINS}, 6) AS p95_lo
+                   / {_N_HIST_BINS}, 6) + 0 AS p95_lo
     FROM cum
     GROUP BY event_type
     ORDER BY event_type
@@ -340,11 +343,17 @@ def q133_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n",
-            F.round(
-                F.col("lo") + F.col("__b50") * (F.col("hi") - F.col("lo")) / _N_HIST_BINS, 6
+            (
+                F.round(
+                    F.col("lo") + F.col("__b50") * (F.col("hi") - F.col("lo")) / _N_HIST_BINS, 6
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (cross-engine hash trap)
             ).alias("p50_lo"),
-            F.round(
-                F.col("lo") + F.col("__b95") * (F.col("hi") - F.col("lo")) / _N_HIST_BINS, 6
+            (
+                F.round(
+                    F.col("lo") + F.col("__b95") * (F.col("hi") - F.col("lo")) / _N_HIST_BINS, 6
+                )
+                + F.lit(0.0)
             ).alias("p95_lo"),
         )
         .orderBy("event_type")

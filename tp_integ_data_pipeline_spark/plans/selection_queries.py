@@ -56,7 +56,7 @@ from tp_integ_data_pipeline_spark.sources.fixtures import load_table
                ln((ct + 1.0) / (t + 4096.0)) - ln((cr + 1.0) / (r + 4096.0)) AS lr
         FROM counts CROSS JOIN tot
     )
-    SELECT doc_id, round(SUM(lr), 6) AS weight
+    SELECT doc_id, round(SUM(lr), 6) + 0 AS weight
     FROM b JOIN lr USING (bucket)
     GROUP BY doc_id
     ORDER BY weight DESC, doc_id
@@ -92,7 +92,7 @@ def q112_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (SELECT gram, COUNT(*) AS c FROM tri GROUP BY 1),
     tot AS (SELECT SUM(c) AS n FROM counts)
     SELECT doc_id, COUNT(*) AS n_grams,
-           round(-AVG(ln(c * 1.0 / n)), 6) AS surprisal
+           round(-AVG(ln(c * 1.0 / n)), 6) + 0 AS surprisal
     FROM tri JOIN counts USING (gram) CROSS JOIN tot
     GROUP BY doc_id
     ORDER BY surprisal DESC, doc_id

@@ -58,8 +58,8 @@ def q51_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label, CAST(dim AS INT) AS dim,
            COUNT(*) AS n_vecs,
-           round(AVG(v), 6) AS centroid,
-           round(AVG(v * v) - AVG(v) * AVG(v), 6) AS variance
+           round(AVG(v), 6) + 0 AS centroid,
+           round(AVG(v * v) - AVG(v) * AVG(v), 6) + 0 AS variance
     FROM dims
     GROUP BY label, dim
     ORDER BY label, dim
@@ -82,10 +82,13 @@ def q118_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.groupBy("label", "dim")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("v"), 6).alias("centroid"),
-            F.round(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 6).alias(
-                "variance"
-            ),
+            # + 0.0 normalizes IEEE -0.0 after ROUND — centroids of
+            # near-zero-centered dims are the canonical tiny-negative case.
+            (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("centroid"),
+            (
+                F.round(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v"), 6)
+                + F.lit(0.0)
+            ).alias("variance"),
         )
         .select("label", F.col("dim").cast("int"), "n_vecs", "centroid", "variance")
         .orderBy("label", "dim")
