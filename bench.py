@@ -308,6 +308,22 @@ def scale_probe(spark, sf_dir: str) -> dict:
     probe["pagerank_ratio"] = round(
         probe["pagerank_10x_sec"] / probe["pagerank_1x_sec"], 2
     )
+
+    # Triangle-count probe: the same 10 disjoint node-offset copies →
+    # component structure (and per-copy triangle count) replicates
+    # exactly 10×, while max degree is unchanged. Work is
+    # Σ_(u,v)∈E |N+(u)|+|N+(v)| which replicates 10× too, so
+    # near-linear wall is healthy; superlinear flags the adjacency
+    # intersection degenerating (e.g. a lost orientation bound or the
+    # wedge relation being materialized again — the round-5 regression
+    # shape).
+    from tp_integ_data_pipeline_spark.operators.graph import triangle_count
+
+    probe["triangle_1x_sec"] = timed(lambda: materialize(triangle_count(e1)))
+    probe["triangle_10x_sec"] = timed(lambda: materialize(triangle_count(e10)))
+    probe["triangle_ratio"] = round(
+        probe["triangle_10x_sec"] / probe["triangle_1x_sec"], 2
+    )
     return probe
 
 
