@@ -35,27 +35,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
-# Round-5 front (exactly 50):
-# - changed THIS round, must re-earn a green driver row: q126
-#   (deterministic covariance fold — the one red r4 hash), q130
-#   (window → orderBy+limit), q79 (window → scalar-agg join), q142 +
-#   q150 (scd2 insert branch null-pads extra target columns);
-# - changed in r4 with zero driver signal since: q42;
-# - never driver-graded: q153 (registered after the r4 list froze) and
-#   the rows-only-by-design q101 q122 q127 q139 (a slot buys them the
-#   rows check; the hard checks stay in their pytest property suites);
-# - round-5-new: q154–q163 (10);
-# - remaining 29 slots: the STALEST cohort — keys whose newest grade
-#   is CORRECTNESS_r02 — in numeric order (q04 q23–q29 q36–q39 q45–q49
-#   q52–q54 q62 q63 q69 q72–q77).
-# NEXT ROUND: the rest of the r2 cohort (q78 q80–q86 q88–q99,
-# 19 keys), the round-3-graded set (then stalest), and any
-# round-6-new queries.
+# Round-6 front (exactly 50):
+# - changed THIS round, must re-earn a green driver row: the -0.0
+#   normalization sweep (q126 q130 q133 q112 q113 q118; q88 below),
+#   the triangle-count adjacency-intersection rewrite (q163), and the
+#   BPE end-marker fix + train-replay oracle (q153, hash-checked now);
+# - the whole remaining r2-graded cohort, newest driver evidence two
+#   rounds old: q78 q80–q86 q88–q99 (20 keys);
+# - remaining slots: the stalest r3-graded keys in numeric order
+#   (q00–q03 q05–q22).
+# NEXT ROUND: the rest of the r3 cohort (q30–q35 q40 q41 q43 q44 q50
+# q51 q55–q61 q64–q68 q70 q71), then the r4 set, and any round-7-new
+# queries.
 _ROTATE_FRONT = (
-    "q126 q130 q79 q142 q150 q42 q153 q101 q122 q127 q139 "
-    "q154 q155 q156 q157 q158 q159 q160 q161 q162 q163 "
-    "q04 q23 q24 q25 q26 q27 q28 q29 q36 q37 q38 q39 q45 q46 "
-    "q47 q48 q49 q52 q53 q54 q62 q63 q69 q72 q73 q74 q75 q76 q77"
+    "q126 q130 q133 q112 q113 q118 q163 q153 "
+    "q78 q80 q81 q82 q83 q84 q85 q86 q88 q89 q90 q91 q92 q93 "
+    "q94 q95 q96 q97 q98 q99 "
+    "q00 q01 q02 q03 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 "
+    "q15 q16 q17 q18 q19 q20 q21 q22"
 ).split()
 
 

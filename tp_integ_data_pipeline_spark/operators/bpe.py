@@ -99,8 +99,13 @@ def train_bpe(
     import gc
 
     base = vocab if vocab is not None else _word_vocab(docs, text_col)
+    # filter the trailing '' that split's limit=-1 keeps: without it
+    # training sees a phantom end-of-word symbol the apply path
+    # (_tokenize_word = list(word)) never sees, and merges learned
+    # against it — e.g. ('e','') — are dead weight at apply time
+    # (round-6 fix; caught by the q153 train-replay oracle)
     vocab = base.withColumn(
-        "syms", F.split(F.col("word"), "(?!^)")
+        "syms", F.expr("filter(split(word, '(?!^)'), s -> s != '')")
     ).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):

@@ -476,12 +476,75 @@ def q125_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rows-only by design: the BPE training loop (count → argmax → merge,
-# iterated) is not SQL-expressible; the hard checks are
-# tests/test_bpe.py (hand-computed merge sequence and tokenizations,
-# greedy-overlap reference semantics, JVM-train == Python-apply
-# consistency, monotonic compression, early stop).
-@query("q153_bpe_tokenizer")
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Unrolled DuckDB replay of the full BPE train→apply workflow.
+
+    The training loop is iterative, but the merge BUDGET is a fixed
+    constant (8) — so the loop unrolls into 8 chained CTE rounds, each
+    computing the round's argmax pair then applying the merge. The key
+    identity making the merge pass SQL-expressible: greedy left-to-
+    right adjacent-pair merging over a symbol array == one standard
+    ``replace()`` over the separator-joined symbol string (both scan
+    left to right, take non-overlapping matches, and continue AFTER
+    the replacement — 'a a a' + (a,a) → [aa, a] in both). chr(31)
+    (ASCII unit separator) is the join char; asserted absent from the
+    corpus. Argmax tie-break (cnt DESC, a, b) matches train_bpe.
+    NOTE: no early-stop branch — valid while every learned merge has
+    count >= min_count (holds at both check SFs; tests/test_bpe.py
+    covers the early-stop path on a tiny corpus)."""
+    sep = "chr(31)"
+    parts = [
+        f"""
+    WITH r0 AS MATERIALIZED (
+        SELECT word, wf, array_to_string(string_split(word, ''), {sep}) AS s
+        FROM (
+            SELECT w AS word, COUNT(*) AS wf
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE len(w) > 0 GROUP BY w
+        )
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""
+    b{i} AS MATERIALIZED (
+        SELECT pr[1] AS a, pr[2] AS b
+        FROM (
+            SELECT pr, SUM(wf) AS cnt
+            FROM (
+                SELECT wf, unnest([[l[j], l[j+1]] for j in range(1, len(l))]) AS pr
+                FROM (SELECT wf, string_split(s, {sep}) AS l FROM r{i - 1})
+            )
+            GROUP BY pr
+        )
+        ORDER BY cnt DESC, pr[1], pr[2] LIMIT 1
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT word, wf,
+               replace(s, (SELECT a FROM b{i}) || {sep} || (SELECT b FROM b{i}),
+                          (SELECT a FROM b{i}) || (SELECT b FROM b{i})) AS s
+        FROM r{i - 1}
+    )"""
+        )
+    final = f"""
+    SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(length(token) AS BIGINT) AS token_chars
+    FROM (
+        SELECT token, SUM(wf) AS n_occurrences
+        FROM (SELECT wf, unnest(string_split(s, {sep})) AS token FROM r{n_merges})
+        GROUP BY token
+    )
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """
+    return ",".join(parts) + final
+
+
+# Hash-checked since round 6: the fixed 8-merge budget lets the train
+# loop unroll into chained CTEs (see _bpe_oracle — greedy merge ==
+# string replace). tests/test_bpe.py keeps the loop-shape checks
+# (hand-computed merges, greedy-overlap semantics, early stop).
+@query("q153_bpe_tokenizer", oracle=_bpe_oracle(8))
 def q153_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer pass over the corpus (operators/bpe.py):
     train 8 merges distributed (pair counts and greedy merge passes
