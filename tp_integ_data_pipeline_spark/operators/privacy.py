@@ -49,3 +49,35 @@ def pseudonymize(
             h = F.substring(h, 1, length)
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), h))
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-equivalence-class k-anonymity / l-diversity audit — the
+    release-gate check run before sharing a quasi-identifiable table
+    (Sweeney 2002; Machanavajjhala et al. 2007).
+
+    Rows sharing the same ``quasi_cols`` tuple form an equivalence
+    class; a class smaller than ``k`` re-identifies its members, and a
+    class whose ``sensitive_col`` takes few distinct values leaks the
+    attribute even when k holds. Returns one row per class:
+    (quasi..., class_size, l_diversity, at_risk).
+
+    Shape at 100 TB: ONE keyed aggregate over the quasi columns
+    (count + count distinct, map-side combinable) — the class relation
+    is |quasi-value-combinations|-sized, output-bounded, never a
+    self-join. NULL quasi values form their own class (standard
+    treatment: null tuples are mutually indistinguishable).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(F.col(sensitive_col)).alias("l_diversity"),
+        )
+        .withColumn("at_risk", F.col("class_size") < F.lit(k))
+    )

@@ -82,3 +82,72 @@ def merge_shard_topk(
     return topk.select(
         key, "lower", "upper", F.row_number().over(wk).cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the point-frequency member of the sketch family
+# (HLL = distincts q120, histogram = quantiles q133, Space-Saving =
+# heavy hitters q147; CMS answers "how often did THIS key occur" in
+# depth × width counters regardless of corpus size).
+# ---------------------------------------------------------------------------
+def cms_bucket(col: F.Column, row: int, width: int) -> F.Column:
+    """Row-``row`` CMS bucket for a key: engine-portable md5 hash of
+    ``row:key`` (first 8 hex chars -> long -> mod width) — the same
+    md5 trick as selection.hash_bucket, so DuckDB reproduces every
+    counter placement exactly (xxhash64 has no DuckDB twin)."""
+    msg = F.concat(F.lit(f"{row}:"), col)
+    return F.conv(F.substring(F.md5(msg), 1, 8), 16, 10).cast("long") % F.lit(width)
+
+
+def cms_build(
+    keyed: DataFrame, key: str = "key", depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Fold a key stream into a count-min sketch relation
+    ``(row, bucket, c)`` of ≤ depth × width rows. One explode of each
+    input row into its ``depth`` counter placements, then one map-side-
+    combined aggregate — the sketch is REAGGREGABLE partial state:
+    shard/day sketches union and re-sum into the corpus sketch without
+    rescanning raw data, the property the whole sketch family shares."""
+    placed = keyed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), cms_bucket(F.col(key), r, width).alias("bucket")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return placed.groupBy("p.row", "p.bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, key: str = "key", depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` (a bounded key list):
+    for each key, min over the depth rows of its counter — the classic
+    CMS upper-bound estimate (never under-counts; over-counts only by
+    hash-collision mass ≈ n/width per row, min-reduced across rows).
+    The probe relation re-derives its buckets with the same portable
+    hash and joins the ≤ depth × width sketch — broadcast-sized by
+    construction."""
+    placed = probes.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), cms_bucket(F.col(key), r, width).alias("bucket")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key, "p.row", "p.bucket")
+    return (
+        placed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
