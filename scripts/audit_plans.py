@@ -71,6 +71,8 @@ BNLJ_ALLOWED = {
     "q113_trigram_surprisal": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row (n_docs, avgdl) corpus scalar on the BM25 score
     "q164_bm25_topk": {"scalar_aggs": 1, "filtered_batches": []},
+    # three 1-row true-distinct audit scalars (one per sketched column)
+    "q168_kmv_distinct": {"scalar_aggs": 3, "filtered_batches": []},
     # 1-row boundary-cutoff scalar (max c_ts − 3 h) over the sink
     "q122_stream_left_outer_join": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row total-cutoff-mass scalar in the heavy-hitters merge

@@ -86,3 +86,64 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     ids = [r["id"] for r in out]
     assert 3 not in ids and 2 not in ids  # no 'cat' -> no score row
     assert all(r["score"] > 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch
+# ---------------------------------------------------------------------------
+def test_kmv_exact_below_k_and_close_above(spark):
+    from tp_integ_data_pipeline_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    small = spark.createDataFrame([(i % 50,) for i in range(500)], "x long")
+    r = kmv_estimate(kmv_sketch(small, "x", k=256), k=256).first()
+    assert r["n_kept"] == 50 and r["est"] == 50.0  # < k distinct -> exact
+
+    big = spark.createDataFrame([(i,) for i in range(20_000)], "x long")
+    r = kmv_estimate(kmv_sketch(big, "x", k=256), k=256).first()
+    assert r["n_kept"] == 256
+    assert abs(r["est"] - 20_000) / 20_000 < 0.25  # ~1/sqrt(k) regime
+
+
+def test_kmv_sketch_merges_by_union(spark):
+    from pyspark.sql import functions as F
+    from tp_integ_data_pipeline_spark.operators.sketches import kmv_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], "x long")
+    b = spark.createDataFrame([(i,) for i in range(1500, 4500)], "x long")
+    merged = (
+        kmv_sketch(a, "x", 128)
+        .unionByName(kmv_sketch(b, "x", 128))
+        .distinct()
+        .orderBy("h")
+        .limit(128)
+    )
+    direct = kmv_sketch(a.unionByName(b), "x", 128)
+    assert [r["h"] for r in merged.collect()] == [r["h"] for r in direct.collect()]
+
+
+# ---------------------------------------------------------------------------
+# grouped_quantiles
+# ---------------------------------------------------------------------------
+def test_grouped_quantiles_percentile_disc_semantics(spark):
+    import math
+    from tp_integ_data_pipeline_spark.operators.timeseries import grouped_quantiles
+
+    vals = list(range(1, 101))  # 1..100 in group 'g'
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v long")
+    got = {r["tenth"]: r["v"] for r in grouped_quantiles(df, ["k"], "v", [1, 5, 9]).collect()}
+    # percentile_disc: value at rank ceil(q*n) = ceil(t*100/10)
+    assert got == {1: 10, 5: 50, 9: 90}
+    # odd n: ceil semantics (not interpolation)
+    df7 = spark.createDataFrame([("g", v) for v in (3, 1, 4, 1, 5, 9, 2)], "k string, v long")
+    got7 = {r["tenth"]: r["v"] for r in grouped_quantiles(df7, ["k"], "v", [5]).collect()}
+    assert got7[5] == sorted((3, 1, 4, 1, 5, 9, 2))[math.ceil(0.5 * 7) - 1]
+
+
+def test_grouped_quantiles_partition_invariant(spark):
+    from tp_integ_data_pipeline_spark.operators.timeseries import grouped_quantiles
+
+    rows = [("a", i * 7 % 53) for i in range(53)] + [("b", i) for i in range(11)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    a = sorted(map(tuple, grouped_quantiles(df.repartition(1), ["k"], "v", [2, 8]).collect()))
+    b = sorted(map(tuple, grouped_quantiles(df.repartition(13), ["k"], "v", [2, 8]).collect()))
+    assert a == b

@@ -151,3 +151,48 @@ def cms_estimate(
         .groupBy(key)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — the cardinality
+# member of the family that, unlike HLL's register form (q120), keeps
+# actual hash SAMPLES, so sketches also intersect (join-size
+# estimation) and the whole state is k rows of plain doubles.
+# ---------------------------------------------------------------------------
+def kmv_hash01(col: F.Column) -> F.Column:
+    """Engine-portable uniform hash into (0, 1]: first 12 md5 hex
+    chars -> 48-bit integer / 2^48 (exact in a double; both engines
+    compute the identical value, the q158 md5-draw rule). +1 before
+    the divide keeps 0 out of the range so 1/h is always finite."""
+    return (F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 48)
+    )
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest DISTINCT hash values of ``col`` — a k-row sketch.
+    orderBy+limit is TakeOrderedAndProject: each partition keeps its
+    local k-min, the driver merges k-row heads — the same mergeable
+    shape a shard union uses (union two sketches, re-take the k min).
+    """
+    return (
+        df.select(kmv_hash01(F.col(col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: (k-1)/h_k with h_k
+    the k-th smallest hash (Bar-Yossef et al. 2002). If the sketch
+    holds fewer than k rows the column had < k distinct values and the
+    sketch IS the exact distinct set — return that count. One row out:
+    (n_kept, est)."""
+    agg = sketch.agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("__hk"))
+    return agg.select(
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / F.col("__hk"))
+        .alias("est"),
+    )

@@ -128,3 +128,38 @@ def robust_outliers(
         )
         .select(*keys, "med", "mad", "n", "n_outliers")
     )
+
+
+def grouped_quantiles(
+    df: DataFrame, keys: list[str], val: str, tenths: list[int]
+) -> DataFrame:
+    """Exact per-group discrete quantiles (percentile_disc semantics:
+    the value at rank ceil(q*n), no interpolation) for q = t/10 over
+    ``tenths`` — the generalization of :func:`grouped_median`'s p50 to
+    a decile vector (feature binning edges, SLA percentiles).
+
+    The target rank is computed in PURE INTEGER arithmetic —
+    (t*n + 9) div 10 — so there is no q*n floating-point boundary for
+    engines to disagree on (0.1*n is not exact in binary). One
+    group-keyed window sort, then a row-local rank-set membership
+    filter — never a percentile aggregate buffering whole groups, and
+    the output is |groups| x |tenths| rows. Returns (keys..., tenth,
+    v)."""
+    wk = W.partitionBy(*keys)
+    ranked = df.select(
+        *keys,
+        F.col(val).alias("__v"),
+        F.row_number().over(wk.orderBy(F.col(val))).alias("__rk"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    # row-local explode of the constant tenth list (no join node, no
+    # broadcast-side allowlisting): |tenths| candidates per row, rank
+    # membership filtered immediately
+    hits = ranked.select(
+        *keys,
+        "__v",
+        "__rk",
+        "__n",
+        F.explode(F.array(*[F.lit(t) for t in tenths])).alias("tenth"),
+    ).filter(F.col("__rk") == F.expr("(tenth * __n + 9) div 10"))
+    return hits.select(*keys, "tenth", F.col("__v").alias("v"))

@@ -239,3 +239,223 @@ def q167_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q168 — KMV distinct-count estimation across fact foreign keys
+# --------------------------------------------------------------------------
+_KMV_K = 256
+_KMV_COLS = [("orders", "o_custkey"), ("lineitem", "l_partkey"), ("lineitem", "l_suppkey")]
+
+
+def _kmv_oracle() -> str:
+    parts = []
+    for tbl, col in _KMV_COLS:
+        parts.append(f"""
+    SELECT '{col}' AS col, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*) * 1.0
+                      ELSE {_KMV_K - 1}.0 / MAX(h) END, 6) AS est,
+           (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM {tbl}) AS true_distinct
+    FROM (
+        SELECT DISTINCT (CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 12))
+                         AS BIGINT) + 1.0) / 281474976710656.0 AS h
+        FROM {tbl} ORDER BY h LIMIT {_KMV_K}
+    )""")
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
+@query("q168_kmv_distinct", oracle=_kmv_oracle())
+def q168_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketches over the fact foreign keys: per column
+    (n_kept, estimate, true distinct). The sketch is k={k} hash-sample
+    rows — the cardinality family member that, unlike HLL registers
+    (q120), also supports sketch INTERSECTION for join-size estimation,
+    and merges by union + re-take-k-min. The k-min cut is
+    TakeOrderedAndProject (per-partition k-min, k-row driver merge —
+    never a global sort), and the md5 hash is engine-portable so the
+    oracle reproduces the exact sample and estimate. true_distinct is
+    the audit column (estimate within ~1/sqrt(k) ≈ 6%).""".format(k=_KMV_K)
+    from tp_integ_data_pipeline_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    outs = []
+    for tbl, col in _KMV_COLS:
+        t = load_table(spark, sf_dir, tbl)
+        est = kmv_estimate(kmv_sketch(t, col, _KMV_K), _KMV_K)
+        true = t.agg(F.countDistinct(col).alias("true_distinct"))
+        outs.append(
+            est.crossJoin(F.broadcast(true)).select(
+                F.lit(col).alias("col"),
+                "n_kept",
+                F.round("est", 6).alias("est"),
+                "true_distinct",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# q169 — exact per-group decile vectors (rank/count formulation)
+# --------------------------------------------------------------------------
+_DECILES = [1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+@query(
+    "q169_grouped_deciles",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type, CAST(tenth AS INT) AS tenth, value AS v
+    FROM ranked
+    JOIN (SELECT unnest(range(1, 10)) AS tenth)
+      ON rk = (tenth * n + 9) // 10
+    ORDER BY event_type, tenth
+    """,
+)
+def q169_grouped_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p10..p90 of event value per event type — percentile_disc
+    semantics (the value at rank ceil(q*n)) via one group-keyed window
+    sort and an INTEGER rank formula (t*n+9) div 10, so no q*n
+    floating-point boundary exists for the engines to disagree on.
+    The decile-vector generalization of q162's median/MAD machinery
+    (operators/timeseries.grouped_quantiles): feature-binning edges /
+    SLA percentiles without a percentile aggregate that buffers whole
+    groups in one task."""
+    from tp_integ_data_pipeline_spark.operators.timeseries import grouped_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        grouped_quantiles(ev, ["event_type"], "value", _DECILES)
+        .select("event_type", "tenth", "v")
+        .orderBy("event_type", "tenth")
+    )
+
+
+# --------------------------------------------------------------------------
+# q170 — PSI distribution-drift report between two time slices
+# --------------------------------------------------------------------------
+_PSI_SPLIT = "2024-01-16 00:00:00"
+_PSI_BINS = 10
+
+
+@query(
+    "q170_psi_drift",
+    oracle=f"""
+    WITH bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS half,
+               CAST(LEAST(FLOOR((value - b.lo) / (b.hi - b.lo) * {_PSI_BINS}),
+                          {_PSI_BINS - 1}) AS INT) AS bin
+        FROM events, bounds b
+    ),
+    counts AS (
+        SELECT event_type, half, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2, 3
+    ),
+    totals AS (SELECT event_type, half, SUM(c) AS n FROM counts GROUP BY 1, 2),
+    grid AS (
+        SELECT t.event_type, g.bin
+        FROM (SELECT DISTINCT event_type FROM binned) t,
+             (SELECT unnest(range(0, {_PSI_BINS})) AS bin) g
+    ),
+    probs AS (
+        SELECT g.event_type, g.bin,
+               (COALESCE(ca.c, 0) + 1.0)
+               / ((SELECT n FROM totals WHERE event_type = g.event_type AND half = 0)
+                  + {_PSI_BINS}.0) AS pa,
+               (COALESCE(cb.c, 0) + 1.0)
+               / ((SELECT n FROM totals WHERE event_type = g.event_type AND half = 1)
+                  + {_PSI_BINS}.0) AS pb
+        FROM grid g
+        LEFT JOIN counts ca ON ca.event_type = g.event_type AND ca.bin = g.bin AND ca.half = 0
+        LEFT JOIN counts cb ON cb.event_type = g.event_type AND cb.bin = g.bin AND cb.half = 1
+    )
+    SELECT p.event_type,
+           (SELECT CAST(n AS BIGINT) FROM totals
+            WHERE event_type = p.event_type AND half = 0) AS n_a,
+           (SELECT CAST(n AS BIGINT) FROM totals
+            WHERE event_type = p.event_type AND half = 1) AS n_b,
+           ROUND(SUM((pb - pa) * ln(pb / pa)), 6) AS psi
+    FROM probs p
+    GROUP BY p.event_type
+    ORDER BY p.event_type
+    """,
+)
+def q170_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between the first and
+    second half of the event stream, per event type — the model-ops
+    gate that decides whether a feature's distribution moved enough to
+    retrain. Fixed-width bins from a GLOBAL 1-row [lo, hi] scalar (the
+    q133 mergeable-histogram pattern), Laplace-smoothed bin shares so
+    empty bins contribute finite mass, PSI = sum (p_b - p_a) ln(p_b /
+    p_a) — every term non-negative, so no -0.0 trap. Shape: one
+    (type, half, bin)-keyed aggregate over the corpus + a types x bins
+    grid join (catalog-bounded) — raw values are never sorted or
+    collected."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), 0).otherwise(1).alias("half"),
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * _PSI_BINS),
+            F.lit(_PSI_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    # counts is the ONLY consumer of the events-sized binned relation;
+    # everything below derives from this bounded (type, half, bin)
+    # table — the lazy checkpoint stops its five downstream readers
+    # from re-scanning events five times (the q163 recomputation
+    # lesson, caught by this round's plan audit)
+    counts = (
+        binned.groupBy("event_type", "half", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("event_type", "half").agg(F.sum("c").alias("n"))
+    # types x bins grid row-locally (explode of a constant array — no
+    # join node, nothing to allowlist)
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.array(*[F.lit(b) for b in range(_PSI_BINS)])).alias("bin"),
+        )
+    )
+    na = totals.filter(F.col("half") == 0).select("event_type", F.col("n").alias("__na"))
+    nb = totals.filter(F.col("half") == 1).select("event_type", F.col("n").alias("__nb"))
+    ca = counts.filter(F.col("half") == 0).select("event_type", "bin", F.col("c").alias("__ca"))
+    cb = counts.filter(F.col("half") == 1).select("event_type", "bin", F.col("c").alias("__cb"))
+    probs = (
+        grid.join(F.broadcast(ca), ["event_type", "bin"], "left")
+        .join(F.broadcast(cb), ["event_type", "bin"], "left")
+        .join(F.broadcast(na), "event_type")
+        .join(F.broadcast(nb), "event_type")
+        .select(
+            "event_type",
+            "__na",
+            "__nb",
+            ((F.coalesce("__ca", F.lit(0)) + 1.0) / (F.col("__na") + float(_PSI_BINS))).alias("pa"),
+            ((F.coalesce("__cb", F.lit(0)) + 1.0) / (F.col("__nb") + float(_PSI_BINS))).alias("pb"),
+        )
+    )
+    return (
+        probs.groupBy("event_type")
+        .agg(
+            F.max("__na").cast("long").alias("n_a"),
+            F.max("__nb").cast("long").alias("n_b"),
+            F.round(F.sum((F.col("pb") - F.col("pa")) * F.log(F.col("pb") / F.col("pa"))), 6).alias(
+                "psi"
+            ),
+        )
+        .orderBy("event_type")
+    )
