@@ -40,20 +40,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #   normalization sweep (q126 q130 q133 q112 q113 q118; q88 below),
 #   the triangle-count adjacency-intersection rewrite (q163), and the
 #   BPE end-marker fix + train-replay oracle (q153, hash-checked now);
-# - round-6-new, never driver-graded: q164–q170;
+# - round-6-new, never driver-graded: q164–q172;
 # - the whole remaining r2-graded cohort, newest driver evidence two
 #   rounds old: q78 q80–q86 q88–q99 (20 keys);
 # - remaining slots: the stalest r3-graded keys in numeric order
-#   (q00–q03 q05–q15).
-# NEXT ROUND: the rest of the r3 cohort (q16–q22 q30–q35 q40 q41 q43
+#   (q00–q03 q05–q13).
+# NEXT ROUND: the rest of the r3 cohort (q14–q22 q30–q35 q40 q41 q43
 # q44 q50 q51 q55–q61 q64–q68 q70 q71), then the r4 set, and any
 # round-7-new queries.
 _ROTATE_FRONT = (
     "q126 q130 q133 q112 q113 q118 q163 q153 "
-    "q164 q165 q166 q167 q168 q169 q170 "
+    "q164 q165 q166 q167 q168 q169 q170 q171 q172 "
     "q78 q80 q81 q82 q83 q84 q85 q86 q88 q89 q90 q91 q92 q93 "
     "q94 q95 q96 q97 q98 q99 "
-    "q00 q01 q02 q03 q05 q06 q07 q08 q09 q10 q11 q12 q13 q14 q15"
+    "q00 q01 q02 q03 q05 q06 q07 q08 q09 q10 q11 q12 q13"
 ).split()
 
 

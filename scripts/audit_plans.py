@@ -73,6 +73,8 @@ BNLJ_ALLOWED = {
     "q164_bm25_topk": {"scalar_aggs": 1, "filtered_batches": []},
     # three 1-row true-distinct audit scalars (one per sketched column)
     "q168_kmv_distinct": {"scalar_aggs": 3, "filtered_batches": []},
+    # 1-row exact-intersection audit scalar on the KMV estimate row
+    "q171_kmv_join_estimate": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row boundary-cutoff scalar (max c_ts − 3 h) over the sink
     "q122_stream_left_outer_join": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row total-cutoff-mass scalar in the heavy-hitters merge

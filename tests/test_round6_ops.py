@@ -147,3 +147,73 @@ def test_grouped_quantiles_partition_invariant(spark):
     a = sorted(map(tuple, grouped_quantiles(df.repartition(1), ["k"], "v", [2, 8]).collect()))
     b = sorted(map(tuple, grouped_quantiles(df.repartition(13), ["k"], "v", [2, 8]).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from pyspark.sql import functions as F
+    from tp_integ_data_pipeline_spark.operators.sketches import (
+        bloom_might_contain,
+        bloom_words,
+    )
+
+    keys = spark.createDataFrame([(i * 3,) for i in range(400)], "k long")
+    words = bloom_words(keys, "k", m_bits=65536)
+    probe = spark.createDataFrame([(i,) for i in range(1200)], "k long")
+    out = probe.select("k", bloom_might_contain("k", words, 65536).alias("hit"))
+    member = out.filter(F.col("k") % 3 == 0)
+    assert member.filter(~F.col("hit")).count() == 0  # NO false negatives
+    fp = out.filter((F.col("k") % 3 != 0) & F.col("hit")).count()
+    assert fp <= 24  # (1-e^(-3*400/65536))^3 ~ 6e-6 per probe; generous bound
+
+
+def test_bloom_bit63_portable(spark):
+    """A key whose placement lands on bit 63 must round-trip (the
+    shiftleft sign-bit wrap the DuckDB oracle spells explicitly)."""
+    from tp_integ_data_pipeline_spark.operators.sketches import (
+        _BLOOM_SEEDS,
+        _bloom_pos,
+        bloom_might_contain,
+        bloom_words,
+    )
+    from pyspark.sql import functions as F
+
+    cand = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    hit63 = cand.select(
+        "k", *[_bloom_pos(F.col("k"), s, 65536).alias(f"p{s}") for s in range(_BLOOM_SEEDS)]
+    ).filter(
+        (F.col("p0") % 64 == 63) | (F.col("p1") % 64 == 63) | (F.col("p2") % 64 == 63)
+    )
+    some = [r["k"] for r in hit63.limit(5).collect()]
+    assert some, "no candidate key placed on bit 63 in 5000 tries (hash broken?)"
+    keys = spark.createDataFrame([(k,) for k in some], "k long")
+    words = bloom_words(keys, "k", 65536)
+    got = keys.select(bloom_might_contain("k", words, 65536).alias("hit")).collect()
+    assert all(r["hit"] for r in got)
+
+
+def test_kmv_intersection_estimates_overlap(spark):
+    """Planted 50% overlap: the KMV Jaccard estimate must land near
+    1/3 (|A∩B|/|A∪B| = 1000/3000) — the q171 machinery distilled."""
+    from pyspark.sql import functions as F
+    from tp_integ_data_pipeline_spark.operators.sketches import kmv_sketch
+
+    a = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], "k long")
+    sa, sb = kmv_sketch(a, "k", 256), kmv_sketch(b, "k", 256)
+    u = sa.unionByName(sb).distinct().orderBy("h").limit(256)
+    tagged = (
+        u.join(sa.withColumn("__a", F.lit(1)), "h", "left")
+        .join(sb.withColumn("__b", F.lit(1)), "h", "left")
+    )
+    r = tagged.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.count(F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1)).alias("c"),
+        F.max("h").alias("theta"),
+    ).first()
+    jac = r["c"] / r["k_used"]
+    est_union = (r["k_used"] - 1) / r["theta"]
+    assert abs(jac - 1 / 3) < 0.15
+    assert abs(est_union - 3000) / 3000 < 0.25

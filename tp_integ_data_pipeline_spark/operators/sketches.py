@@ -196,3 +196,67 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
         .otherwise((F.lit(float(k - 1))) / F.col("__hk"))
         .alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the membership member of the sketch family, i.e. the
+# semi-join PRUNING tool: build on the dim-side key set, broadcast the
+# bit words as a plan literal (exactly how Spark's own runtime filters
+# ship), drop fact rows row-locally BEFORE the shuffle/join.
+# ---------------------------------------------------------------------------
+_BLOOM_SEEDS = 3
+
+
+def _bloom_pos(col: F.Column, seed: int, m_bits: int) -> F.Column:
+    """Seeded engine-portable bit position: md5('{seed}:' || key) first
+    8 hex -> long -> mod m_bits (the cms_bucket hash with a seed
+    prefix, so DuckDB reproduces every bit placement)."""
+    msg = F.concat(F.lit(f"{seed}:"), col.cast("string"))
+    return F.conv(F.substring(F.md5(msg), 1, 8), 16, 10).cast("long") % F.lit(m_bits)
+
+
+def bloom_words(keys: DataFrame, col: str, m_bits: int = 65536) -> list[int]:
+    """Build the filter: OR each key's _BLOOM_SEEDS bit positions into
+    m_bits/64 words; returns the dense word list (driver-side, bounded
+    by the CONSTANT m_bits — 1024 longs at the default — the same
+    model-as-literal pattern as the IVF centroid attach, never a
+    data-sized collect)."""
+    placed = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(col), s, m_bits) for s in range(_BLOOM_SEEDS)])
+        ).alias("pos")
+    )
+    rows = (
+        placed.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words
+
+
+def bloom_might_contain(colname: str, words: list[int], m_bits: int = 65536) -> F.Column:
+    """Row-local membership test against the literal word array: true
+    iff EVERY seeded bit is set (no false negatives; false-positive
+    mass ~ (1 - e^(-k*n/m))^k). Pure codegen arithmetic (md5 / conv /
+    div / shiftleft / bitwise-and in one SQL expression) — the filter
+    runs inside the scan stage, before any exchange. ``colname`` is a
+    column name or SQL expression string."""
+    arr = "array(" + ", ".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
+    checks = []
+    for s in range(_BLOOM_SEEDS):
+        pos = (
+            f"(CAST(conv(substring(md5(concat('{s}:', CAST({colname} AS STRING))), 1, 8),"
+            f" 16, 10) AS BIGINT) % {m_bits})"
+        )
+        checks.append(
+            f"((element_at({arr}, CAST({pos} div 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))) != 0)"
+        )
+    return F.expr(" AND ".join(checks))

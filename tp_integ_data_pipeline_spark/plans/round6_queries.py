@@ -459,3 +459,174 @@ def q170_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q171 — KMV sketch intersection: join-size estimation without a join
+# --------------------------------------------------------------------------
+_KMV_SPLIT = "1998-06-01 00:00:00"
+
+
+@query(
+    "q171_kmv_join_estimate",
+    oracle=f"""
+    WITH a_keys AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+                    WHERE l_shipdate < TIMESTAMP '{_KMV_SPLIT}'),
+    b_keys AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '{_KMV_SPLIT}'),
+    sa AS (SELECT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT)
+                   + 1.0) / 281474976710656.0 AS h
+           FROM a_keys ORDER BY h LIMIT {_KMV_K}),
+    sb AS (SELECT (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT)
+                   + 1.0) / 281474976710656.0 AS h
+           FROM b_keys ORDER BY h LIMIT {_KMV_K}),
+    u AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb))
+          ORDER BY h LIMIT {_KMV_K}),
+    stats AS (
+        SELECT (SELECT MAX(h) FROM u) AS theta,
+               (SELECT COUNT(*) FROM u) AS ku,
+               (SELECT COUNT(*) FROM u WHERE h IN (SELECT h FROM sa)
+                                         AND h IN (SELECT h FROM sb)) AS c
+    )
+    SELECT CAST(ku AS BIGINT) AS k_used, CAST(c AS BIGINT) AS n_both,
+           ROUND((ku - 1) / theta, 6) AS est_union,
+           ROUND(c * 1.0 / ku, 6) AS est_jaccard,
+           ROUND((c * 1.0 / ku) * ((ku - 1) / theta), 6) AS est_inter,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a_keys JOIN b_keys USING (k)) AS true_inter
+    FROM stats
+    """,
+)
+def q171_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate the key overlap of two corpus slices WITHOUT joining
+    them — the join-size/cardinality planning question a 100 TB
+    optimizer asks before committing to a shuffle. KMV sketches of the
+    parts shipped before/after the split date; the union sketch's
+    theta estimates |A u B|, the fraction of union samples present in
+    BOTH sketches estimates Jaccard, and their product the
+    intersection (Beyer et al. 2007). Everything after the two k-row
+    TakeOrdered cuts runs over <= 2k sample rows; true_inter is the
+    audit column (exact semi-join, fine at check scale — the contrast
+    is the point). The md5 draw is engine-portable, so the oracle
+    reproduces the sample sets exactly."""
+    from tp_integ_data_pipeline_spark.operators.sketches import kmv_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    split = F.lit(_KMV_SPLIT).cast("timestamp")
+    a = li.filter(F.col("l_shipdate") < split).select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_shipdate") >= split).select(F.col("l_partkey").alias("k"))
+    sa = kmv_sketch(a, "k", _KMV_K).localCheckpoint(eager=False)
+    sb = kmv_sketch(b, "k", _KMV_K).localCheckpoint(eager=False)
+    u = sa.unionByName(sb).distinct().orderBy("h").limit(_KMV_K)
+    tagged = (
+        u.join(sa.withColumn("__a", F.lit(1)), "h", "left")
+        .join(sb.withColumn("__b", F.lit(1)), "h", "left")
+    )
+    stats = tagged.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.count(F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1)).alias(
+            "n_both"
+        ),
+        F.max("h").alias("__theta"),
+    )
+    true_inter = a.distinct().join(b.distinct(), "k").agg(
+        F.count(F.lit(1)).alias("true_inter")
+    )
+    return stats.crossJoin(F.broadcast(true_inter)).select(
+        "k_used",
+        "n_both",
+        F.round((F.col("k_used") - 1) / F.col("__theta"), 6).alias("est_union"),
+        F.round(F.col("n_both") * 1.0 / F.col("k_used"), 6).alias("est_jaccard"),
+        F.round(
+            (F.col("n_both") * 1.0 / F.col("k_used"))
+            * ((F.col("k_used") - 1) / F.col("__theta")),
+            6,
+        ).alias("est_inter"),
+        "true_inter",
+    )
+
+
+# --------------------------------------------------------------------------
+# q172 — Bloom-filter semi-join pruning audit
+# --------------------------------------------------------------------------
+_BLOOM_M = 65536
+
+
+@query(
+    "q172_bloom_prune",
+    oracle=f"""
+    WITH keys AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    pos AS (
+        SELECT CAST(('0x' || substr(md5(r || ':' || CAST(p_partkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM keys, UNNEST(range(0, 3)) t(r)
+    ),
+    words AS (
+        -- bit 63: DuckDB's checked shift overflows on 1<<63, Spark's
+        -- shiftleft wraps to the sign bit — spell the wrap explicitly
+        SELECT pos // 64 AS w,
+               bit_or(CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                           ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS bits
+        FROM pos GROUP BY 1
+    ),
+    lp AS (SELECT l_partkey, COUNT(*) AS nrows FROM lineitem GROUP BY 1),
+    probe AS (
+        SELECT l_partkey, nrows, r,
+               CAST(('0x' || substr(md5(r || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM lp, UNNEST(range(0, 3)) t(r)
+    ),
+    hits AS (
+        SELECT l_partkey, MIN(nrows) AS nrows,
+               COUNT(CASE WHEN (w.bits >> CAST(pos % 64 AS INT)) & 1 = 1 THEN 1 END) AS nb
+        FROM probe LEFT JOIN words w ON w.w = pos // 64
+        GROUP BY 1
+    ),
+    flags AS (
+        SELECT nrows, nb = 3 AS pass,
+               l_partkey IN (SELECT p_partkey FROM keys) AS truly
+        FROM hits
+    )
+    SELECT CAST(SUM(nrows) AS BIGINT) AS n_fact,
+           CAST(COALESCE(SUM(CASE WHEN pass THEN nrows END), 0) AS BIGINT) AS n_pass_bloom,
+           CAST(COALESCE(SUM(CASE WHEN truly THEN nrows END), 0) AS BIGINT) AS n_true_match,
+           CAST(COALESCE(SUM(CASE WHEN pass AND NOT truly THEN nrows END), 0) AS BIGINT)
+               AS n_false_pos
+    FROM flags
+    """,
+)
+def q172_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join pruning with a Bloom filter built on the PROMO part
+    keys and shipped to the fact scan as a PLAN LITERAL (exactly how
+    Spark's own runtime filters work — operators/sketches.bloom_words
+    / bloom_might_contain): the fact side drops non-matching rows
+    ROW-LOCALLY inside the scan stage, before any exchange, paying
+    m/8 bytes of broadcast instead of a shuffle of the full fact
+    relation. Output audits the filter: fact rows, Bloom passes, true
+    semi-join matches, false positives (no false negatives by
+    construction — asserted by n_pass >= n_true). The md5 bit
+    placement is engine-portable, so the oracle reproduces every
+    collision; the dim-side driver pull is bounded by the CONSTANT
+    m = {m} bits, never data-sized.""".format(m=_BLOOM_M)
+    from tp_integ_data_pipeline_spark.operators.sketches import (
+        bloom_might_contain,
+        bloom_words,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    words = bloom_words(keys, "p_partkey", _BLOOM_M)
+    flagged = li.select(
+        "l_partkey",
+        bloom_might_contain("l_partkey", words, _BLOOM_M).alias("pass"),
+    ).join(
+        F.broadcast(keys.withColumn("__t", F.lit(1))),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.count(F.when(F.col("pass"), 1)).alias("n_pass_bloom"),
+        F.count(F.when(F.col("__t").isNotNull(), 1)).alias("n_true_match"),
+        F.count(F.when(F.col("pass") & F.col("__t").isNull(), 1)).alias("n_false_pos"),
+    )
