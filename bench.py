@@ -81,6 +81,16 @@ HEADLINE = [
     "q161_inverted_search",
     "q162_robust_outliers",
     "q163_triangle_count",
+    "q153_bpe_tokenizer",
+    "q164_bm25_topk",
+    "q165_count_min_sketch",
+    "q166_k_anonymity",
+    "q167_source_novelty",
+    "q168_kmv_distinct",
+    "q169_grouped_deciles",
+    "q170_psi_drift",
+    "q171_kmv_join_estimate",
+    "q172_bloom_prune",
 ]
 
 

@@ -407,17 +407,30 @@ def minhash_near_dup_pairs(
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash long): 64-bit SimHash over token occurrences.
 
-    bit_i(doc) = sign of Σ_tokens (±1 by bit i of xxhash64(token)),
+    bit_i(doc) = sign of Σ_tokens (±1 by bit i of the token hash),
     occurrence-weighted. All expression-level: one explode + one
-    groupBy with 64 conditional sums.
-    """
+    groupBy with 64 conditional sums. The 64 hash bits come from two
+    32-bit md5 segments (hex chars 1-8 and 9-16) instead of xxhash64 —
+    same distribution quality, but ENGINE-PORTABLE, so the DuckDB
+    oracle replays the identical signatures bit-for-bit (round-6
+    upgrade that moved q43 off the rows-only list; minhash q41/q42
+    keeps xxhash64 — its oracle compares verified Jaccard, not raw
+    hashes)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h1" if i < 32 else "h2"), i % 32).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]

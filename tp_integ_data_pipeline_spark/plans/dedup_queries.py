@@ -94,9 +94,57 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, "doc_id", "text", k=3, threshold=0.6).orderBy("a", "b")
 
 
-# No SQL oracle: SimHash depends on xxhash64, which DuckDB lacks;
-# driver records the rows-only check.
-@query("q43_simhash_pairs")
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """Full SQL replay of the SimHash pipeline (hash-checked since the
+    round-6 switch to the portable two-segment md5 token hash): 64
+    conditional bit sums, signature assembly with the bit-63 sign-wrap
+    spelled as a literal (DuckDB's checked shift would overflow where
+    Spark's shiftleft wraps), 16-bit-chunk pigeonhole candidates, and
+    bit_count(xor) Hamming verify — identical arithmetic to
+    operators/dedup.simhash_signatures/simhash_near_dup_pairs."""
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN ({'h1' if i < 32 else 'h2'} >> {i % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    terms = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({(1 << i) if i < 63 else -(1 << 63)} AS BIGINT)"
+        f" ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+        SELECT id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+        FROM toks
+    ),
+    bits AS (
+        SELECT id,
+               {bit_sums}
+        FROM h GROUP BY id
+    ),
+    sig AS (SELECT id, {terms} AS simhash FROM bits),
+    chunks AS (
+        SELECT id, simhash, j AS chunk_id, (simhash >> (16 * j)) & 65535 AS chunk
+        FROM sig, UNNEST(range(0, 4)) t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS a, b.id AS b, a.simhash AS sa, b.simhash AS sb
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.id < b.id
+    )
+    SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    ORDER BY a, b
+    """
+
+
+@query("q43_simhash_pairs", oracle=_simhash_oracle(3))
 def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("a", "b")
