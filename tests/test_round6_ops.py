@@ -217,3 +217,41 @@ def test_kmv_intersection_estimates_overlap(spark):
     est_union = (r["k_used"] - 1) / r["theta"]
     assert abs(jac - 1 / 3) < 0.15
     assert abs(est_union - 3000) / 3000 < 0.25
+
+
+# ---------------------------------------------------------------------------
+# image dHash (multimodal near-dup)
+# ---------------------------------------------------------------------------
+def test_image_dhash_identical_close_and_distinct(spark):
+    from pyspark.sql import functions as F
+    from tp_integ_data_pipeline_spark.operators.dedup import hamming_pairs
+    from tp_integ_data_pipeline_spark.operators.multimodal import (
+        image_dhash,
+        synth_bmp_payload,
+    )
+
+    # ids 0 and 10 share residue mod 10 -> near-identical; 0 vs 3 distinct
+    ids = spark.createDataFrame([(0,), (3,), (10,)], "doc_id long")
+    payloads = synth_bmp_payload(ids, "doc_id", group_mod=10)
+    sigs = {r["doc_id"]: r["dhash"] for r in image_dhash(payloads).collect()}
+    assert len(sigs) == 3  # every synthetic BMP decodes
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(0, 10) <= 3  # planted near-dup (+-1 pixel perturbation)
+    assert ham(0, 3) > 10  # independent groups are far apart
+    pairs = hamming_pairs(
+        image_dhash(payloads), "dhash", max_hamming=3, id_col="doc_id"
+    ).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(0, 10)]
+
+
+def test_synth_bmp_deterministic_and_decodable(spark):
+    from tp_integ_data_pipeline_spark.operators.multimodal import (
+        decode_pixels,
+        synth_bmp_payload,
+    )
+
+    ids = spark.createDataFrame([(7,), (7,)], "doc_id long")
+    p1, p2 = [bytes(r["payload"]) for r in synth_bmp_payload(ids, "doc_id").collect()]
+    assert p1 == p2  # content-deterministic
+    px = decode_pixels(p1)
+    assert px is not None and px.shape == (16, 16, 3)

@@ -443,24 +443,24 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("id", sig.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_pairs(
+    sig: DataFrame, sig_col: str, max_hamming: int = 3, id_col: str = "id"
 ) -> DataFrame:
-    """Pairs with hamming(simhashA, simhashB) <= max_hamming (≤3 here).
+    """Pairs of rows whose 64-bit ``sig_col`` values are within
+    ``max_hamming``, for ANY 64-bit fingerprint source (text SimHash,
+    image dHash, audio chromaprint-style hashes).
 
-    Candidates: pairs agreeing on ≥1 of four 16-bit chunks — by
+    Candidates: pairs agreeing on >= 1 of four 16-bit chunks — by
     pigeonhole, any pair within hamming 3 must agree on one chunk, so
-    candidate generation is exact for max_hamming ≤ 3 and stays an
-    equi-join (no cross join).
-    """
-    sig = simhash_signatures(df, id_col, text_col)
+    candidate generation is exact for max_hamming <= 3 and stays an
+    equi-join (no cross join). Returns (a, b, hamming)."""
     chunks = sig.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("simhash"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col(sig_col), 16 * j).bitwiseAND(F.lit(0xFFFF))
                     for j in range(4)
                 ]
             )
@@ -488,6 +488,16 @@ def simhash_near_dup_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Text near-dup pairs: SimHash signatures -> :func:`hamming_pairs`
+    (chunk-pigeonhole candidates + bit_count verify)."""
+    return hamming_pairs(
+        simhash_signatures(df, id_col, text_col), "simhash", max_hamming
     )
 
 

@@ -388,3 +388,96 @@ def image_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(feats, schema=IMG_FEATURES_SCHEMA)
+
+
+def synth_bmp_payload(
+    df: DataFrame, id_col: str = "doc_id", group_mod: int = 250, size: int = 16
+) -> DataFrame:
+    """Deterministic synthetic 24-bit BMP payload per row — the fixture
+    image corpus this sandbox's test tables lack (documents carry no
+    real media; SURVEY.md X5 note). Pixels derive from md5(id %
+    group_mod), so ids sharing a residue render NEAR-IDENTICAL images
+    (a per-id low-bit perturbation keeps them non-equal) — planted
+    near-dup structure for the perceptual-hash pipeline downstream,
+    which is fully real (decode_pixels -> dHash -> banded pairs).
+    Arrow mapInPandas, row-local, no shuffle."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                gid = int(did) % group_mod
+                # counter-mode md5: size*size*3 INDEPENDENT bytes per
+                # group (a single tiled digest would repeat every row,
+                # collapsing dHash to 8 distinct bit-rows)
+                need = size * size * 3
+                blocks = [
+                    hashlib.md5(f"{gid}:{i}".encode()).digest()
+                    for i in range((need + 15) // 16)
+                ]
+                rng = np.frombuffer(b"".join(blocks)[:need], dtype=np.uint8)
+                base = rng.reshape(size, size, 3).astype(np.int64)
+                # per-id +/-1 perturbation on one channel: near, not equal
+                px = np.clip(base + (int(did) // group_mod) % 2, 0, 255).astype(np.uint8)
+                # 24-bit BI_RGB bottom-up BMP, rows padded to 4 bytes
+                row_bytes = (size * 3 + 3) // 4 * 4
+                img = bytearray()
+                for r in range(size - 1, -1, -1):
+                    row = px[r, :, ::-1].tobytes()  # BGR order
+                    img += row + b"\x00" * (row_bytes - len(row))
+                header = struct.pack(
+                    "<2sIHHIIiiHHIIiiII",
+                    b"BM", 54 + len(img), 0, 0, 54, 40, size, size,
+                    1, 24, 0, len(img), 2835, 2835, 0, 0,
+                )
+                payloads.append(header + bytes(img))
+            out = pdf[[id_col]].copy()
+            out["payload"] = payloads
+            yield out
+
+    return df.select(id_col).mapInPandas(render, schema=f"{id_col} long, payload binary")
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit difference hash (dHash) per decodable image: grayscale,
+    9x8 nearest-neighbor resize, bit (r*8+c) = grad sign between
+    horizontally adjacent cells — the classic perceptual fingerprint
+    whose Hamming distance tracks visual similarity. Arrow mapInPandas
+    over the REAL pixel decoders (decode_pixels); undecodable payloads
+    are dropped (audit them with image_features, which keeps every
+    row). Pair the output with dedup.hamming_pairs — the same banded
+    machinery as text SimHash, which is the point: one near-dup engine,
+    many fingerprint sources."""
+    import numpy as np
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_pixels(bytes(p))
+                if px is None:
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                yi = (np.arange(8) * h // 8).astype(int)
+                xi = (np.arange(9) * w // 9).astype(int)
+                g = gray[np.ix_(yi, xi)]
+                bits = (g[:, 1:] > g[:, :-1]).flatten()  # row-major r*8+c
+                v = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        v |= 1 << i
+                if v >= 1 << 63:
+                    v -= 1 << 64  # two's-complement into a signed long
+                out.append((int(did), v))
+            yield pd.DataFrame(out, columns=[id_col, "dhash"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hashes, schema=f"{id_col} long, dhash long"
+    )

@@ -630,3 +630,93 @@ def q172_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("__t").isNotNull(), 1)).alias("n_true_match"),
         F.count(F.when(F.col("pass") & F.col("__t").isNull(), 1)).alias("n_false_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# q173 — ANALYZE-style column statistics snapshot
+# --------------------------------------------------------------------------
+_STATS_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _column_stats_oracle() -> str:
+    parts = []
+    for c in _STATS_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+           ROUND(MIN({c}), 6) AS min_v,
+           ROUND(MAX({c}), 6) AS max_v,
+           ROUND(AVG({c}), 6) AS avg_v
+    FROM lineitem""")
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
+@query("q173_column_stats", oracle=_column_stats_oracle())
+def q173_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style per-column statistics snapshot (rows, nulls,
+    exact NDV, min/max/avg) over the fact measures — the stats a
+    cost-based optimizer feeds on, and the nightly profile a data
+    contract monitors. ONE scan: all columns' aggregates fuse into a
+    single map-side-combined pass (the q157 one-scan-audit shape),
+    unpivoted row-locally to long form. Exact NDV is the check-scale
+    oracle contrast; the 100 TB estimation path is the KMV sketch
+    (q168) or HLL (q120). Values are non-negative fact measures — no
+    -0.0 trap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__ndv_{c}"),
+            F.round(F.min(c), 6).alias(f"__mn_{c}"),
+            F.round(F.max(c), 6).alias(f"__mx_{c}"),
+            F.round(F.avg(c), 6).alias(f"__av_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __ndv_{c}, __mn_{c}, __mx_{c}, __av_{c}"
+        for c in _STATS_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_STATS_COLS)}, {stack})"
+            " as (col, n_rows, n_nulls, ndv, min_v, max_v, avg_v)"
+        )
+    ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# q174 — image perceptual-hash near-dup pairs (multimodal dedup)
+# --------------------------------------------------------------------------
+# Rows-only by design: the payload synthesis + pixel decode + dHash run
+# in Arrow mapInPandas (not SQL-expressible); the hard checks are
+# tests/test_text_multimodal.py's dHash goldens (planted near-identical
+# and distinct images, hamming bounds) and the banded-pair machinery is
+# the SAME hash-checked path text SimHash (q43) exercises.
+@query("q174_image_dhash_pairs")
+def q174_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: deterministic synthetic BMP corpus (ids
+    sharing a residue render near-identical images — the fixture media
+    this sandbox lacks), REAL pixel decode -> 64-bit dHash -> the
+    generic hamming_pairs banded join (shared with text SimHash q43).
+    Returns (a, b, hamming) for visually-duplicate image pairs plus
+    per-pair group agreement as the self-audit column."""
+    from tp_integ_data_pipeline_spark.operators.dedup import hamming_pairs
+    from tp_integ_data_pipeline_spark.operators.multimodal import (
+        image_dhash,
+        synth_bmp_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    payloads = synth_bmp_payload(docs, "doc_id", group_mod=250)
+    sigs = image_dhash(payloads, "doc_id")
+    pairs = hamming_pairs(sigs, "dhash", max_hamming=3, id_col="doc_id")
+    return pairs.select(
+        "a",
+        "b",
+        "hamming",
+        (F.col("a") % 250 == F.col("b") % 250).alias("same_group"),
+    ).orderBy("a", "b")
