@@ -292,6 +292,17 @@ def main() -> None:
         "algorithmic ones (group/join keys), not accidents. The same",
         "counters gate in tests/test_plan_quality.py.",
         "",
+        "Cross-engine hash rule (round-6): every ROUND-emitting graded output",
+        "whose pre-image can be a tiny negative (covariance q126, PMI q130,",
+        "histogram quantile edges q133, DSIR weights q112, surprisal q113,",
+        "centroid/variance q118, moments covar/corr q88) adds `+ 0` after the",
+        "ROUND on BOTH the Spark and the oracle side — DuckDB's ROUND preserves",
+        "the sign of zero on a tiny-negative input while Spark's BigDecimal",
+        "round drops it, so -0.0 vs 0.0 is numerically equal but hash-different",
+        "(the round-5 q126 residual). ROUNDs over provably non-negative",
+        "pre-images (gmean, percent_rank/cume_dist, fill_ratio, abs-error,",
+        "BM25/TF-IDF scores, PSI, strictly-positive event values) are left bare.",
+        "",
         "## All queries",
         "",
         "| query | BHJ | SMJ | SHJ | BNLJ | Cartesian | exchanges | bcast | pushed-filter scans |",
