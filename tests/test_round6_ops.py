@@ -255,3 +255,43 @@ def test_synth_bmp_deterministic_and_decodable(spark):
     assert p1 == p2  # content-deterministic
     px = decode_pixels(p1)
     assert px is not None and px.shape == (16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join
+# ---------------------------------------------------------------------------
+def test_prefix_join_exact_vs_bruteforce(spark):
+    from itertools import combinations
+    from pyspark.sql import functions as F
+    from tp_integ_data_pipeline_spark.operators.dedup import set_similarity_join
+
+    sets = {
+        1: {"a", "b", "c", "d", "e"},
+        2: {"a", "b", "c", "d", "f"},      # J(1,2)=4/6=0.667
+        3: {"a", "b", "c", "d", "e"},      # J(1,3)=1.0
+        4: {"x", "y", "z"},                # disjoint
+        5: {"a", "x", "q", "r", "s", "t"}, # low overlap with all
+    }
+    rows = [(i, t) for i, s in sets.items() for t in s]
+    toks = spark.createDataFrame(rows, "id long, tok string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in set_similarity_join(toks, 0.6).collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if round(j, 6) >= 0.6:
+            expect[(a, b)] = round(j, 6)
+    assert got == expect  # exact: same pairs, same values
+
+
+def test_prefix_join_partition_invariant(spark):
+    from pyspark.sql import functions as F
+    from tp_integ_data_pipeline_spark.operators.dedup import set_similarity_join
+
+    rows = [(i, f"t{j}") for i in range(30) for j in range(i % 7, i % 7 + 10)]
+    toks = spark.createDataFrame(rows, "id long, tok string").distinct()
+    a = sorted(map(tuple, set_similarity_join(toks.repartition(1), 0.5).collect()))
+    b = sorted(map(tuple, set_similarity_join(toks.repartition(11), 0.5).collect()))
+    assert a == b and len(a) > 0

@@ -720,3 +720,50 @@ def q174_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hamming",
         (F.col("a") % 250 == F.col("b") % 250).alias("same_group"),
     ).orderBy("a", "b")
+
+
+# --------------------------------------------------------------------------
+# q175 — exact set-similarity join via prefix filtering (AllPairs)
+# --------------------------------------------------------------------------
+_SSJ_T = 0.6
+
+
+def _ssj_oracle() -> str:
+    from tp_integ_data_pipeline_spark.operators.dedup import shingle_sql
+
+    return f"""
+    WITH {shingle_sql("documents", "doc_id", "text", 3)},
+    n AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+    i AS (
+        SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+    FROM i JOIN n na ON na.id = i.a JOIN n nb ON nb.id = i.b
+    WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) >= {_SSJ_T}
+    ORDER BY a, b
+    """
+
+
+@query("q175_prefix_similarity_join", oracle=_ssj_oracle())
+def q175_prefix_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs (3-gram-shingle Jaccard >= 0.6) via prefix
+    filtering (AllPairs/PPJoin, Bayardo et al. 2007) — the lossless
+    complement to MinHash-LSH q42 over the same shingle unit: rarest-
+    first global ordering bounds each set's candidate-generating
+    prefix to (1-t)|s|+1 elements, candidates come from ONE prefix-
+    element equi-join (provably complete — no recall caveat, which is
+    why this query hash-checks while LSH's guarantee is
+    probabilistic), verification is row-local array_intersect. The
+    oracle is the naive all-pairs shingle self-join — fine at check
+    scale, the prefix bound is what survives 100 TB
+    (operators/dedup.set_similarity_join)."""
+    from tp_integ_data_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", k=3).select("id", F.col("sh").alias("tok"))
+    return set_similarity_join(sh, _SSJ_T).orderBy("a", "b")
