@@ -91,6 +91,10 @@ HEADLINE = [
     "q170_psi_drift",
     "q171_kmv_join_estimate",
     "q172_bloom_prune",
+    "q173_column_stats",
+    "q174_image_dhash_pairs",
+    "q175_prefix_similarity_join",
+    "q176_entity_resolution",
 ]
 
 

@@ -295,3 +295,25 @@ def test_prefix_join_partition_invariant(spark):
     a = sorted(map(tuple, set_similarity_join(toks.repartition(1), 0.5).collect()))
     b = sorted(map(tuple, set_similarity_join(toks.repartition(11), 0.5).collect()))
     assert a == b and len(a) > 0
+
+
+def test_entity_resolution_groups_same_names(spark):
+    """Catalog ER distilled: two masters share a name, a dirty variant
+    links to both -> one entity; an unrelated name stays its own
+    entity (via the q176 machinery: edit_distance_join + dup_clusters)."""
+    from pyspark.sql import functions as F
+    from tp_integ_data_pipeline_spark.operators.dedup import dup_clusters
+    from tp_integ_data_pipeline_spark.operators.linkage import edit_distance_join
+
+    master = spark.createDataFrame(
+        [(1, "cold widget"), (2, "cold widget"), (3, "steel beam")],
+        "pk long, name string",
+    )
+    dirty = spark.createDataFrame([(10, "cold widge"), (30, "steel bea")], "dk long, dname string")
+    matches = edit_distance_join(
+        dirty, master, left_key="dname", right_key="name", left_id="dk", right_id="pk"
+    ).select((2 * F.col("pk")).alias("a"), (2 * F.col("dk") + 1).alias("b"))
+    ent = {r["id"]: r["cluster"] for r in dup_clusters(matches).collect()}
+    # masters 1 and 2 merge through the shared dirty variant; 3 separate
+    assert ent[2 * 1] == ent[2 * 2] == ent[2 * 10 + 1]
+    assert ent[2 * 3] == ent[2 * 30 + 1] and ent[2 * 3] != ent[2 * 1]

@@ -56,3 +56,82 @@ def q145_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d_id", F.col("c_custkey").alias("m_id"), "dist")
         .orderBy("d_id", "m_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q176 — entity resolution end-to-end: fuzzy match → connected
+# components → entity summary (the blocking→matching→clustering
+# pipeline a master-data system runs)
+# --------------------------------------------------------------------------
+@query(
+    "q176_entity_resolution",
+    oracle="""
+    WITH RECURSIVE dirty AS (
+        SELECT p_partkey AS d_id,
+               substr(p_name, 1, p_partkey % length(p_name)) ||
+               substr(p_name, (p_partkey % length(p_name)) + 2) AS dname
+        FROM part WHERE p_partkey % 3 = 0
+    ),
+    matches AS (
+        SELECT 2 * p.p_partkey AS a, 2 * d.d_id + 1 AS b
+        FROM dirty d JOIN part p ON levenshtein(d.dname, p.p_name) <= 1
+    ),
+    sym AS (SELECT a, b FROM matches UNION SELECT b, a FROM matches),
+    reach(src, dst) AS (
+        SELECT a AS src, a AS dst FROM sym
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    clusters AS (SELECT src AS id, MIN(dst) AS entity FROM reach GROUP BY src)
+    SELECT entity,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(CASE WHEN id % 2 = 0 THEN 1 END) AS BIGINT) AS n_master,
+           CAST(COUNT(CASE WHEN id % 2 = 1 THEN 1 END) AS BIGINT) AS n_dirty
+    FROM clusters
+    GROUP BY entity
+    ORDER BY entity
+    """,
+)
+def q176_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (catalog dedup): a dirty feed of
+    part names (one char deleted, keyed by partkey) links back to the
+    master catalog by edit distance <= 1 (symmetric-delete blocking,
+    never all-pairs), the match edges feed the large-star/small-star
+    connected-components loop (dup_clusters — the SAME clustering
+    engine the text near-dup path uses), and each component becomes
+    one ENTITY with master/dirty membership counts. The part catalog
+    reuses names (adjective x noun vocabulary), so an entity is a
+    same-name product group plus its near-name merges — the
+    blocking -> matching -> clustering -> canonical pipeline a
+    master-data system runs. Node ids are disambiguated row-locally
+    (2*master, 2*dirty+1). The oracle replays the match condition
+    all-pairs plus a recursive-CTE closure (the q87 convention:
+    entity = min reachable node)."""
+    from tp_integ_data_pipeline_spark.operators.dedup import dup_clusters
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("d_id"),
+        F.expr(
+            "concat(substr(p_name, 1, p_partkey % length(p_name)), "
+            "substr(p_name, (p_partkey % length(p_name)) + 2))"
+        ).alias("dname"),
+    )
+    master = part.select("p_partkey", "p_name")
+    matches = edit_distance_join(
+        dirty, master,
+        left_key="dname", right_key="p_name",
+        left_id="d_id", right_id="p_partkey",
+    ).select(
+        (2 * F.col("p_partkey")).alias("a"), (2 * F.col("d_id") + 1).alias("b")
+    )
+    clusters = dup_clusters(matches)
+    return (
+        clusters.groupBy(F.col("cluster").alias("entity"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count(F.when(F.col("id") % 2 == 0, 1)).alias("n_master"),
+            F.count(F.when(F.col("id") % 2 == 1, 1)).alias("n_dirty"),
+        )
+        .orderBy("entity")
+    )
