@@ -317,3 +317,28 @@ def test_entity_resolution_groups_same_names(spark):
     # masters 1 and 2 merge through the shared dirty variant; 3 separate
     assert ent[2 * 1] == ent[2 * 2] == ent[2 * 10 + 1]
     assert ent[2 * 3] == ent[2 * 30 + 1] and ent[2 * 3] != ent[2 * 1]
+
+
+def test_weighted_median_hand_computed_and_invariant(spark):
+    from tp_integ_data_pipeline_spark.operators.timeseries import grouped_weighted_median
+
+    # weights: value 1 w=1, value 2 w=1, value 3 w=10 -> crossing at 3
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0),
+            # uniform weights reduce to the plain lower median (2 of 1,2,3)
+            ("h", 1.0, 1.0), ("h", 2.0, 1.0), ("h", 3.0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    got = {r["k"]: r["wmedian"] for r in grouped_weighted_median(df, ["k"], "v", "w").collect()}
+    assert got == {"g": 3.0, "h": 2.0}
+    a = sorted(map(tuple, grouped_weighted_median(df.repartition(7), ["k"], "v", "w").collect()))
+    assert a == sorted(got.items())
+
+
+def test_audit_schema_contract(spark):
+    from tp_integ_data_pipeline_spark.operators.quality_audit import audit_schema
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "a bigint, b string, c double")
+    ok = audit_schema(df, {"a": "bigint", "b": "string", "c": "double"})
+    assert ok.count() == 0
+    bad = audit_schema(df, {"a": "int", "b": "string", "d": "date"})
+    got = {(r["column"], r["status"]) for r in bad.collect()}
+    assert got == {("a", "type_mismatch"), ("d", "missing"), ("c", "unexpected")}

@@ -61,3 +61,27 @@ def audit_reference(
     return orphans.agg(
         F.lit(name).alias("check"), F.count(F.lit(1)).alias("violations")
     )
+
+
+def audit_schema(df: DataFrame, expected: dict[str, str]) -> DataFrame:
+    """Schema-contract check: compare ``df``'s schema against
+    ``expected`` (column -> Spark simpleString type). Returns one row
+    per discrepancy — (column, status in {missing, unexpected,
+    type_mismatch}, expected_type, actual_type) — empty when the
+    contract holds. Pure metadata (no scan, no job): the gate a feed
+    runs BEFORE the data-level audits above, so a producer's silent
+    schema change fails the contract instead of corrupting downstream
+    casts."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema}
+    rows = []
+    for col, etype in expected.items():
+        if col not in actual:
+            rows.append((col, "missing", etype, None))
+        elif actual[col] != etype:
+            rows.append((col, "type_mismatch", etype, actual[col]))
+    for col, atype in actual.items():
+        if col not in expected:
+            rows.append((col, "unexpected", None, atype))
+    return df.sparkSession.createDataFrame(
+        rows, "column string, status string, expected_type string, actual_type string"
+    )

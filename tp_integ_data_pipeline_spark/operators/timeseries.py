@@ -163,3 +163,27 @@ def grouped_quantiles(
         F.explode(F.array(*[F.lit(t) for t in tenths])).alias("tenth"),
     ).filter(F.col("__rk") == F.expr("(tenth * __n + 9) div 10"))
     return hits.select(*keys, "tenth", F.col("__v").alias("v"))
+
+
+def grouped_weighted_median(
+    df: DataFrame, keys: list[str], val: str, weight: str
+) -> DataFrame:
+    """Exact per-group WEIGHTED median: the smallest value whose
+    running weight sum reaches half the group's total weight (lower
+    weighted median — deterministic, no interpolation, so both engines
+    pick the identical row). The weighted generalization of
+    :func:`grouped_median`: revenue-weighted median price, token-
+    weighted median doc length. One group-keyed window sort carrying a
+    running weight sum + a 1-per-group total, then a row-local
+    first-crossing pick — never a collect of group values. Returns
+    (keys..., wmedian)."""
+    wk = W.partitionBy(*keys)
+    ordered = wk.orderBy(F.col(val), F.col(weight))
+    ranked = df.select(
+        *keys,
+        F.col(val).alias("__v"),
+        F.sum(weight).over(ordered.rowsBetween(W.unboundedPreceding, 0)).alias("__cw"),
+        F.sum(weight).over(wk).alias("__tw"),
+    )
+    crossed = ranked.filter(F.col("__cw") * 2 >= F.col("__tw"))
+    return crossed.groupBy(*keys).agg(F.min("__v").alias("wmedian"))

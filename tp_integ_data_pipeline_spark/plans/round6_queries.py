@@ -767,3 +767,46 @@ def q175_prefix_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", k=3).select("id", F.col("sh").alias("tok"))
     return set_similarity_join(sh, _SSJ_T).orderBy("a", "b")
+
+
+# --------------------------------------------------------------------------
+# q177 — exact per-group weighted median
+# --------------------------------------------------------------------------
+@query(
+    "q177_weighted_median",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_quantity
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        FROM lineitem
+    )
+    SELECT l_returnflag, MIN(v) AS wmedian
+    FROM ranked WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q177_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    lower weighted median (smallest value whose running weight reaches
+    half the group total; deterministic: rows sort by value, so the
+    minimal crossed value cannot depend on tie order, and the result
+    is a RAW data value — no arithmetic, no rounding, no -0.0
+    surface). operators/timeseries.grouped_weighted_median: one
+    group-keyed window sort carrying the running weight sum, row-local
+    first-crossing pick — the weighted sibling of q24/q162's exact
+    medians, and the robust center a skewed revenue distribution needs
+    (a plain median treats a 1-unit and a 50-unit line item alike)."""
+    from tp_integ_data_pipeline_spark.operators.timeseries import (
+        grouped_weighted_median,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        grouped_weighted_median(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+        .select("l_returnflag", "wmedian")
+        .orderBy("l_returnflag")
+    )
