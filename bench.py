@@ -95,6 +95,7 @@ HEADLINE = [
     "q174_image_dhash_pairs",
     "q175_prefix_similarity_join",
     "q176_entity_resolution",
+    "q177_weighted_median",
 ]
 
 
@@ -337,6 +338,34 @@ def scale_probe(spark, sf_dir: str) -> dict:
     probe["triangle_10x_sec"] = timed(lambda: materialize(triangle_count(e10)))
     probe["triangle_ratio"] = round(
         probe["triangle_10x_sec"] / probe["triangle_1x_sec"], 2
+    )
+
+    # Prefix-similarity-join probe (round-6 q175): the tagged 10x
+    # corpus has disjoint shingle universes per copy, so the qualifying
+    # pair structure replicates exactly 10x and — the property under
+    # test — the prefix-element candidate join must stay bounded by
+    # per-copy structure. Near-linear is healthy; superlinear flags the
+    # prefix bound degenerating (e.g. a frequency-order regression
+    # making prefixes collide across copies).
+    from tp_integ_data_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+        shingles,
+    )
+
+    sh1 = shingles(docs, "doc_id", "text", k=3).select(
+        "id", F.col("sh").alias("tok")
+    )
+    sh10 = shingles(docs10, "doc_id", "text", k=3).select(
+        "id", F.col("sh").alias("tok")
+    )
+    probe["prefixjoin_1x_sec"] = timed(
+        lambda: materialize(set_similarity_join(sh1, 0.6))
+    )
+    probe["prefixjoin_10x_sec"] = timed(
+        lambda: materialize(set_similarity_join(sh10, 0.6))
+    )
+    probe["prefixjoin_ratio"] = round(
+        probe["prefixjoin_10x_sec"] / probe["prefixjoin_1x_sec"], 2
     )
     return probe
 
