@@ -810,3 +810,64 @@ def q177_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "wmedian")
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q178 — per-group winsorization (decile-edge clipping) audit
+# --------------------------------------------------------------------------
+@query(
+    "q178_winsorize",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    edges AS (
+        SELECT event_type,
+               MIN(CASE WHEN rk = (1 * n + 9) // 10 THEN value END) AS lo,
+               MIN(CASE WHEN rk = (9 * n + 9) // 10 THEN value END) AS hi
+        FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN value < lo THEN 1 END) AS BIGINT) AS n_clip_lo,
+           CAST(COUNT(CASE WHEN value > hi THEN 1 END) AS BIGINT) AS n_clip_hi,
+           ROUND(AVG(value), 6) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 6) AS mean_winsor
+    FROM events e JOIN edges USING (event_type)
+    GROUP BY e.event_type, lo, hi
+    ORDER BY e.event_type
+    """,
+)
+def q178_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit: clip event values at the exact per-type
+    p10/p90 decile edges (grouped_quantiles — the q169 integer-rank
+    machinery, so the edges are engine-identical) and report clip
+    counts plus the raw-vs-winsorized mean — the outlier-robust
+    feature-cleaning pass run before training on heavy-tailed metrics.
+    Shape: one group-keyed window sort for the edges, the |types|-row
+    edge table broadcast back, one aggregate; values are strictly
+    positive (no -0.0 surface)."""
+    from tp_integ_data_pipeline_spark.operators.timeseries import grouped_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    q = grouped_quantiles(ev, ["event_type"], "value", [1, 9])
+    edges = q.groupBy("event_type").agg(
+        F.min(F.when(F.col("tenth") == 1, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("tenth") == 9, F.col("v"))).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(edges), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_clip_lo"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_clip_hi"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_winsor"),
+        )
+        .orderBy("event_type")
+    )
