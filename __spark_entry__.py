@@ -44,16 +44,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # - the whole remaining r2-graded cohort, newest driver evidence two
 #   rounds old: q78 q80–q86 q88–q99 (20 keys);
 # - remaining slots: the stalest r3-graded keys in numeric order
-#   (q00–q03 q05 q06).
-# NEXT ROUND: the rest of the r3 cohort (q07–q22 q30–q35 q40 q41 q43
+#   (q00–q03 q05).
+# NEXT ROUND: the rest of the r3 cohort (q06–q22 q30–q35 q40 q41 q43
 # q44 q50 q51 q55–q61 q64–q68 q70 q71), then the r4 set, and any
 # round-7-new queries.
 _ROTATE_FRONT = (
-    "q126 q130 q133 q112 q113 q118 q163 q153 q43 q173 q174 q175 q176 q177 q178 "
+    "q126 q130 q133 q112 q113 q118 q163 q153 q43 q173 q174 q175 q176 q177 q178 q179 "
     "q164 q165 q166 q167 q168 q169 q170 q171 q172 "
     "q78 q80 q81 q82 q83 q84 q85 q86 q88 q89 q90 q91 q92 q93 "
     "q94 q95 q96 q97 q98 q99 "
-    "q00 q01 q02 q03 q05 q06"
+    "q00 q01 q02 q03 q05"
 ).split()
 
 

@@ -271,6 +271,10 @@ def test_prefix_join_exact_vs_bruteforce(spark):
         3: {"a", "b", "c", "d", "e"},      # J(1,3)=1.0
         4: {"x", "y", "z"},                # disjoint
         5: {"a", "x", "q", "r", "s", "t"}, # low overlap with all
+        # EXACT boundary: J(6,7)=3/5=0.6 — guards the epsilon-ceil
+        # prefix bound (FP puts t*n a hair above the integer)
+        6: {"m", "n", "o", "u"},
+        7: {"m", "n", "o", "w"},
     }
     rows = [(i, t) for i, s in sets.items() for t in s]
     toks = spark.createDataFrame(rows, "id long, tok string")
@@ -342,3 +346,32 @@ def test_audit_schema_contract(spark):
     bad = audit_schema(df, {"a": "int", "b": "string", "d": "date"})
     got = {(r["column"], r["status"]) for r in bad.collect()}
     assert got == {("a", "type_mismatch"), ("d", "missing"), ("c", "unexpected")}
+
+
+def test_containment_join_exact_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+    from tp_integ_data_pipeline_spark.operators.dedup import containment_join
+
+    qsets = {1: {"a", "b", "c", "d", "e"}, 2: {"p", "q"}}
+    csets = {
+        10: {"a", "b", "c", "d", "e", "x", "y", "z"},  # contains all of q1
+        11: {"a", "b", "c", "d"},                      # 4/5 = 0.8 of q1
+        12: {"a", "b", "x"},                           # 2/5 < t
+        13: {"p", "z"},                                # 1/2 < t
+        14: {"p", "q", "r"},                           # contains all of q2
+    }
+    q = spark.createDataFrame([(i, t) for i, s in qsets.items() for t in s], "id long, tok string")
+    c = spark.createDataFrame([(i, t) for i, s in csets.items() for t in s], "id long, tok string")
+    got = {
+        (r["q_id"], r["c_id"]): r["containment"]
+        for r in containment_join(q, c, 0.8).collect()
+    }
+    expect = {}
+    for qi, qs in qsets.items():
+        for ci, cs in csets.items():
+            cont = round(len(qs & cs) / len(qs), 6)
+            if cont >= 0.8:
+                expect[(qi, ci)] = cont
+    assert got == expect
+    # no false negatives at the exact boundary (q1 vs 11 is exactly 0.8)
+    assert (1, 11) in got

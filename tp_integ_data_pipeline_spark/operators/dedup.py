@@ -747,7 +747,14 @@ def set_similarity_join(
         .select("id", "toks", F.size("toks").alias("n"))
         .localCheckpoint(eager=False)  # feeds prefix explode AND both verify attaches
     )
-    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    # epsilon-guarded ceil: t*n lands a few ULPs ABOVE the exact
+    # integer at boundaries (0.6*5 = 3.0000000000000004), which would
+    # overshoot the ceil and SHORTEN the prefix by one — a false-
+    # negative hazard for pairs sitting exactly on the threshold. The
+    # epsilon only ever lengthens the prefix (more candidates — safe).
+    prefix_len = (
+        F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-6)) + 1
+    ).cast("int")
     prefix = ordered.select(
         "id", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
     )
@@ -766,4 +773,71 @@ def set_similarity_join(
     return (
         withsets.select("a", "b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_join(
+    qtoks: DataFrame,
+    ctoks: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT join: pairs (q, c) where corpus set c
+    covers >= ``threshold`` of query set q's elements — |q ∩ c| / |q|
+    — the pairwise decontamination verb (which corpus document
+    contains this benchmark item?), where Jaccard would miss a small
+    benchmark prompt embedded in a long document. Inputs are distinct
+    ``(id, tok)`` relations (query / corpus side).
+
+    Prefix bound (query side only — containment is asymmetric, so
+    only q's misses are budgeted): a c covering >= t|q| elements of q
+    must share one of q's first floor((1-t)|q|)+1 rarest elements, so
+    candidates = query-prefix explode joined against the corpus
+    postings of those (rare!) elements — cost tracks the prefix
+    elements' posting lengths, never |q| x |corpus|. Verify is
+    row-local array_intersect. Returns (q_id, c_id, containment)
+    rounded to 6 dp BEFORE the threshold cut (engine-identical
+    boundary; ratio of non-negative ints — no -0.0 trap)."""
+    freq = ctoks.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
+    q_ordered = (
+        qtoks.join(freq, "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.coalesce("__f", F.lit(0)).alias("__f"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .select("id", "toks", F.size("toks").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    c_sets = ctoks.groupBy("id").agg(F.array_sort(F.collect_list("tok")).alias("ctoks"))
+    # allowed misses = n - min_inter with min_inter = ceil(t*n), via
+    # the same epsilon-guarded ceil as set_similarity_join: FP puts
+    # t*n a few ULPs above the exact integer at boundaries (0.8*5),
+    # which would shorten the prefix and drop exactly-threshold pairs
+    prefix_len = (
+        F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-6)) + 1
+    ).cast("int")
+    prefix = q_ordered.select("id", F.explode(F.slice("toks", 1, prefix_len)).alias("tok"))
+    # no self-pair filter: query and corpus are LOGICALLY DISTINCT id
+    # spaces (a benchmark excerpt matching the doc with its own id is
+    # the decontamination signal, not a self-join artifact); callers
+    # joining a relation against itself filter q_id != c_id downstream
+    cand = (
+        prefix.join(ctoks.select(F.col("id").alias("c_id"), "tok"), "tok")
+        .select(F.col("id").alias("q_id"), "c_id")
+        .distinct()
+    )
+    withsets = (
+        cand.join(q_ordered.select(F.col("id").alias("q_id"), F.col("toks").alias("__q")), "q_id")
+        .join(c_sets.select(F.col("id").alias("c_id"), F.col("ctoks").alias("__c")), "c_id")
+    )
+    containment = F.round(
+        F.size(F.array_intersect("__q", "__c")).cast("double") / F.size("__q"), 6
+    )
+    return (
+        withsets.select("q_id", "c_id", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )

@@ -871,3 +871,69 @@ def q178_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q179 — containment join: pairwise benchmark decontamination
+# --------------------------------------------------------------------------
+_CONT_T = 0.8
+
+
+@query(
+    "q179_containment_join",
+    oracle=f"""
+    WITH bench AS (
+        SELECT doc_id AS id,
+               array_to_string(toks[1:greatest(3, CAST(FLOOR(len(toks) * 0.6) AS INT))], ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE doc_id % 83 = 0
+    ),
+    q AS (
+        SELECT DISTINCT id, array_to_string(toks[i:i+2], ' ') AS tok
+        FROM (SELECT id, string_split(text, ' ') AS toks FROM bench),
+             UNNEST(range(1, greatest(len(toks) - 1, 1))) AS u(i)
+    ),
+    c AS (
+        SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             UNNEST(range(1, greatest(len(toks) - 1, 1))) AS u(i)
+    ),
+    qn AS (SELECT id, COUNT(*) AS n FROM q GROUP BY 1),
+    inter AS (
+        SELECT q.id AS q_id, c.id AS c_id, COUNT(*) AS i
+        FROM q JOIN c ON q.tok = c.tok
+        GROUP BY 1, 2
+    )
+    SELECT q_id, c_id, ROUND(i * 1.0 / qn.n, 6) AS containment
+    FROM inter JOIN qn ON qn.id = inter.q_id
+    WHERE ROUND(i * 1.0 / qn.n, 6) >= {_CONT_T}
+    ORDER BY q_id, c_id
+    """,
+)
+def q179_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise benchmark decontamination: which corpus documents
+    CONTAIN >= 80% of a benchmark item's 3-gram shingles? Containment
+    |q∩c|/|q| is the right asymmetric measure (Jaccard misses a short
+    prompt embedded in a long page — the real contamination shape).
+    The benchmark suite is synthesized as EXCERPTS (first 60% of
+    tokens) of every 83rd document, so each item is contained in its
+    source by construction — guaranteed signal at every SF — plus any
+    near-dup of that source. operators/dedup.containment_join: the
+    prefix bound applies on the QUERY side only (n - ceil(t*n) + 1
+    rarest-in-corpus elements, epsilon-guarded ceil), so candidate
+    cost tracks those rare elements' posting lengths, never
+    |benchmark| x |corpus| — the pairwise-evidence complement of
+    q93's membership-only decontam. Oracle = naive all-pairs."""
+    from tp_integ_data_pipeline_spark.operators.dedup import containment_join, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 83 == 0).select(
+        F.col("doc_id").alias("bid"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 1,"
+            " greatest(3, CAST(FLOOR(size(split(text, ' ')) * 0.6) AS INT))), ' ')"
+        ).alias("btext"),
+    )
+    q = shingles(bench, "bid", "btext", k=3).select("id", F.col("sh").alias("tok"))
+    c = shingles(docs, "doc_id", "text", k=3).select("id", F.col("sh").alias("tok"))
+    return containment_join(q, c, _CONT_T).orderBy("q_id", "c_id")
