@@ -96,6 +96,8 @@ HEADLINE = [
     "q175_prefix_similarity_join",
     "q176_entity_resolution",
     "q177_weighted_median",
+    "q178_winsorize",
+    "q179_containment_join",
 ]
 
 
