@@ -37,3 +37,41 @@ def test_full_length_and_determinism(spark):
     assert full == again
     short = pseudonymize(df, ["k"], salt="s").collect()[0]["k"]
     assert short == full[:16]
+
+
+def test_rtbf_composition_lake_and_index(spark, tmp_path):
+    """Right-to-be-forgotten across BOTH stores a document lives in:
+    after deleting a doc's keys from the MERGE table and tombstoning it
+    in the near-dup index, neither the table read nor an index probe
+    for near-identical text surfaces it — the cross-store consistency
+    an erasure request actually requires (deleting only the row store
+    leaves the doc discoverable through the similarity index)."""
+    from pyspark.sql import functions as F
+    from tp_integ_data_pipeline_spark.operators.merge import VersionedParquetTable
+    from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + ("x " * (i % 3))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    tbl = VersionedParquetTable(spark, str(tmp_path / "docs"))
+    tbl.overwrite(docs)
+    idx = NearDupIndex(spark, str(tmp_path / "ndidx"))
+    idx.add(docs)
+
+    target = docs.filter(F.col("doc_id") == 7)
+    # an OUTSIDE request with doc 7's text (fresh id — the probe path
+    # drops same-id pairs by design) finds doc 7 before erasure
+    req = target.select(F.lit(999).cast("long").alias("doc_id"), "text")
+    before = idx.probe(req).filter(F.col("index_id") == 7).count()
+    assert before > 0
+
+    tbl.delete_keys(target.select("doc_id"), ["doc_id"])
+    idx.remove(target.select(F.col("doc_id").alias("id")))
+
+    assert tbl.read().filter(F.col("doc_id") == 7).count() == 0
+    after = idx.probe(req).filter(F.col("index_id") == 7).count()
+    assert after == 0  # tombstone visible to probes immediately
+    # physical removal on the maintenance cadence
+    idx.compact()
+    assert idx.indexed_ids().filter(F.col("id") == 7).count() == 0
