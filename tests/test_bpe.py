@@ -67,3 +67,61 @@ def test_spark_merge_pass_equals_python(spark):
     applied = {r["word"]: list(r["tokens"]) for r in apply_bpe(docs, merges).collect()}
     for w, toks in applied.items():
         assert toks == _tokenize_word(w, merges), (w, toks)
+
+
+def test_oracle_merge_replace_respects_symbol_boundaries():
+    """The q153 DuckDB oracle applies each merge as a padded
+    DOUBLED-separator replace (plans/selection_queries._bpe_oracle).
+    That expression must equal the real greedy pass on symbol lists
+    where a bare ``replace(s, a||SEP||b, ...)`` would go wrong:
+    merge pair matching across a symbol boundary ([th, e] + (h, e) —
+    the round-6 ADVICE finding), consecutive matches ([a,b,a,b] +
+    (a,b) must yield [ab, ab] — where SINGLE padding would drop the
+    second match), and greedy overlap ([a,a,a] -> [aa, a])."""
+    import duckdb
+
+    sep = chr(31)
+
+    def greedy_pass(syms, a, b):
+        out, pend = [], None
+        for s in syms:
+            if pend is None:
+                pend = s
+            elif pend == a and s == b:
+                out.append(a + b)
+                pend = None
+            else:
+                out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        return out
+
+    def duck_pass(syms, a, b):
+        (res,) = duckdb.execute(
+            """
+            SELECT array_to_string(list_filter(string_split(
+                replace(? || replace(?, ?, ? || ?) || ?,
+                        ? || ? || ? || ? || ? || ?,
+                        ? || ? || ? || ?),
+                ?), x -> length(x) > 0), ?) AS s
+            """,
+            [sep, sep.join(syms), sep, sep, sep, sep,
+             sep, a, sep, sep, b, sep,
+             sep, a, b, sep,
+             sep, sep],
+        ).fetchone()
+        return [t for t in res.split(sep) if t]
+
+    cases = [
+        (["th", "e"], ("h", "e")),      # boundary: must NOT merge
+        (["a", "bc"], ("a", "b")),      # right-prefix: must NOT merge
+        (["ab", "c"], ("b", "c")),      # left-suffix: must NOT merge
+        (["a", "b", "a", "b"], ("a", "b")),  # consecutive matches
+        (["a", "a", "a"], ("a", "a")),       # greedy overlap
+        (["a", "a", "a", "a"], ("a", "a")),
+        (["x", "a", "b", "y", "a", "b"], ("a", "b")),
+        (["ab", "ab", "ab"], ("ab", "ab")),  # multi-char greedy
+    ]
+    for syms, (a, b) in cases:
+        assert duck_pass(syms, a, b) == greedy_pass(syms, a, b), (syms, a, b)

@@ -754,3 +754,31 @@ def test_bucketed_table_rejects_mismatched_bucket_spec(spark, tmp_path):
     # identical spec reopens fine and sees the committed rows
     again = BucketedParquetTable(spark, p, keys=["k"], n_buckets=8)
     assert again.read().count() == 1
+
+
+def test_zorder_interleave_stays_inside_long_sign_bit(spark, sf_dir):
+    """len(cols) x bits interleaved bits must fit in the 63 value bits
+    of a signed long: bit 63 would flip the sign (those rows would
+    range-partition FIRST) and shifts >= 64 wrap silently (round-6
+    ADVICE finding). Direct interleave calls past the limit raise;
+    zorder_dataframe clamps bits and keeps every z-value non-negative
+    even with 4-5 columns all at their max quantized value."""
+    import pytest as _pytest
+
+    from tp_integ_data_pipeline_spark.operators.layout import (
+        zorder_dataframe,
+        zorder_interleave,
+    )
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_interleave([F.lit(1), F.lit(1), F.lit(1), F.lit(1)], bits=16)
+    with _pytest.raises(ValueError, match="63"):
+        zorder_interleave([F.lit(1)] * 5, bits=13)
+
+    # 5 columns, all spanning the same range so every row's quantized
+    # top bits are populated — the clamped path must stay >= 0
+    df = spark.range(0, 512).select(
+        *[(F.col("id") * (i + 1) % 512).alias(f"c{i}") for i in range(5)]
+    )
+    out = zorder_dataframe(df, [f"c{i}" for i in range(5)], n_files=4, bits=16)
+    assert out.count() == 512  # clamps instead of raising

@@ -375,3 +375,48 @@ def test_containment_join_exact_vs_bruteforce(spark):
     assert got == expect
     # no false negatives at the exact boundary (q1 vs 11 is exactly 0.8)
     assert (1, 11) in got
+
+
+def test_psi_keeps_types_confined_to_one_half(spark, tmp_path):
+    """q170: an event type whose rows all fall in ONE half of the time
+    split must still appear in the report (empty half = 0 rows = the
+    uniform Laplace floor pa = 1/BINS), identically in the Spark plan
+    and the DuckDB oracle — the inner-join dropped it Spark-side
+    before the round-6 ADVICE fix."""
+    import datetime
+
+    import duckdb
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES, ORACLES
+
+    before = datetime.datetime(2024, 1, 10)
+    after = datetime.datetime(2024, 1, 20)
+    rows = []
+    for i in range(40):
+        rows.append((i, before if i % 2 else after, i, "both", float(i % 7), "{}"))
+    for i in range(40, 60):
+        rows.append((i, before, i, "solo_first_half", float(i % 5), "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["q170_psi_drift"](spark, str(tmp_path)).collect()
+    }
+    assert "solo_first_half" in got
+    solo = got["solo_first_half"]
+    assert solo["n_a"] == 20 and solo["n_b"] == 0
+    assert solo["psi"] is not None and solo["psi"] >= 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: r for r in con.execute(ORACLES["q170_psi_drift"]).fetchall()
+    }
+    assert set(oracle) == set(got)
+    for t, r in oracle.items():
+        assert (r[1], r[2]) == (got[t]["n_a"], got[t]["n_b"]), t
+        assert abs(r[3] - got[t]["psi"]) < 1e-9, t

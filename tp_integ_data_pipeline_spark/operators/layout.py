@@ -41,8 +41,20 @@ def zorder_interleave(quantized: list[Column], bits: int = Z_BITS) -> Column:
     """Bit-interleave already-quantized [0, 2^bits) columns into one
     z-value: output bit (i·n_cols + j) = bit i of column j. N-column
     general form; the 2-column SQL-reproducible variant is
-    ``zorder_value`` below."""
+    ``zorder_value`` below.
+
+    Requires ``len(quantized) * bits <= 63``: bit 63 is the sign bit
+    of a LongType, so letting the interleave reach it would make the
+    top rows sort FIRST under repartitionByRange, and shifts >= 64
+    wrap silently (round-6 ADVICE finding). ``zorder_dataframe``
+    clamps ``bits`` before calling; direct callers get a hard error."""
     n = len(quantized)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_interleave: {n} cols x {bits} bits = {n * bits} "
+            "interleaved bits; must be <= 63 to stay in a signed long "
+            "(clamp bits, e.g. bits = 63 // n_cols)"
+        )
     terms = []
     for i in range(bits):
         for j, q in enumerate(quantized):
@@ -67,6 +79,10 @@ def zorder_dataframe(
     in the same job — no eager driver action, so the operator composes
     lazily like any other plan node. Used by DataLake.compact(zorder_cols=...).
     """
+    # stay inside the 63 value bits of a signed long: 4 cols at the
+    # default 16 bits would place a bit at position 63 (sign) and 5+
+    # cols would wrap shifts past 64 (round-6 ADVICE finding)
+    bits = min(bits, 63 // max(1, len(cols)))
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]

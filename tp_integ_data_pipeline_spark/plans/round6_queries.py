@@ -367,20 +367,22 @@ _PSI_BINS = 10
     probs AS (
         SELECT g.event_type, g.bin,
                (COALESCE(ca.c, 0) + 1.0)
-               / ((SELECT n FROM totals WHERE event_type = g.event_type AND half = 0)
+               / (COALESCE((SELECT n FROM totals
+                            WHERE event_type = g.event_type AND half = 0), 0)
                   + {_PSI_BINS}.0) AS pa,
                (COALESCE(cb.c, 0) + 1.0)
-               / ((SELECT n FROM totals WHERE event_type = g.event_type AND half = 1)
+               / (COALESCE((SELECT n FROM totals
+                            WHERE event_type = g.event_type AND half = 1), 0)
                   + {_PSI_BINS}.0) AS pb
         FROM grid g
         LEFT JOIN counts ca ON ca.event_type = g.event_type AND ca.bin = g.bin AND ca.half = 0
         LEFT JOIN counts cb ON cb.event_type = g.event_type AND cb.bin = g.bin AND cb.half = 1
     )
     SELECT p.event_type,
-           (SELECT CAST(n AS BIGINT) FROM totals
-            WHERE event_type = p.event_type AND half = 0) AS n_a,
-           (SELECT CAST(n AS BIGINT) FROM totals
-            WHERE event_type = p.event_type AND half = 1) AS n_b,
+           COALESCE((SELECT CAST(n AS BIGINT) FROM totals
+                     WHERE event_type = p.event_type AND half = 0), 0) AS n_a,
+           COALESCE((SELECT CAST(n AS BIGINT) FROM totals
+                     WHERE event_type = p.event_type AND half = 1), 0) AS n_b,
            ROUND(SUM((pb - pa) * ln(pb / pa)), 6) AS psi
     FROM probs p
     GROUP BY p.event_type
@@ -438,14 +440,25 @@ def q170_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = (
         grid.join(F.broadcast(ca), ["event_type", "bin"], "left")
         .join(F.broadcast(cb), ["event_type", "bin"], "left")
-        .join(F.broadcast(na), "event_type")
-        .join(F.broadcast(nb), "event_type")
+        # LEFT joins + coalesce-to-0: a type confined to one half keeps
+        # its row, the empty half degrading to the uniform Laplace
+        # floor pa = 1/BINS (n_a/n_b report 0) — matching the oracle's
+        # COALESCE'd scalar subqueries instead of silently dropping
+        # the type (round-6 ADVICE finding)
+        .join(F.broadcast(na), "event_type", "left")
+        .join(F.broadcast(nb), "event_type", "left")
         .select(
             "event_type",
-            "__na",
-            "__nb",
-            ((F.coalesce("__ca", F.lit(0)) + 1.0) / (F.col("__na") + float(_PSI_BINS))).alias("pa"),
-            ((F.coalesce("__cb", F.lit(0)) + 1.0) / (F.col("__nb") + float(_PSI_BINS))).alias("pb"),
+            F.coalesce("__na", F.lit(0)).alias("__na"),
+            F.coalesce("__nb", F.lit(0)).alias("__nb"),
+            (
+                (F.coalesce("__ca", F.lit(0)) + 1.0)
+                / (F.coalesce("__na", F.lit(0)) + float(_PSI_BINS))
+            ).alias("pa"),
+            (
+                (F.coalesce("__cb", F.lit(0)) + 1.0)
+                / (F.coalesce("__nb", F.lit(0)) + float(_PSI_BINS))
+            ).alias("pb"),
         )
     )
     return (

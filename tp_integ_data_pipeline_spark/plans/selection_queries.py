@@ -486,9 +486,18 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     right adjacent-pair merging over a symbol array == one standard
     ``replace()`` over the separator-joined symbol string (both scan
     left to right, take non-overlapping matches, and continue AFTER
-    the replacement — 'a a a' + (a,a) → [aa, a] in both). chr(31)
-    (ASCII unit separator) is the join char; asserted absent from the
-    corpus. Argmax tie-break (cnt DESC, a, b) matches train_bpe.
+    the replacement — 'a a a' + (a,a) → [aa, a] in both). To stop the
+    pattern matching ACROSS symbol boundaries (symbols [th, e] must
+    not match merge (h, e): 'th·e' contains 'h·e'), every boundary
+    separator is DOUBLED and the ends padded before the replace, so
+    the pattern ·a··b· only matches a fully-delimited symbol pair;
+    doubling (rather than single padding) keeps consecutive matches
+    intact ([a,b,a,b]+(a,b) → [ab, ab], since each match consumes its
+    own trailing · without stealing the next match's leading ·). The
+    result is split on ·, empties dropped, and re-joined single-·
+    (round-6 ADVICE finding). chr(31) (ASCII unit separator) is the
+    join char; asserted absent from the corpus. Argmax tie-break
+    (cnt DESC, a, b) matches train_bpe.
     NOTE: no early-stop branch — valid while every learned merge has
     count >= min_count (holds at both check SFs; tests/test_bpe.py
     covers the early-stop path on a tiny corpus)."""
@@ -521,8 +530,13 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     ),
     r{i} AS MATERIALIZED (
         SELECT word, wf,
-               replace(s, (SELECT a FROM b{i}) || {sep} || (SELECT b FROM b{i}),
-                          (SELECT a FROM b{i}) || (SELECT b FROM b{i})) AS s
+               array_to_string(list_filter(string_split(
+                   replace({sep} || replace(s, {sep}, {sep} || {sep}) || {sep},
+                           {sep} || (SELECT a FROM b{i}) || {sep} || {sep}
+                                 || (SELECT b FROM b{i}) || {sep},
+                           {sep} || (SELECT a FROM b{i})
+                                 || (SELECT b FROM b{i}) || {sep}),
+                   {sep}), x -> length(x) > 0), {sep}) AS s
         FROM r{i - 1}
     )"""
         )
