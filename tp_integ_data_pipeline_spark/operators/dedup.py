@@ -756,11 +756,25 @@ def set_similarity_join(
         F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-6)) + 1
     ).cast("int")
     prefix = ordered.select(
-        "id", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
+        "id", "n", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
     )
+    # classic AllPairs LENGTH filter alongside the prefix filter:
+    # J(a, b) >= t forces t * max(|a|, |b|) <= |a ∩ b| <= min(|a|, |b|),
+    # so each side's size must be >= t x the other's. Carrying n
+    # through the explode makes this a row-local prune INSIDE the
+    # candidate join — before the distinct and the two array attaches
+    # — which is where most spurious candidates die on corpora with
+    # a shared-token-heavy vocabulary (round-6 VERDICT finding). The
+    # epsilon mirrors the prefix bound's: it only WIDENS the window.
     cand = (
         prefix.alias("x")
-        .join(prefix.alias("y"), (F.col("x.tok") == F.col("y.tok")) & (F.col("x.id") < F.col("y.id")))
+        .join(
+            prefix.alias("y"),
+            (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.id") < F.col("y.id"))
+            & (F.col("y.n") >= F.col("x.n") * F.lit(threshold) - F.lit(1e-6))
+            & (F.col("x.n") >= F.col("y.n") * F.lit(threshold) - F.lit(1e-6)),
+        )
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )

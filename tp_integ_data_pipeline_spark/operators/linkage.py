@@ -52,24 +52,36 @@ def edit_distance_join(
     Returns distinct pairs with the exact distance."""
     if max_dist != 1:
         raise ValueError("edit_distance_join supports max_dist=1")
-    lv = left.select(
-        F.col(left_id).alias("_lid"),
-        F.col(left_key).alias("_lkey"),
-        F.explode(_neighborhood(left_key)).alias("_variant"),
-    )
-    rv = right.select(
-        F.col(right_id).alias("_rid"),
-        F.col(right_key).alias("_rkey"),
-        F.explode(_neighborhood(right_key)).alias("_variant"),
-    )
-    cand = (
-        lv.join(rv, "_variant")
-        .select("_lid", "_lkey", "_rid", "_rkey")
+    # Real catalogs REUSE key strings heavily (the part table's
+    # adjective x noun vocabulary repeats each name many times), so
+    # run the expensive middle — neighborhood explode, variant join,
+    # levenshtein verify — over DISTINCT keys only, then fan the
+    # matched KEY pairs back out to id pairs with two plain equi-
+    # joins. Shrinks the explode and the verify set by the reuse
+    # factor; identical output (candidate pairs were distinct-ed on
+    # (id, key) pairs before, (key, key) now — same verified set).
+    lids = left.select(F.col(left_id).alias("_lid"), F.col(left_key).alias("_lkey")).distinct()
+    rids = right.select(F.col(right_id).alias("_rid"), F.col(right_key).alias("_rkey")).distinct()
+    lv = (
+        lids.select("_lkey")
         .distinct()
+        .select("_lkey", F.explode(_neighborhood("_lkey")).alias("_variant"))
+    )
+    rv = (
+        rids.select("_rkey")
+        .distinct()
+        .select("_rkey", F.explode(_neighborhood("_rkey")).alias("_variant"))
+    )
+    keypairs = (
+        lv.join(rv, "_variant")
+        .select("_lkey", "_rkey")
+        .distinct()
+        .withColumn("dist", F.levenshtein("_lkey", "_rkey").cast("long"))
+        .filter(F.col("dist") <= max_dist)
     )
     return (
-        cand.withColumn("dist", F.levenshtein("_lkey", "_rkey").cast("long"))
-        .filter(F.col("dist") <= max_dist)
+        keypairs.join(lids, "_lkey")
+        .join(rids, "_rkey")
         .select(
             F.col("_lid").alias(left_id),
             F.col("_rid").alias(right_id),
