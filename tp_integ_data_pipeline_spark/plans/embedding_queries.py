@@ -67,51 +67,108 @@ def q126_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q127 — PCA whitening end-to-end (fit on driver-bounded moments,
-# transform distributed, verify variance spectrum distributed)
+# q127 — PCA whitening end-to-end, graded through SQL-checkable
+# INVARIANTS (hash-checked since round 7; previously rows-only)
 # --------------------------------------------------------------------------
-# Rows-only by design: the eigendecomposition (np.linalg.eigh) is not
-# SQL-expressible. The pytest property suite carries the hard checks
-# (whitened covariance == identity, explained-variance ordering,
-# determinism) — tests/test_embed_stats.py.
-@query("q127_pca_whitening")
+# The eigendecomposition itself (np.linalg.eigh) is not SQL — but its
+# defining identities ARE, so the graded output is built from them
+# (round-6 VERDICT item 6):
+#   * whitened_cov(i, j): population covariance of the whitened
+#     projection, COMPUTED FROM THE DATA through the full distributed
+#     transform path. Mathematically the k x k identity; the oracle
+#     states that identity, so any defect in fit/project/whiten/
+#     re-aggregate breaks the hash.
+#   * eig_trace: sum of ALL d eigenvalues == trace of the covariance.
+#     Spark emits the eigh side; DuckDB recomputes the trace from the
+#     raw table (q126's moment shape) — a genuine cross-engine value.
+#   * eig_frobenius_sq: sum of eigenvalues^2 == ||C||_F^2, DuckDB
+#     summing cov_ij^2 over the full matrix (off-diagonal doubled).
+# The pytest property suite still carries spectrum ordering and
+# run-determinism — tests/test_embed_stats.py.
+@query(
+    "q127_pca_whitening",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    m AS (SELECT i, SUM(v) / (SELECT n FROM n) AS mean FROM x GROUP BY i),
+    g AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    cov AS (
+        SELECT g.i, g.j, g.sxy / (SELECT n FROM n) - mi.mean * mj.mean AS c
+        FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
+    ),
+    grid AS (
+        SELECT CAST(ta.range AS INT) AS i, CAST(tb.range AS INT) AS j
+        FROM range(0, 8) ta, range(0, 8) tb
+        WHERE ta.range <= tb.range
+    )
+    SELECT metric, i, j, val FROM (
+        SELECT 'whitened_cov' AS metric, i, j,
+               CASE WHEN i = j THEN 1.0 ELSE 0.0 END + 0 AS val
+        FROM grid
+        UNION ALL
+        SELECT 'eig_trace', -1, -1,
+               ROUND(SUM(CASE WHEN i = j THEN c ELSE 0 END), 6) + 0
+        FROM cov
+        UNION ALL
+        SELECT 'eig_frobenius_sq', -1, -1,
+               ROUND(SUM(CASE WHEN i = j THEN c * c ELSE 2 * c * c END), 6) + 0
+        FROM cov
+    ) ORDER BY metric, i, j
+    """,
+)
 def q127_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit PCA on the embedding table (one scan -> d x d moments ->
-    driver eigh), whiten-project the table with the model as a
-    SparkContext broadcast, then re-aggregate the projected variance
-    per component distributed. Output: (component, eigenvalue,
-    explained_ratio, whitened_var) — whitened_var ~= 1 by construction,
-    computed from the data (not the model) so it actually exercises
-    the transform path."""
+    driver eigh, deterministic fold so the model is run-stable),
+    whiten-project with the model as a SparkContext broadcast, then
+    re-derive the k x k covariance of the PROJECTED DATA with the same
+    O(partitions * k^2) partial-moment fold — plus the trace and
+    squared-Frobenius eigenvalue identities against the raw table.
+    Output (metric, i, j, val): 36 whitened-covariance cells (rounded
+    to 4 dp — identity to ~1e-7 by construction, eps=1e-9 << min top-8
+    eigenvalue ~0.02) and the two spectrum scalars at 6 dp, -0.0
+    normalized via +0 on both engines (PLANS.md rule)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # deterministic moment fold: the fitted model is run-stable
-    full = fit_pca(emb, "embedding", k=None, id_col="vec_id")  # one scan; top-8 below
-    trace = float(full["eigenvalues"].sum()) or 1.0
+    full = fit_pca(emb, "embedding", k=None, id_col="vec_id")
+    evals = full["eigenvalues"]
     model = {
         "mean": full["mean"],
         "components": full["components"][:, :8],
-        "eigenvalues": full["eigenvalues"][:8],
+        "eigenvalues": evals[:8],
         "eps": full["eps"],
     }
-    proj = transform_pca(emb, model, "embedding", out_col="proj", whiten=True)
-    dims = proj.select(F.posexplode("proj").alias("component", "w"))
-    stats = dims.groupBy("component").agg(
-        F.round(F.avg(F.col("w") * F.col("w")) - F.avg("w") * F.avg("w"), 4).alias(
-            "whitened_var"
+    proj = transform_pca(
+        emb, model, "embedding", out_col="proj", whiten=True, keep_cols=["vec_id"]
+    )
+    wcov = (
+        covariance_matrix(proj, "proj", id_col="vec_id")
+        .select(
+            F.lit("whitened_cov").alias("metric"),
+            "i",
+            "j",
+            (F.round("cov", 4) + F.lit(0.0)).alias("val"),
         )
     )
-    eig = spark.createDataFrame(
+    scalars = spark.createDataFrame(
         [
-            (int(c), float(round(ev, 6)), float(round(ev / trace, 6)))
-            for c, ev in enumerate(model["eigenvalues"])
+            ("eig_trace", -1, -1, float(round(float(evals.sum()), 6)) + 0.0),
+            (
+                "eig_frobenius_sq",
+                -1,
+                -1,
+                float(round(float((evals**2).sum()), 6)) + 0.0,
+            ),
         ],
-        "component int, eigenvalue double, explained_ratio double",
+        "metric string, i int, j int, val double",
     )
-    return (
-        stats.join(F.broadcast(eig), "component")
-        .select("component", "eigenvalue", "explained_ratio", "whitened_var")
-        .orderBy("component")
-    )
+    return wcov.unionByName(scalars).orderBy("metric", "i", "j")
 
 
 # --------------------------------------------------------------------------
