@@ -35,25 +35,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
-# Round-6 front (exactly 50):
-# - changed THIS round, must re-earn a green driver row: the -0.0
-#   normalization sweep (q126 q130 q133 q112 q113 q118; q88 below),
-#   the triangle-count adjacency-intersection rewrite (q163), and the
-#   BPE end-marker fix + train-replay oracle (q153, hash-checked now);
-# - round-6-new, never driver-graded: q164–q172;
-# - the whole remaining r2-graded cohort, newest driver evidence two
-#   rounds old: q78 q80–q86 q88–q99 (20 keys);
-# - remaining slots: the stalest r3-graded keys in numeric order
-#   (q00–q03 q05).
-# NEXT ROUND: the rest of the r3 cohort (q06–q22 q30–q35 q40 q41 q43
-# q44 q50 q51 q55–q61 q64–q68 q70 q71), then the r4 set, and any
-# round-7-new queries.
+# Round-7 front (exactly 50):
+# - changed THIS round, must re-earn a green driver row: q127 (PCA
+#   rows-only → hash-checked invariant output), q153/q170 (round-6
+#   ADVICE fixes: BPE oracle boundary padding, PSI empty-half
+#   left-join), q175 (AllPairs length filter), q176 (identical-name
+#   pre-grouping in edit_distance_join);
+# - round-7-new, never driver-graded: q180 q181 q182;
+# - the ENTIRE remaining r3-graded cohort (42 keys — newest driver
+#   evidence four rounds old): q06–q22 q30–q35 q40 q41 q44 q50 q51
+#   q55–q61 q64–q68 q70 q71. After this round no grade is older
+#   than r4.
+# NEXT ROUND: the r4 cohort (q87 q100 q102–q111 q114–q117 q119–q121
+# q123–q125 q128 q129 q131 q132 q134–q138 q140 q141 q143–q149 q151
+# q152), then r5.
 _ROTATE_FRONT = (
-    "q126 q130 q133 q112 q113 q118 q163 q153 q43 q173 q174 q175 q176 q177 q178 q179 "
-    "q164 q165 q166 q167 q168 q169 q170 q171 q172 "
-    "q78 q80 q81 q82 q83 q84 q85 q86 q88 q89 q90 q91 q92 q93 "
-    "q94 q95 q96 q97 q98 q99 "
-    "q00 q01 q02 q03 q05"
+    "q127 q153 q170 q175 q176 q180 q181 q182 "
+    "q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 q16 q17 q18 q19 q20 q21 q22 "
+    "q30 q31 q32 q33 q34 q35 "
+    "q40 q41 q44 q50 q51 "
+    "q55 q56 q57 q58 q59 q60 q61 "
+    "q64 q65 q66 q67 q68 "
+    "q70 q71"
 ).split()
 
 

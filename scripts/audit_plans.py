@@ -82,6 +82,10 @@ BNLJ_ALLOWED = {
     # 1-row count-of-vectors scalar attached to the gram triangle and
     # to each of the two mean-relation references (d-row side)
     "q126_embedding_covariance": {"scalar_aggs": 3, "filtered_batches": []},
+    # same covariance_matrix finish over the whitened projection
+    # (q127 reuses the q126 shape: count scalar on the gram triangle
+    # + both mean-relation references)
+    "q127_pca_whitening": {"scalar_aggs": 3, "filtered_batches": []},
     # 1-row unigram-total and bigram-total scalars on the PMI score
     "q130_bigram_pmi": {"scalar_aggs": 2, "filtered_batches": []},
     # 1-row global [lo, hi] bounds attached to the scan and to the

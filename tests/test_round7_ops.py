@@ -1,0 +1,192 @@
+"""Round-7 operators: line-level keep-first dedup + reassembly
+(q180), mergeable MRL rank sketch (q181), per-domain caps (q182)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.dedup import (
+    line_dedup_keep_first,
+    segment_blocks,
+)
+from tp_integ_data_pipeline_spark.operators.rank_sketch import (
+    _compact,
+    rank_summaries,
+    summary_quantiles,
+)
+from tp_integ_data_pipeline_spark.operators.selection import domain_cap, url_host
+
+
+# --------------------------------------------------------------------------
+# line dedup
+# --------------------------------------------------------------------------
+def test_line_dedup_keeps_exactly_first_occurrence(spark):
+    rows = [
+        (1, 0, "alpha beta"),
+        (1, 1, "gamma delta"),
+        (2, 0, "gamma delta"),  # loses to (1, 1)
+        (2, 1, "epsilon zeta"),
+        (2, 2, "epsilon zeta"),  # in-document dup loses to (2, 1)
+        (3, 0, "alpha beta"),  # loses to (1, 0)
+        (3, 1, "unique line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pos int, line string")
+    kept = {(r.doc_id, r.pos) for r in line_dedup_keep_first(df).collect()}
+    assert kept == {(1, 0), (1, 1), (2, 1), (3, 1)}
+
+
+def test_line_dedup_winner_is_lexicographic_not_per_column_min(spark):
+    """(1, 9) beats (2, 0): the winner is min over the (id, pos)
+    TUPLE, not (min id, min pos) independently."""
+    rows = [(1, 9, "x y"), (2, 0, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, pos int, line string")
+    kept = [(r.doc_id, r.pos) for r in line_dedup_keep_first(df).collect()]
+    assert kept == [(1, 9)]
+
+
+def test_segment_blocks_covers_all_words_in_order(spark):
+    df = spark.createDataFrame([(7, "a b c d e f g")], "doc_id long, text string")
+    out = segment_blocks(df, 3).orderBy("pos").collect()
+    assert [(r.pos, r.line) for r in out] == [(0, "a b c"), (1, "d e f"), (2, "g")]
+
+
+def test_q180_rebuild_preserves_non_duplicated_documents(spark, sf_dir):
+    """A document none of whose lines appear elsewhere (or appear
+    first there) must rebuild to exactly its original text."""
+    from tp_integ_data_pipeline_spark.plans.round7_queries import (
+        _LINE_W,
+        q180_line_dedup_rebuild,
+    )
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    out = q180_line_dedup_rebuild(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # full-keep docs: n_kept == n_lines -> md5(rebuilt) == md5(original)
+    joined = (
+        out.filter(F.col("n_kept") == F.col("n_lines"))
+        .join(docs.select("doc_id", F.md5("text").alias("orig_md5")), "doc_id")
+    )
+    n_full = joined.count()
+    assert n_full > 0
+    assert joined.filter(F.col("rebuilt_md5") != F.col("orig_md5")).count() == 0
+    # and the corpus-wide invariant: total kept == distinct lines
+    blocks = segment_blocks(docs, _LINE_W)
+    distinct_lines = blocks.select("line").distinct().count()
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    assert total_kept == distinct_lines
+
+
+# --------------------------------------------------------------------------
+# rank sketch
+# --------------------------------------------------------------------------
+def test_compact_preserves_weight_and_bounds_rank_error():
+    rng = np.random.RandomState(7)
+    v = np.sort(rng.normal(size=5000))
+    w = np.ones(5000)
+    k = 128
+    cv, cw = _compact(v, w, k)
+    assert len(cv) <= k
+    assert abs(cw.sum() - 5000) < 1e-6
+    # rank of any query point shifts by at most W/k
+    for q in np.percentile(v, [5, 25, 50, 75, 95]):
+        true_rank = np.searchsorted(v, q)
+        est_rank = cw[cv <= q].sum()
+        assert abs(est_rank - true_rank) <= 5000 / k + 1
+
+
+def test_sketch_exact_when_k_exceeds_n(spark):
+    vals = [(i, "a", float(v)) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6, 0])]
+    df = spark.createDataFrame(vals, "id long, k string, v double")
+    summ = rank_summaries(df, "k", "v", "id", k=64)
+    est = {
+        (r.key, r.p): r.est
+        for r in summary_quantiles(summ, [0.1, 0.5, 1.0]).collect()
+    }
+    # k >= n: no compaction anywhere, so the estimate is the exact
+    # value whose cumulative count first reaches ceil(p * n)
+    assert est[("a", 0.1)] == 0.0
+    assert est[("a", 0.5)] == 4.0
+    assert est[("a", 1.0)] == 9.0
+
+
+@pytest.mark.parametrize("n_salts", [4, 32])
+def test_sketch_error_bound_and_partitioning_stability(spark, n_salts):
+    """Two-level compaction: rank error of each estimated quantile
+    <= 2n/k against the exact sort, under different salt fan-outs."""
+    n, k = 20000, 256
+    rng = np.random.RandomState(13)
+    vals = rng.lognormal(size=n)
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(vals)], "id long, k string, v double"
+    ).repartition(16)
+    summ = rank_summaries(df, "k", "v", "id", k=k, n_salts=n_salts)
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    est = {r.p: r.est for r in summary_quantiles(summ, probs).collect()}
+    s = np.sort(vals)
+    for p in probs:
+        est_rank = np.searchsorted(s, est[p], side="right")
+        assert abs(est_rank - p * n) <= 2 * n / k + n_salts, (p, est_rank)
+
+
+def test_sketch_is_run_deterministic(spark):
+    n = 5000
+    rng = np.random.RandomState(3)
+    vals = [(i, "g", float(v)) for i, v in enumerate(rng.normal(size=n))]
+    a = spark.createDataFrame(vals, "id long, k string, v double").repartition(4)
+    b = spark.createDataFrame(vals, "id long, k string, v double").repartition(17)
+    sa = rank_summaries(a, "k", "v", "id", k=128).orderBy("v", "w").collect()
+    sb = rank_summaries(b, "k", "v", "id", k=128).orderBy("v", "w").collect()
+    assert [(r.v, r.w) for r in sa] == [(r.v, r.w) for r in sb]
+
+
+# --------------------------------------------------------------------------
+# domain cap
+# --------------------------------------------------------------------------
+def test_url_host_parses_and_lowercases(spark):
+    cases = [
+        ("https://WWW.Example.COM/path?q=1", "www.example.com"),
+        ("http://user:pw@host.org:8080/x", "host.org"),
+        ("ftp://a.b.c/file", "a.b.c"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    bad = df.withColumn("got", url_host("url")).filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0
+
+
+def test_domain_cap_keeps_top_n_by_preference(spark):
+    rows = [
+        # host A: 5 rows, keep the 3 longest (ids 2, 0, 4)
+        (0, "a.com", 90),
+        (1, "a.com", 10),
+        (2, "a.com", 99),
+        (3, "a.com", 20),
+        (4, "a.com", 80),
+        # host B: under the cap, all kept
+        (5, "b.com", 1),
+        (6, "b.com", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, n_chars long")
+    kept = domain_cap(
+        df, "host", 3, [(-F.col("n_chars")).alias("nc"), F.col("doc_id").alias("tb")], "doc_id"
+    )
+    got = {r.doc_id for r in kept.collect()}
+    assert got == {2, 0, 4, 5, 6}
+
+
+def test_domain_cap_deterministic_tiebreak(spark):
+    """Equal n_chars everywhere: the cap must keep the 2 smallest ids
+    per host regardless of partitioning/salting."""
+    rows = [(i, "h.com", 50) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, n_chars long")
+    for parts in (1, 7):
+        kept = domain_cap(
+            df.repartition(parts),
+            "host",
+            2,
+            [(-F.col("n_chars")).alias("nc"), F.col("doc_id").alias("tb")],
+            "doc_id",
+        )
+        assert sorted(r.doc_id for r in kept.collect()) == [0, 1]

@@ -855,3 +855,63 @@ def containment_join(
         withsets.select("q_id", "c_id", containment.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Line/paragraph-level exact dedup with keep-FIRST semantics and
+# document reassembly (Falcon/CCNet granularity). Complements
+# q104-style boilerplate stripping (drop EVERY copy of a frequent
+# block): here exactly ONE copy of each distinct line survives — the
+# corpus-first occurrence — so unique content is never lost.
+# --------------------------------------------------------------------------
+def segment_blocks(
+    docs: DataFrame,
+    width: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split whitespace-tokenized documents into non-overlapping
+    ``width``-word blocks as (id, pos, line) rows — the synthetic
+    "line" unit for fixture text that carries no newlines (real
+    corpora would split on '\\n' instead; the downstream machinery is
+    identical). One explode, no shuffle."""
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(width))
+    return (
+        docs.select(F.col(id_col), words.alias("__w"), F.explode(starts).alias("__i"))
+        .select(
+            F.col(id_col),
+            ((F.col("__i") - 1) / width).cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice("__w", F.col("__i"), width)).alias("line"),
+        )
+    )
+
+
+def line_dedup_keep_first(
+    blocks: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+) -> DataFrame:
+    """Corpus-wide exact line dedup keeping only the FIRST occurrence
+    of each distinct line — first = lexicographically smallest
+    (id, pos), a total order, so the winner is unique and
+    deterministic. Shape at 100 TB: one groupBy on the line key
+    (map-side combinable struct-min — no window, no sort of the
+    corpus) and one line-keyed equi-join back; both shuffles are on
+    the same key so AQE can reuse the exchange. Duplicate lines
+    WITHIN a document collapse too (pos > winner pos loses).
+
+    Returns the surviving (id, pos, line) rows; callers reassemble
+    documents with an order-preserving re-concat (see
+    plans/round7_queries.q180)."""
+    winners = blocks.groupBy(line_col).agg(
+        F.min(F.struct(F.col(id_col).alias("wi"), F.col(pos_col).alias("wp"))).alias("__w")
+    )
+    return (
+        blocks.join(winners, line_col)
+        .filter(
+            (F.col(id_col) == F.col("__w.wi")) & (F.col(pos_col) == F.col("__w.wp"))
+        )
+        .select(id_col, pos_col, line_col)
+    )

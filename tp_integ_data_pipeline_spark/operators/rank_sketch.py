@@ -1,0 +1,118 @@
+"""Mergeable rank/quantile summary — the streaming/shardable
+complement to the exact grouped deciles (q169) and the fixed-bin
+histogram quantiles (q133), for the regime where neither an exact
+per-group sort nor a pre-agreed bin grid is available: per-shard
+summaries of at most ``k`` weighted points that merge by
+concatenate-and-recompact, with rank error bounded by the number of
+compaction levels times W/k.
+
+The compaction is the Manku-Rajagopalan-Lindsay (MRL, SIGMOD '98)
+deterministic resampling step — NOT the randomized KLL coin — so the
+sketch is run-stable: sort the weighted points by value, place ``k``
+evenly spaced cumulative-weight targets, and keep the point covering
+each target with the target's weight share W/k. Each compaction
+perturbs any rank query by at most W_compacted/k; the two-level shape
+below (per-(key, salt) partials, one final merge per key) therefore
+carries a ≤ 2·W/k total bound, asserted empirically in
+tests/test_rank_sketch.py.
+
+Scale shape at 100 TB: stage 1 is an applyInPandas over (key, salt)
+groups — the salt spreads a hot key over ``n_salts`` tasks and each
+group reduces to ≤ k rows, so the stage-2 merge per key reads
+≤ n_salts·k points regardless of data size. The summary rows (key,
+v, w) are exactly what a daily pipeline would persist and re-merge
+without rescanning raw data — same re-aggregable contract as the HLL
+(q120), CMS (q165), and KMV (q168) partials.
+
+No reference-repo counterpart (SURVEY.md §2.10 extension surface);
+rows-only by nature (multi-level float resampling is not SQL), with
+the error-bound property suite standing in for the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _compact(v: np.ndarray, w: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic MRL resampling: ≤ k points preserving total
+    weight, each rank shifted by at most W/k. Inputs must be sorted
+    by value."""
+    if len(v) <= k:
+        return v, w
+    total = float(w.sum())
+    cum = np.cumsum(w)
+    targets = total * (np.arange(k) + 0.5) / k
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    picked, counts = np.unique(idx, return_counts=True)
+    return v[picked], counts * (total / k)
+
+
+def rank_summaries(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-level mergeable summary: ≤ k (key, v, w) rows per key.
+
+    Stage 1 compacts each (key, salt) group (salt = xxhash64(id) mod
+    n_salts — deterministic, so the sketch is run-stable); stage 2
+    concatenates the ≤ n_salts·k partial points per key and compacts
+    once more. Both stages sort by (v, w) before compacting, making
+    the result independent of row arrival order."""
+    salted = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("double").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("__salt"),
+    )
+
+    def compact_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf["v"].to_numpy(dtype=np.float64))
+        cv, cw = _compact(v, np.ones(len(v)), k)
+        return pd.DataFrame({"key": pdf["key"].iloc[0], "v": cv, "w": cw})
+
+    schema = "key string, v double, w double"
+    partials = salted.groupBy("key", "__salt").applyInPandas(
+        lambda _, pdf: compact_group(pdf), schema=schema
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((pdf["w"].to_numpy(), pdf["v"].to_numpy()))
+        v = pdf["v"].to_numpy(dtype=np.float64)[order]
+        w = pdf["w"].to_numpy(dtype=np.float64)[order]
+        cv, cw = _compact(v, w, k)
+        return pd.DataFrame({"key": pdf["key"].iloc[0], "v": cv, "w": cw})
+
+    return partials.groupBy("key").applyInPandas(
+        lambda _, pdf: merge_group(pdf), schema=schema
+    )
+
+
+def summary_quantiles(summary: DataFrame, probs: list[float]) -> DataFrame:
+    """Estimate per-key quantiles from summary rows: the value whose
+    cumulative weight first reaches p·W. Pure relational finish — a
+    key-partitioned cumulative sum over ≤ k rows per key (bounded,
+    KEYED window — never global) and a row-local explode of the
+    constant probs grid (no join, so no BNLJ for the plan audit to
+    police), no Python."""
+    from pyspark.sql.window import Window as W
+
+    w_cum = W.partitionBy("key").orderBy("v", "w").rowsBetween(W.unboundedPreceding, 0)
+    cum = summary.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(W.partitionBy("key"))
+    )
+    grid = F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p")
+    return (
+        cum.select("key", "v", "cw", "tw", grid)
+        .filter(F.col("cw") >= F.col("p") * F.col("tw"))
+        .groupBy("key", "p")
+        .agg(F.min("v").alias("est"))
+        .orderBy("key", "p")
+    )

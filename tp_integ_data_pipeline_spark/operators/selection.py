@@ -178,3 +178,63 @@ def bpe_pair_counts(
     ).otherwise(F.array().cast("array<string>"))
     pairs = vocab.select("wf", F.explode(pair_arr).alias("pair"))
     return pairs.groupBy("pair").agg(F.sum("wf").cast("long").alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# Host/domain-keyed curation: URL host extraction + per-domain caps —
+# the CC-pipeline verb q102's source-level mixture sampling does not
+# cover (RefinedWeb/Gopher cap the number of pages any single site
+# contributes before source-level mixing).
+# --------------------------------------------------------------------------
+# Scheme-prefixed URL host: authority after ``scheme://``, dropping
+# userinfo, port, path, query, fragment. RE2/Java-portable (no
+# backrefs, no lookaround) so a DuckDB oracle replays it verbatim.
+URL_HOST_RE = r"^[a-z][a-z0-9+.\-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def url_host(url_col: F.Column | str) -> F.Column:
+    """Lower-cased host of a URL column ('' when the value does not
+    parse as a scheme-prefixed URL — callers group the unparseable
+    residue under the empty host rather than dropping rows)."""
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(F.regexp_extract(col, URL_HOST_RE, 1))
+
+
+def domain_cap(
+    df: DataFrame,
+    host_col: str,
+    n_per_host: int,
+    rank_cols: list,
+    id_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``n_per_host`` rows per host, preferring rows that
+    sort FIRST under ascending ``rank_cols`` order (callers negate
+    numeric columns for descending preference and must include a
+    unique tiebreak — e.g. the id — so the kept set is deterministic).
+
+    Two-phase so a hot domain never funnels into one task (the
+    100 TB reality: a handful of hosts contribute millions of pages):
+    stage 1 takes each (host, salt)'s top-N via array_sort over a
+    collect_list bounded by slice — map-side combinable, each group
+    emits ≤ N rows — and stage 2 re-sorts the ≤ n_salts·N survivors
+    per host. No windows, no data-sized sort; both shuffles carry at
+    most n_salts·N rows per host."""
+    key = F.struct(*[c if not isinstance(c, str) else F.col(c) for c in rank_cols])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(host_col, "__salt").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct(key.alias("k"), payload.alias("p")))),
+            1,
+            n_per_host,
+        ).alias("top")
+    )
+    final = partial.groupBy(host_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("top"))), 1, n_per_host).alias(
+            "top"
+        )
+    )
+    return final.select(F.explode("top").alias("e")).select("e.p.*")
