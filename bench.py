@@ -98,6 +98,9 @@ HEADLINE = [
     "q177_weighted_median",
     "q178_winsorize",
     "q179_containment_join",
+    "q180_line_dedup_rebuild",
+    "q181_rank_sketch_quantiles",
+    "q182_domain_cap",
 ]
 
 
@@ -368,6 +371,60 @@ def scale_probe(spark, sf_dir: str) -> dict:
     )
     probe["prefixjoin_ratio"] = round(
         probe["prefixjoin_10x_sec"] / probe["prefixjoin_1x_sec"], 2
+    )
+
+    # Entity-resolution probe (round-7, q176's edge build — the only
+    # shuffle-heavy path without committed growth evidence until now):
+    # 10 disjoint catalog copies, each name tagged with ' dd' (two
+    # IDENTICAL digits, so cross-copy edit distance is always >= 2 and
+    # no single-delete variants collide across copies — a 1-char tag
+    # WOULD collide: 'x 1'/'x 2' both delete to 'x '). Match structure
+    # replicates exactly 10x; near-linear wall is healthy. Superlinear
+    # flags the delete-neighborhood blocking degenerating (e.g. the
+    # identical-name pre-grouping being lost, re-exploding the
+    # catalog's name-reuse factor).
+    from tp_integ_data_pipeline_spark.operators.linkage import edit_distance_join
+
+    part = load_table(spark, sf_dir, "part")
+    master1 = part.select("p_partkey", "p_name")
+    dirty1 = part.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("d_id"),
+        F.expr(
+            "concat(substr(p_name, 1, p_partkey % length(p_name)), "
+            "substr(p_name, (p_partkey % length(p_name)) + 2))"
+        ).alias("dname"),
+    )
+    m_copies, d_copies = [], []
+    for i in range(10):
+        tag = F.lit(f" {i}{i}")
+        m_copies.append(
+            master1.select(
+                (F.col("p_partkey") + F.lit(i * 10_000_000)).alias("p_partkey"),
+                F.concat(F.col("p_name"), tag).alias("p_name"),
+            )
+        )
+        d_copies.append(
+            dirty1.select(
+                (F.col("d_id") + F.lit(i * 10_000_000)).alias("d_id"),
+                F.concat(F.col("dname"), tag).alias("dname"),
+            )
+        )
+    m10, d10 = m_copies[0], d_copies[0]
+    for m, d in zip(m_copies[1:], d_copies[1:]):
+        m10, d10 = m10.unionByName(m), d10.unionByName(d)
+
+    probe["entity_res_1x_sec"] = timed(
+        lambda: materialize(
+            edit_distance_join(dirty1, master1, "dname", "p_name", "d_id", "p_partkey")
+        )
+    )
+    probe["entity_res_10x_sec"] = timed(
+        lambda: materialize(
+            edit_distance_join(d10, m10, "dname", "p_name", "d_id", "p_partkey")
+        )
+    )
+    probe["entity_res_ratio"] = round(
+        probe["entity_res_10x_sec"] / probe["entity_res_1x_sec"], 2
     )
     return probe
 

@@ -290,6 +290,41 @@ def test_prefix_join_exact_vs_bruteforce(spark):
     assert got == expect  # exact: same pairs, same values
 
 
+def test_prefix_join_positional_filter_keeps_boundary_pairs(spark):
+    """PPJoin positional-filter completeness (round-7): randomized
+    corpora where many qualifying pairs sit exactly at the threshold
+    and first-common tokens land late in prefixes — the join must
+    still return EXACTLY the brute-force pair set, proving the
+    per-ROW positional prune never drops a qualifying PAIR."""
+    import random
+    from itertools import combinations
+
+    from tp_integ_data_pipeline_spark.operators.dedup import set_similarity_join
+
+    rng = random.Random(42)
+    universe = [f"u{i}" for i in range(40)]
+    sets = {}
+    base = rng.sample(universe, 10)
+    for i in range(25):
+        # overlapping perturbations of a common base: lots of pairs
+        # near/at the 0.6 boundary with varied set sizes (8..14)
+        s = set(rng.sample(base, rng.randint(6, 10)))
+        s |= set(rng.sample(universe, rng.randint(2, 4)))
+        sets[i] = s
+    rows = [(i, t) for i, s in sets.items() for t in s]
+    toks = spark.createDataFrame(rows, "id long, tok string").distinct()
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in set_similarity_join(toks, 0.6).collect()
+    }
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if round(j, 6) >= 0.6:
+            expect[(a, b)] = round(j, 6)
+    assert got == expect and len(expect) > 0
+
+
 def test_prefix_join_partition_invariant(spark):
     from pyspark.sql import functions as F
     from tp_integ_data_pipeline_spark.operators.dedup import set_similarity_join

@@ -756,16 +756,34 @@ def set_similarity_join(
         F.col("n") - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-6)) + 1
     ).cast("int")
     prefix = ordered.select(
-        "id", "n", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
+        "id",
+        "n",
+        F.posexplode(F.slice("toks", 1, prefix_len)).alias("p", "tok"),
+    ).withColumn("p", F.col("p") + 1)  # 1-based position in the full ordered set
+    # Two row-local prunes INSIDE the candidate join — before the
+    # distinct and the two array attaches, which is where most
+    # spurious candidates die on corpora with a shared-token-heavy
+    # vocabulary (round-6 VERDICT finding). Epsilons mirror the
+    # prefix bound's: they only WIDEN the window (more candidates —
+    # safe).
+    #
+    # 1. classic AllPairs LENGTH filter: J(a, b) >= t forces
+    #    t * max(|a|, |b|) <= |a ∩ b| <= min(|a|, |b|), so each
+    #    side's size must be >= t x the other's.
+    # 2. PPJoin POSITIONAL filter (Xiao 2008): for the FIRST common
+    #    token of a qualifying pair — shared order means every other
+    #    common token sits at or after it in BOTH sets — the overlap
+    #    is bounded by 1 + min(|x| - px, |y| - py), which must reach
+    #    the equivalent-overlap threshold a = ceil(t(|x|+|y|)/(1+t)).
+    #    Dropping candidate ROWS that fail the bound is complete:
+    #    a qualifying pair's first-common-token row always passes
+    #    (and that token is inside both prefixes by the prefix
+    #    bound), so the pair survives the distinct even when its
+    #    later shared tokens are pruned.
+    alpha = F.ceil(
+        (F.col("x.n") + F.col("y.n")) * F.lit(threshold / (1.0 + threshold))
+        - F.lit(1e-6)
     )
-    # classic AllPairs LENGTH filter alongside the prefix filter:
-    # J(a, b) >= t forces t * max(|a|, |b|) <= |a ∩ b| <= min(|a|, |b|),
-    # so each side's size must be >= t x the other's. Carrying n
-    # through the explode makes this a row-local prune INSIDE the
-    # candidate join — before the distinct and the two array attaches
-    # — which is where most spurious candidates die on corpora with
-    # a shared-token-heavy vocabulary (round-6 VERDICT finding). The
-    # epsilon mirrors the prefix bound's: it only WIDENS the window.
     cand = (
         prefix.alias("x")
         .join(
@@ -773,7 +791,14 @@ def set_similarity_join(
             (F.col("x.tok") == F.col("y.tok"))
             & (F.col("x.id") < F.col("y.id"))
             & (F.col("y.n") >= F.col("x.n") * F.lit(threshold) - F.lit(1e-6))
-            & (F.col("x.n") >= F.col("y.n") * F.lit(threshold) - F.lit(1e-6)),
+            & (F.col("x.n") >= F.col("y.n") * F.lit(threshold) - F.lit(1e-6))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("x.n") - F.col("x.p"), F.col("y.n") - F.col("y.p")
+                )
+                >= alpha
+            ),
         )
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
