@@ -101,6 +101,9 @@ HEADLINE = [
     "q180_line_dedup_rebuild",
     "q181_rank_sketch_quantiles",
     "q182_domain_cap",
+    "q183_repetition_signals",
+    "q184_cdc_chunks",
+    "q185_cross_source_dup_matrix",
 ]
 
 

@@ -190,3 +190,77 @@ def test_domain_cap_deterministic_tiebreak(spark):
             "doc_id",
         )
         assert sorted(r.doc_id for r in kept.collect()) == [0, 1]
+
+
+# --------------------------------------------------------------------------
+# repetition signals (q183 internals against planted docs)
+# --------------------------------------------------------------------------
+def test_repetition_signals_flag_planted_loops(spark, tmp_path):
+    """A boilerplate-looping doc must trip every signal; a unique doc
+    must trip none. Runs the real q183 over a planted parquet dir."""
+    import pandas as pd
+
+    loop = " ".join(["the same six words repeat here"] * 20)  # pure loop
+    uniq = " ".join(f"w{i}" for i in range(120))  # all distinct
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [loop, uniq],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [len(loop), len(uniq)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    from tp_integ_data_pipeline_spark.plans.round7_queries import (
+        q183_repetition_signals,
+    )
+
+    out = {r.doc_id: r for r in q183_repetition_signals(spark, str(tmp_path)).collect()}
+    assert out[1].flagged == 1
+    assert out[1].dup_line_frac == 1.0  # every 6-word line repeats
+    assert out[1].dup_trigram_frac == 1.0
+    assert out[2].flagged == 0
+    assert out[2].dup_line_frac == 0.0 and out[2].dup_trigram_frac == 0.0
+
+
+# --------------------------------------------------------------------------
+# CDC chunking (q184): boundaries follow content, not offset
+# --------------------------------------------------------------------------
+def test_cdc_shared_run_chunks_identically_at_any_offset(spark, tmp_path):
+    """The CDC property: a long run shared by two docs at DIFFERENT
+    offsets produces identical interior chunks in both — so the
+    shared-chunk counter sees them. Fixed-width chunking would not
+    (offset shifts every block)."""
+    import pandas as pd
+
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"tok{i}" for i in range(500)]
+    run = " ".join(rng.choice(vocab) for _ in range(300))
+    pre_a = " ".join(rng.choice(vocab) for _ in range(37))
+    pre_b = " ".join(rng.choice(vocab) for _ in range(113))
+    doc_a = pre_a + " " + run
+    doc_b = pre_b + " " + run
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [doc_a, doc_b],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [len(doc_a), len(doc_b)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    from tp_integ_data_pipeline_spark.plans.round7_queries import q184_cdc_chunks
+
+    out = {r.doc_id: r for r in q184_cdc_chunks(spark, str(tmp_path)).collect()}
+    # interior chunks of the shared run align after the first
+    # content-defined boundary inside the run -> both docs report
+    # shared chunks (the last chunk also matches; the first differs)
+    assert out[1].n_shared_chunks >= 2
+    assert out[2].n_shared_chunks >= 2
+    # and unique prefixes keep at least one chunk unshared
+    assert out[1].n_shared_chunks < out[1].n_chunks
+    assert out[2].n_shared_chunks < out[2].n_chunks

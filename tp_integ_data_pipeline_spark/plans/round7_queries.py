@@ -192,3 +192,310 @@ def q182_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# --------------------------------------------------------------------------
+# q183 — Gopher-style intra-document repetition signals
+# --------------------------------------------------------------------------
+@query(
+    "q183_repetition_signals",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+        SELECT doc_id, array_to_string(w[i:i+{_LINE_W - 1}], ' ') AS line
+        FROM t, UNNEST(range(1, greatest(len(w), 1) + 1, {_LINE_W})) AS u(i)
+    ),
+    lc AS (SELECT doc_id, line, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    lstat AS (
+        SELECT doc_id, SUM(c) AS n_lines,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_lines
+        FROM lc GROUP BY 1
+    ),
+    bg AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        FROM t, UNNEST(range(1, greatest(len(w), 1))) AS u(i)
+    ),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, SUM(c) AS m2, MAX(c) AS cmax FROM bgc GROUP BY 1),
+    tg AS (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        FROM t, UNNEST(range(1, greatest(len(w) - 1, 1))) AS u(i)
+    ),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+    tstat AS (
+        SELECT doc_id, SUM(c) AS m3,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+        FROM tgc GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(l.n_lines AS BIGINT) AS n_lines,
+           ROUND(CASE WHEN l.n_lines = 0 THEN 0 ELSE l.dup_lines * 1.0 / l.n_lines END, 6) AS dup_line_frac,
+           ROUND(CASE WHEN b.m2 = 0 THEN 0 ELSE b.cmax * 1.0 / b.m2 END, 6) AS top_bigram_frac,
+           ROUND(CASE WHEN s.m3 = 0 THEN 0 ELSE s.dup3 * 1.0 / s.m3 END, 6) AS dup_trigram_frac,
+           CAST(CASE WHEN (CASE WHEN l.n_lines = 0 THEN 0 ELSE l.dup_lines * 1.0 / l.n_lines END) > 0.30
+                       OR (CASE WHEN b.m2 = 0 THEN 0 ELSE b.cmax * 1.0 / b.m2 END) > 0.05
+                       OR (CASE WHEN s.m3 = 0 THEN 0 ELSE s.dup3 * 1.0 / s.m3 END) > 0.20
+                THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM documents d
+    JOIN lstat l USING (doc_id) JOIN bstat b USING (doc_id) JOIN tstat s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q183_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Rae-et-al. repetition quality signals, per document:
+    fraction of line occurrences that are within-doc duplicates
+    (6-word lines, the q180 unit), fraction of bigram occurrences in
+    the single most frequent bigram, and fraction of trigram
+    occurrences whose trigram repeats — the pre-training filters that
+    kill boilerplate-looping pages. One scan feeding three
+    occurrence-explodes, each folded by a map-side-combinable
+    (doc, gram) count then a per-doc rollup; everything doc-keyed, no
+    corpus-wide shuffle beyond the counts. Ratios of non-negative
+    ints rounded to 6 dp (no -0.0 trap); the flag uses only the MAX
+    count per doc, so no tie-break surface between engines. Flag
+    thresholds: the bigram cut (0.05) splits this corpus ~80/20; the
+    dup-line/dup-trigram cuts (0.30/0.20) are the Gopher-magnitude
+    ones, exercised by the planted repetitive docs in
+    tests/test_round7_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("w"))
+
+    def grams(k: int):
+        return F.when(
+            F.size("w") >= k,
+            F.expr(
+                f"transform(sequence(0, size(w) - {k}), "
+                f"i -> concat_ws(' ', slice(w, i + 1, {k})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    blocks = segment_blocks(docs, _LINE_W)
+    lc = blocks.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("c"))
+    lstat = lc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_lines"),
+    )
+    bgc = (
+        toked.select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bstat = bgc.groupBy("doc_id").agg(F.sum("c").alias("m2"), F.max("c").alias("cmax"))
+    tgc = (
+        toked.select("doc_id", F.explode(grams(3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tstat = tgc.groupBy("doc_id").agg(
+        F.sum("c").alias("m3"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup3"),
+    )
+    frac = lambda num, den: F.when(F.col(den) == 0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.col(num) / F.col(den)
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(lstat, "doc_id")
+        .join(bstat, "doc_id")
+        .join(tstat, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            frac("dup_lines", "n_lines").alias("_dlf"),
+            frac("cmax", "m2").alias("_tbf"),
+            frac("dup3", "m3").alias("_dtf"),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "n_lines",
+        F.round("_dlf", 6).alias("dup_line_frac"),
+        F.round("_tbf", 6).alias("top_bigram_frac"),
+        F.round("_dtf", 6).alias("dup_trigram_frac"),
+        (
+            (F.col("_dlf") > 0.30) | (F.col("_tbf") > 0.05) | (F.col("_dtf") > 0.20)
+        ).cast("int").alias("flagged"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q184 — content-defined chunking (rolling-boundary CDC)
+# --------------------------------------------------------------------------
+# Boundary rule shared by both engines: word position i (1-based)
+# ENDS a chunk when i >= 4 and the 4-gram ending at i hashes to
+# 0 mod 17 (first-8-hex-md5 — the engine-portable hash_bucket rule).
+# Expected chunk length ~17 words; boundaries derive from CONTENT, so
+# identical runs in different documents chunk identically — the
+# property that makes chunk-granular dedup/versioning work.
+@query(
+    "q184_cdc_chunks",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id, CAST(i AS INT) AS p,
+               CASE WHEN i >= 4 AND
+                    (CAST(('0x' || substr(md5(array_to_string(w[i-3:i], ' ')), 1, 8)) AS BIGINT) % 17) = 0
+                    THEN 1 ELSE 0 END AS bnd,
+               w[i] AS word
+        FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)
+    ),
+    c AS (
+        SELECT doc_id, p, word,
+               SUM(bnd) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS UNBOUNDED PRECEDING) - bnd AS chunk
+        FROM g
+    ),
+    ch AS (
+        SELECT doc_id, chunk, COUNT(*) AS n_words,
+               string_agg(word, ' ' ORDER BY p) AS ctext
+        FROM c GROUP BY 1, 2
+    ),
+    df AS (SELECT ctext, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           ROUND(AVG(ch.n_words), 6) AS avg_chunk_words,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+           CAST(SUM(CAST(('0x' || substr(md5(ch.ctext), 1, 8)) AS BIGINT)) AS BIGINT) AS chunk_checksum
+    FROM ch JOIN df USING (ctext)
+    GROUP BY ch.doc_id ORDER BY ch.doc_id
+    """,
+)
+def q184_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: split each document at positions
+    where the rolling 4-gram hash hits 0 mod 17 (~17-word expected
+    chunks), then report per-doc chunk count, mean width, how many
+    chunks also appear verbatim in OTHER documents (the CDC dedup
+    signal — boundaries follow content, so shared runs chunk
+    identically regardless of their offset in the doc), and a
+    checksum over chunk-content hashes pinning the exact boundary
+    set. Boundary flags are computed ROW-LOCALLY inside the token
+    array (one transform, no O(len^2)); the only windows are per-doc
+    prefix sums (keyed, bounded by doc length); chunk df is one
+    map-side-combinable groupBy on the chunk text. At 100 TB the
+    chunk relation replaces the doc relation at ~17x the row count
+    but bounded row width — the unit the incremental near-dup index
+    (q103) and RTBF erasure operate on in a chunk-store design."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.split("text", " ").alias("w"))
+    flags = F.expr(
+        "transform(sequence(1, size(w)), i -> CASE WHEN i >= 4 AND "
+        "cast(conv(substr(md5(concat_ws(' ', slice(w, i - 3, 4))), 1, 8), 16, 10) AS BIGINT) % 17 = 0 "
+        "THEN 1 ELSE 0 END)"
+    )
+    from pyspark.sql.window import Window as W
+
+    pos = (
+        toked.withColumn("f", flags)
+        .select("doc_id", F.posexplode(F.arrays_zip("w", "f")).alias("p0", "z"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("p"),
+            F.col("z.w").alias("word"),
+            F.col("z.f").alias("bnd"),
+        )
+    )
+    w_cum = W.partitionBy("doc_id").orderBy("p").rowsBetween(W.unboundedPreceding, 0)
+    chunked = pos.withColumn("chunk", F.sum("bnd").over(w_cum) - F.col("bnd"))
+    ch = chunked.groupBy("doc_id", "chunk").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("ctext"),
+    )
+    df_rel = ch.groupBy("ctext").agg(F.countDistinct("doc_id").alias("df"))
+    chash = F.conv(F.substring(F.md5("ctext"), 1, 8), 16, 10).cast("long")
+    return (
+        ch.join(df_rel, "ctext")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.round(F.avg("n_words"), 6).alias("avg_chunk_words"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+            F.sum(chash).cast("long").alias("chunk_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q185 — cross-source near-duplication matrix
+# --------------------------------------------------------------------------
+_XSRC_T = 0.5
+
+
+def _xsrc_oracle() -> str:
+    from tp_integ_data_pipeline_spark.operators.dedup import shingle_sql
+
+    return f"""
+    WITH {shingle_sql("documents", "doc_id", "text", 3)},
+    n AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+    i AS (
+        SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a, b, ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+        FROM i JOIN n na ON na.id = i.a JOIN n nb ON nb.id = i.b
+        WHERE ROUND(inter * 1.0 / (na.n + nb.n - inter), 6) >= {_XSRC_T}
+    ),
+    lab AS (
+        SELECT LEAST(sa.source, sb.source) AS source_a,
+               GREATEST(sa.source, sb.source) AS source_b,
+               jaccard
+        FROM pairs
+        JOIN documents sa ON sa.doc_id = pairs.a
+        JOIN documents sb ON sb.doc_id = pairs.b
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(jaccard), 6) AS avg_jaccard,
+           ROUND(MAX(jaccard), 6) AS max_jaccard
+    FROM lab GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("q185_cross_source_dup_matrix", oracle=_xsrc_oracle())
+def q185_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which SOURCES duplicate each other: the exact set-similarity
+    pairs (q175's lossless prefix-join machinery, threshold 0.5)
+    labeled with each side's source and rolled up into an
+    (unordered) source-pair matrix — the report that tells a crawl
+    operator which feeds to de-prioritize and a training-mix owner
+    where leakage between corpus slices comes from. The pair relation
+    is the scale-bounded part (prefix + length + positional filters);
+    the rollup adds two broadcast-able doc->source attaches and one
+    tiny matrix groupBy."""
+    from tp_integ_data_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", k=3).select("id", F.col("sh").alias("tok"))
+    pairs = set_similarity_join(sh, _XSRC_T)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")), "a")
+        .join(src.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")), "b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return (
+        lab.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
