@@ -36,6 +36,47 @@ def _neighborhood(col: str) -> F.Column:
     )
 
 
+def edit_distance_key_join(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All DISTINCT key pairs with ``levenshtein <= max_dist`` (only
+    ``max_dist=1`` — the 1-delete neighborhood's completeness
+    guarantee; larger radii need k-delete variants). Inputs are
+    single-column key relations; output is (left_key, right_key,
+    dist). This is the expensive middle of fuzzy linkage — callers
+    that track per-key GROUPS (entity resolution over catalogs that
+    reuse names) should cluster at the key level and fan group sizes
+    back, never materializing the id×id edge fan-out."""
+    if max_dist != 1:
+        raise ValueError("edit_distance_key_join supports max_dist=1")
+    lv = (
+        left_keys.select(F.col(left_key).alias("_lkey"))
+        .distinct()
+        .select("_lkey", F.explode(_neighborhood("_lkey")).alias("_variant"))
+    )
+    rv = (
+        right_keys.select(F.col(right_key).alias("_rkey"))
+        .distinct()
+        .select("_rkey", F.explode(_neighborhood("_rkey")).alias("_variant"))
+    )
+    return (
+        lv.join(rv, "_variant")
+        .select("_lkey", "_rkey")
+        .distinct()
+        .withColumn("dist", F.levenshtein("_lkey", "_rkey").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("_lkey").alias(left_key),
+            F.col("_rkey").alias(right_key),
+            "dist",
+        )
+    )
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -49,35 +90,26 @@ def edit_distance_join(
     ``levenshtein(left_key, right_key) <= max_dist`` (only
     ``max_dist=1`` is supported — the 1-delete neighborhood's
     completeness guarantee; larger radii need k-delete variants).
-    Returns distinct pairs with the exact distance."""
-    if max_dist != 1:
-        raise ValueError("edit_distance_join supports max_dist=1")
-    # Real catalogs REUSE key strings heavily (the part table's
-    # adjective x noun vocabulary repeats each name many times), so
-    # run the expensive middle — neighborhood explode, variant join,
-    # levenshtein verify — over DISTINCT keys only, then fan the
-    # matched KEY pairs back out to id pairs with two plain equi-
-    # joins. Shrinks the explode and the verify set by the reuse
-    # factor; identical output (candidate pairs were distinct-ed on
-    # (id, key) pairs before, (key, key) now — same verified set).
+    Returns distinct pairs with the exact distance.
+
+    Real catalogs REUSE key strings heavily (the part table's
+    adjective x noun vocabulary repeats each name many times), so the
+    expensive middle — neighborhood explode, variant join, levenshtein
+    verify — runs over DISTINCT keys only
+    (:func:`edit_distance_key_join`), then the matched KEY pairs fan
+    back out to id pairs with two plain equi-joins. Identical output
+    to the naive id-level form, 1/reuse² the verify cost. NOTE the
+    fan-out itself is O(Σ reuse_l × reuse_r) rows — callers that only
+    need group-level results (clustering, counts) should stay at the
+    key level instead of calling this."""
     lids = left.select(F.col(left_id).alias("_lid"), F.col(left_key).alias("_lkey")).distinct()
     rids = right.select(F.col(right_id).alias("_rid"), F.col(right_key).alias("_rkey")).distinct()
-    lv = (
-        lids.select("_lkey")
-        .distinct()
-        .select("_lkey", F.explode(_neighborhood("_lkey")).alias("_variant"))
-    )
-    rv = (
-        rids.select("_rkey")
-        .distinct()
-        .select("_rkey", F.explode(_neighborhood("_rkey")).alias("_variant"))
-    )
-    keypairs = (
-        lv.join(rv, "_variant")
-        .select("_lkey", "_rkey")
-        .distinct()
-        .withColumn("dist", F.levenshtein("_lkey", "_rkey").cast("long"))
-        .filter(F.col("dist") <= max_dist)
+    keypairs = edit_distance_key_join(
+        lids.select(F.col("_lkey")),
+        rids.select(F.col("_rkey")),
+        "_lkey",
+        "_rkey",
+        max_dist,
     )
     return (
         keypairs.join(lids, "_lkey")

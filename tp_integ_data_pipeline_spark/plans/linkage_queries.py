@@ -96,18 +96,31 @@ def q176_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution (catalog dedup): a dirty feed of
     part names (one char deleted, keyed by partkey) links back to the
     master catalog by edit distance <= 1 (symmetric-delete blocking,
-    never all-pairs), the match edges feed the large-star/small-star
-    connected-components loop (dup_clusters — the SAME clustering
-    engine the text near-dup path uses), and each component becomes
-    one ENTITY with master/dirty membership counts. The part catalog
-    reuses names (adjective x noun vocabulary), so an entity is a
-    same-name product group plus its near-name merges — the
-    blocking -> matching -> clustering -> canonical pipeline a
-    master-data system runs. Node ids are disambiguated row-locally
-    (2*master, 2*dirty+1). The oracle replays the match condition
-    all-pairs plus a recursive-CTE closure (the q87 convention:
-    entity = min reachable node)."""
+    never all-pairs), the match structure feeds the large-star/
+    small-star connected-components loop (dup_clusters — the SAME
+    clustering engine the text near-dup path uses), and each component
+    becomes one ENTITY with master/dirty membership counts.
+
+    Since round 7 the clustering runs at the NAME level: edges are
+    matched (dname, p_name) KEY pairs (edit_distance_key_join), each
+    name represented by one node — id = the smallest member's
+    node id (2*min master key / 2*min dirty key + 1; per-name key
+    sets are disjoint, so name-node ids are unique) — and per-name
+    row counts fan back over the ≤|names| cluster assignment. The
+    id-level edge fan-out was O(Σ reuse_l × reuse_r) rows (2.15M at
+    sf0.1 — the round-6 cost), while the component structure and the
+    min-node entity id are INVARIANT to it: all rows of a name share
+    the same edges, so name-level components equal node-level
+    components, the min over name-node ids equals the min over all
+    node ids, and the membership sums equal the node counts — output
+    identical, CC input collapses to |matched name pairs|. Node ids
+    disambiguated row-locally (2*master, 2*dirty+1). The oracle
+    replays the match condition all-pairs at the ID level plus a
+    recursive-CTE closure (the q87 convention: entity = min reachable
+    node) — the hash-match across the two formulations is itself the
+    equivalence proof."""
     from tp_integ_data_pipeline_spark.operators.dedup import dup_clusters
+    from tp_integ_data_pipeline_spark.operators.linkage import edit_distance_key_join
 
     part = load_table(spark, sf_dir, "part")
     dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
@@ -118,20 +131,37 @@ def q176_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dname"),
     )
     master = part.select("p_partkey", "p_name")
-    matches = edit_distance_join(
-        dirty, master,
-        left_key="dname", right_key="p_name",
-        left_id="d_id", right_id="p_partkey",
-    ).select(
-        (2 * F.col("p_partkey")).alias("a"), (2 * F.col("d_id") + 1).alias("b")
+    m_names = master.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_m"),
+        (2 * F.min("p_partkey")).alias("m_node"),
     )
-    clusters = dup_clusters(matches)
+    d_names = dirty.groupBy("dname").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        (2 * F.min("d_id") + 1).alias("d_node"),
+    )
+    kp = edit_distance_key_join(
+        d_names.select("dname"), m_names.select("p_name"), "dname", "p_name"
+    )
+    edges = (
+        kp.join(m_names, "p_name")
+        .join(d_names, "dname")
+        .select(F.col("m_node").alias("a"), F.col("d_node").alias("b"))
+    )
+    clusters = dup_clusters(edges)
+    counts = m_names.select(
+        F.col("m_node").alias("id"), F.col("n_m").alias("n_master"), F.lit(0).alias("n_dirty")
+    ).unionByName(
+        d_names.select(
+            F.col("d_node").alias("id"), F.lit(0).alias("n_master"), F.col("n_d").alias("n_dirty")
+        )
+    )
     return (
-        clusters.groupBy(F.col("cluster").alias("entity"))
+        clusters.join(counts, "id")
+        .groupBy(F.col("cluster").alias("entity"))
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.count(F.when(F.col("id") % 2 == 0, 1)).alias("n_master"),
-            F.count(F.when(F.col("id") % 2 == 1, 1)).alias("n_dirty"),
+            F.sum(F.col("n_master") + F.col("n_dirty")).alias("n_members"),
+            F.sum("n_master").alias("n_master"),
+            F.sum("n_dirty").alias("n_dirty"),
         )
         .orderBy("entity")
     )
