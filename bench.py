@@ -104,6 +104,7 @@ HEADLINE = [
     "q183_repetition_signals",
     "q184_cdc_chunks",
     "q185_cross_source_dup_matrix",
+    "q186_url_canonical_dedup",
 ]
 
 

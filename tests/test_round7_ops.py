@@ -264,3 +264,30 @@ def test_cdc_shared_run_chunks_identically_at_any_offset(spark, tmp_path):
     # and unique prefixes keep at least one chunk unshared
     assert out[1].n_shared_chunks < out[1].n_chunks
     assert out[2].n_shared_chunks < out[2].n_chunks
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (q186)
+# --------------------------------------------------------------------------
+def test_canonicalize_url_rules(spark):
+    from tp_integ_data_pipeline_spark.operators.selection import canonicalize_url
+
+    cases = [
+        ("https://www.Ex.org/A/b", "https://www.ex.org/A/b"),  # path case kept
+        ("HTTPS://WWW.EX.ORG/A/b", "https://www.ex.org/A/b"),
+        ("https://ex.org:443/x", "https://ex.org/x"),
+        ("http://ex.org:80/x", "http://ex.org/x"),
+        ("http://ex.org:8080/x", "http://ex.org:8080/x"),  # non-default kept
+        ("https://ex.org/x#frag", "https://ex.org/x"),
+        ("https://ex.org/x/", "https://ex.org/x"),
+        ("https://ex.org/x?utm_source=a", "https://ex.org/x"),
+        ("https://ex.org/x?utm_a=1&utm_b=2&utm_c=3", "https://ex.org/x"),
+        ("https://ex.org/x?utm_a=1&keep=2", "https://ex.org/x?keep=2"),
+        ("https://ex.org/x?keep=1&utm_a=2", "https://ex.org/x?keep=1"),
+        ("https://ex.org/x?keep=1&utm_a=2&also=3", "https://ex.org/x?keep=1&also=3"),
+        ("no scheme here", "no scheme here"),  # non-URL passes through
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    got = df.withColumn("got", canonicalize_url("url"))
+    bad = got.filter(F.col("got") != F.col("want")).collect()
+    assert not bad, [(r.url, r.got, r.want) for r in bad]

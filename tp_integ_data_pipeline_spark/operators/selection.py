@@ -238,3 +238,38 @@ def domain_cap(
         )
     )
     return final.select(F.explode("top").alias("e")).select("e.p.*")
+
+
+def canonicalize_url(url_col: F.Column | str) -> F.Column:
+    """Canonical form of a URL for recrawl/variant dedup — the CC-
+    pipeline normalization pass that collapses trivially-distinct
+    fetches of the same page BEFORE content hashing:
+
+    1. strip the fragment (#...)
+    2. lowercase scheme://authority (path/query case is preserved —
+       paths are case-sensitive on most origins)
+    3. drop default ports (:80 for http, :443 for https)
+    4. drop utm_* tracking params (up to 3 consecutive — bounded
+       passes because neither Java nor RE2 global-replace rescans the
+       replacement), then mend '?&' / dangling '?'/'&' separators
+    5. strip one trailing '/'
+
+    Query-param SORTING is deliberately out of scope (needs a
+    tokenizer, and reordering can change semantics on some origins).
+    Every step is a regexp the DuckDB oracle replays (RE2-compatible:
+    no lookaround, no backrefs in patterns), so canonical equality is
+    engine-portable. Row-local, codegen-friendly — no UDF."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    c = F.regexp_replace(c, r"#.*$", "")  # 1
+    head = F.lower(F.regexp_extract(c, r"^([^:/?#]+://[^/?#]*)", 1))
+    tail = F.regexp_extract(c, r"^[^:/?#]+://[^/?#]*(.*)$", 1)
+    c = F.when(head == "", c).otherwise(F.concat(head, tail))  # 2
+    c = F.regexp_replace(c, r"^(http://[^/:?#]+):80($|[/?#])", r"$1$2")  # 3
+    c = F.regexp_replace(c, r"^(https://[^/:?#]+):443($|[/?#])", r"$1$2")
+    for _ in range(3):  # 4 (bounded consecutive-param passes)
+        c = F.regexp_replace(c, r"([?&])utm_[^&]*&", r"$1")
+    c = F.regexp_replace(c, r"[?&]utm_[^&]*$", "")
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"[?&]$", "")
+    c = F.regexp_replace(c, r"/$", "")  # 5
+    return c

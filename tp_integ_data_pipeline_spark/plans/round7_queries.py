@@ -499,3 +499,96 @@ def q185_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q186 — canonical-URL normalization + variant-collapse dedup
+# --------------------------------------------------------------------------
+# Seven deterministic messy forms of each logical page (the fixture
+# has no URL column; the CANONICALIZATION chain is the real machinery
+# and both engines replay the same decoration): clean, uppercased
+# scheme+host, explicit default port, fragment, utm-only query,
+# trailing slash — all of which must collapse to one canonical — and
+# a mixed query whose non-tracking param must SURVIVE (distinct
+# canonical).
+_MESSY_URL_SPARK = """
+CASE CAST(doc_id % 7 AS INT)
+  WHEN 0 THEN 'https://www.example.org/item/' || CAST(doc_id DIV 7 AS STRING)
+  WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.ORG/item/' || CAST(doc_id DIV 7 AS STRING)
+  WHEN 2 THEN 'https://www.example.org:443/item/' || CAST(doc_id DIV 7 AS STRING)
+  WHEN 3 THEN 'https://www.example.org/item/' || CAST(doc_id DIV 7 AS STRING) || '#frag'
+  WHEN 4 THEN 'https://www.example.org/item/' || CAST(doc_id DIV 7 AS STRING) || '?utm_source=feed&utm_campaign=x'
+  WHEN 5 THEN 'https://www.example.org/item/' || CAST(doc_id DIV 7 AS STRING) || '/'
+  ELSE 'https://www.example.org/item/' || CAST(doc_id DIV 7 AS STRING) || '?keep=1&utm_medium=z'
+END
+"""
+_MESSY_URL_DUCK = _MESSY_URL_SPARK.replace("AS STRING", "AS VARCHAR").replace(
+    "doc_id DIV 7", "doc_id // 7"
+)
+
+
+@query(
+    "q186_url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_MESSY_URL_DUCK} AS url FROM documents),
+    canon AS (
+        SELECT doc_id, url,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(
+                              CASE WHEN regexp_extract(regexp_replace(url, '#.*$', ''), '^([^:/?#]+://[^/?#]*)', 1) = ''
+                                   THEN regexp_replace(url, '#.*$', '')
+                                   ELSE lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([^:/?#]+://[^/?#]*)', 1))
+                                        || regexp_extract(regexp_replace(url, '#.*$', ''), '^[^:/?#]+://[^/?#]*(.*)$', 1)
+                              END,
+                              '^(http://[^/:?#]+):80($|[/?#])', '\\1\\2'),
+                            '^(https://[^/:?#]+):443($|[/?#])', '\\1\\2'),
+                          '([?&])utm_[^&]*&', '\\1'),
+                        '([?&])utm_[^&]*&', '\\1'),
+                      '([?&])utm_[^&]*&', '\\1'),
+                    '[?&]utm_[^&]*$', ''),
+                  '\\?&', '?'),
+                '[?&]$', ''),
+              '/$', ''),
+            '^$', '') AS canonical
+        FROM raw
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM canon GROUP BY canonical ORDER BY canonical
+    """,
+)
+def q186_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl/variant dedup by canonical URL: normalize each fetch's
+    URL (operators/selection.canonicalize_url — fragment strip,
+    scheme+authority lowercase, default-port drop, utm_* removal with
+    separator mending, trailing-slash strip; all row-local regexps
+    both engines replay) and collapse fetches of the same logical
+    page. Six planted messy forms per page must fold into ONE
+    canonical; the mixed-query form must KEEP its non-tracking param
+    as a distinct canonical. first_doc pins the exact membership (a
+    canonicalization bug moves a doc across groups and flips it)."""
+    from tp_integ_data_pipeline_spark.operators.selection import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MESSY_URL_SPARK).alias("url")
+    )
+    canon = docs.withColumn("canonical", canonicalize_url("url"))
+    return (
+        canon.groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_forms"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("canonical")
+    )
