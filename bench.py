@@ -105,6 +105,7 @@ HEADLINE = [
     "q184_cdc_chunks",
     "q185_cross_source_dup_matrix",
     "q186_url_canonical_dedup",
+    "q187_temperature_mixture",
 ]
 
 

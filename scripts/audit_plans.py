@@ -91,6 +91,9 @@ BNLJ_ALLOWED = {
     # 1-row global [lo, hi] bounds attached to the scan and to the
     # per-type quantile finish
     "q133_histogram_quantiles": {"scalar_aggs": 2, "filtered_batches": []},
+    # 1-row (Σ sqrt tokens, budget) scalar attached to the per-source
+    # counts (q102 capacity pattern)
+    "q187_temperature_mixture": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -291,3 +291,30 @@ def test_canonicalize_url_rules(spark):
     got = df.withColumn("got", canonicalize_url("url"))
     bad = got.filter(F.col("got") != F.col("want")).collect()
     assert not bad, [(r.url, r.got, r.want) for r in bad]
+
+
+def test_merge_summaries_matches_whole_corpus_bound(spark):
+    """summary(A) ⊕ summary(B) must estimate quantiles of A ∪ B
+    within the (one extra merge level) error bound — the
+    persist-daily-and-merge contract."""
+    from tp_integ_data_pipeline_spark.operators.rank_sketch import merge_summaries
+
+    n, k = 8000, 256
+    rng = np.random.RandomState(21)
+    va = rng.normal(size=n)
+    vb = rng.normal(loc=2.0, size=n)  # shifted: merge must mix, not average
+    mk = lambda vals, off: spark.createDataFrame(  # noqa: E731
+        [(i + off, "g", float(v)) for i, v in enumerate(vals)],
+        "id long, k string, v double",
+    )
+    sa = rank_summaries(mk(va, 0), "k", "v", "id", k=k)
+    sb = rank_summaries(mk(vb, n), "k", "v", "id", k=k)
+    merged = merge_summaries(sa, sb, k=k)
+    probs = [0.1, 0.5, 0.9]
+    est = {r.p: r.est for r in summary_quantiles(merged, probs).collect()}
+    s = np.sort(np.concatenate([va, vb]))
+    total = 2 * n
+    for p in probs:
+        est_rank = np.searchsorted(s, est[p], side="right")
+        # 2 levels in each half-sketch + 1 merge level -> 3W/k slack
+        assert abs(est_rank - p * total) <= 3 * total / k + 16, (p, est_rank)

@@ -116,3 +116,28 @@ def summary_quantiles(summary: DataFrame, probs: list[float]) -> DataFrame:
         .agg(F.min("v").alias("est"))
         .orderBy("key", "p")
     )
+
+
+def merge_summaries(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two summary relations (key, v, w) into one — the
+    persist-and-re-aggregate verb: yesterday's summary + today's
+    summary without rescanning either day's raw data. Concatenate and
+    recompact per key; adds at most one W/k rank perturbation per
+    merge level (tests bound a whole binary merge tree empirically).
+    Same applyInPandas shape as the fit path: each key's input is
+    <= 2k rows."""
+    import numpy as np
+    import pandas as pd
+
+    both = a.unionByName(b)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((pdf["w"].to_numpy(), pdf["v"].to_numpy()))
+        v = pdf["v"].to_numpy(dtype=np.float64)[order]
+        w = pdf["w"].to_numpy(dtype=np.float64)[order]
+        cv, cw = _compact(v, w, k)
+        return pd.DataFrame({"key": pdf["key"].iloc[0], "v": cv, "w": cw})
+
+    return both.groupBy("key").applyInPandas(
+        lambda _, pdf: merge_group(pdf), schema="key string, v double, w double"
+    )

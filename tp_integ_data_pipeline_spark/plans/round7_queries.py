@@ -592,3 +592,68 @@ def q186_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical")
     )
+
+
+# --------------------------------------------------------------------------
+# q187 — temperature-scaled source mixture allocation
+# --------------------------------------------------------------------------
+@query(
+    "q187_temperature_mixture",
+    oracle="""
+    WITH c AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(sqrt(CAST(tokens AS DOUBLE))) AS z,
+               CAST(FLOOR(0.5 * SUM(tokens)) AS BIGINT) AS budget
+        FROM c
+    )
+    SELECT source, n_docs, tokens,
+           ROUND(sqrt(CAST(tokens AS DOUBLE)) / z, 6) AS weight,
+           CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE)) / z * budget + 0.5) AS BIGINT) AS alloc_tokens,
+           ROUND(FLOOR(sqrt(CAST(tokens AS DOUBLE)) / z * budget + 0.5) / tokens, 6) AS epochs
+    FROM c, tot ORDER BY source
+    """,
+)
+def q187_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature sampling over sources (the multilingual
+    /multi-corpus mixture rule, alpha = 0.5): per-source sampling
+    weight proportional to sqrt(token count) — up-weighting small
+    sources relative to proportional sampling without letting big
+    ones dominate — then an integer token allocation against a budget
+    of half the corpus and the implied epochs-per-source (alloc/c > 1
+    means the source repeats). alpha = 0.5 deliberately: IEEE sqrt is
+    exactly rounded on BOTH engines, while pow(x, 0.7) carries
+    last-ULP libm variance that could flip a ROUND(,6) hash.
+    FLOOR(x + 0.5) is the engine-shared integer rule (q137
+    convention). Shape: one map-side-combined per-source aggregate, a
+    1-row scalar broadcast (the q102 capacity pattern), all else
+    row-local."""
+    from tp_integ_data_pipeline_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count()).cast("long").alias("tokens"),
+    )
+    tot = c.agg(
+        F.sum(F.sqrt(F.col("tokens").cast("double"))).alias("z"),
+        F.floor(0.5 * F.sum("tokens")).cast("long").alias("budget"),
+    )
+    w = F.sqrt(F.col("tokens").cast("double")) / F.col("z")
+    alloc = F.floor(w * F.col("budget") + F.lit(0.5)).cast("long")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(w, 6).alias("weight"),
+            alloc.alias("alloc_tokens"),
+            F.round(alloc / F.col("tokens"), 6).alias("epochs"),
+        )
+        .orderBy("source")
+    )
