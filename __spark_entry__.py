@@ -46,7 +46,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   evidence four rounds old): q06–q22 q30–q35 q40 q41 q44 q50 q51
 #   q55–q61 q64–q68 q70 q71. After this round no grade is older
 #   than r4.
-# NEXT ROUND: the r4 cohort (q87 q100 q102–q111 q114–q117 q119–q121
+# NEXT ROUND: the round-7 newcomers that did NOT fit this front
+# (q183 q184 q185 q186 q187 — all hash-green locally at sf0.001 and
+# sf0.01, scripts/check_oracle.py), any round-8 changes/newcomers,
+# then the r4 cohort (q87 q100 q102–q111 q114–q117 q119–q121
 # q123–q125 q128 q129 q131 q132 q134–q138 q140 q141 q143–q149 q151
 # q152), then r5.
 _ROTATE_FRONT = (

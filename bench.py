@@ -378,17 +378,30 @@ def scale_probe(spark, sf_dir: str) -> dict:
         probe["prefixjoin_10x_sec"] / probe["prefixjoin_1x_sec"], 2
     )
 
-    # Entity-resolution probe (round-7, q176's edge build — the only
-    # shuffle-heavy path without committed growth evidence until now):
-    # 10 disjoint catalog copies, each name tagged with ' dd' (two
-    # IDENTICAL digits, so cross-copy edit distance is always >= 2 and
-    # no single-delete variants collide across copies — a 1-char tag
-    # WOULD collide: 'x 1'/'x 2' both delete to 'x '). Match structure
-    # replicates exactly 10x; near-linear wall is healthy. Superlinear
-    # flags the delete-neighborhood blocking degenerating (e.g. the
-    # identical-name pre-grouping being lost, re-exploding the
-    # catalog's name-reuse factor).
-    from tp_integ_data_pipeline_spark.operators.linkage import edit_distance_join
+    # Entity-resolution probes (round-7): 10 disjoint catalog copies,
+    # each name tagged with ' dd' (two IDENTICAL digits, so cross-copy
+    # edit distance is always >= 2 and no single-delete variants
+    # collide across copies — a 1-char tag WOULD collide: 'x 1'/'x 2'
+    # both delete to 'x ').
+    #
+    # Two separate health metrics, because the two halves have
+    # different honest yardsticks:
+    # - KEY join (the delete-neighborhood blocking + verify — what
+    #   q176 clusters on since the name-level rewrite): match
+    #   structure replicates 10x, near-linear wall is healthy;
+    #   superlinear flags the blocking degenerating.
+    # - id fan-out (edit_distance_join's final two equi-joins — the
+    #   q145 output shape): cost is Θ(OUTPUT) and the output itself
+    #   grows 10x (2.15M -> 21.5M pairs here), so the honest metric is
+    #   per-output-row efficiency — `entity_res_fan_eff` =
+    #   (rows ratio) / (time ratio), >= ~0.7 healthy (a drop flags a
+    #   per-row regression; the raw time ratio ALSO absorbs the
+    #   legitimate broadcast->SMJ plan flip when the 10x key sides
+    #   outgrow the autoBroadcast threshold).
+    from tp_integ_data_pipeline_spark.operators.linkage import (
+        edit_distance_join,
+        edit_distance_key_join,
+    )
 
     part = load_table(spark, sf_dir, "part")
     master1 = part.select("p_partkey", "p_name")
@@ -418,18 +431,58 @@ def scale_probe(spark, sf_dir: str) -> dict:
     for m, d in zip(m_copies[1:], d_copies[1:]):
         m10, d10 = m10.unionByName(m), d10.unionByName(d)
 
-    probe["entity_res_1x_sec"] = timed(
+    probe["entity_res_key_1x_sec"] = timed(
         lambda: materialize(
-            edit_distance_join(dirty1, master1, "dname", "p_name", "d_id", "p_partkey")
+            edit_distance_key_join(
+                dirty1.select("dname"), master1.select("p_name"), "dname", "p_name"
+            )
         )
     )
-    probe["entity_res_10x_sec"] = timed(
+    probe["entity_res_key_10x_sec"] = timed(
         lambda: materialize(
-            edit_distance_join(d10, m10, "dname", "p_name", "d_id", "p_partkey")
+            edit_distance_key_join(
+                d10.select("dname"), m10.select("p_name"), "dname", "p_name"
+            )
         )
     )
-    probe["entity_res_ratio"] = round(
-        probe["entity_res_10x_sec"] / probe["entity_res_1x_sec"], 2
+    probe["entity_res_key_ratio"] = round(
+        probe["entity_res_key_10x_sec"] / probe["entity_res_key_1x_sec"], 2
+    )
+
+    fan1 = edit_distance_join(dirty1, master1, "dname", "p_name", "d_id", "p_partkey")
+    fan10 = edit_distance_join(d10, m10, "dname", "p_name", "d_id", "p_partkey")
+    probe["entity_res_fan_1x_sec"] = timed(lambda: materialize(fan1))
+    probe["entity_res_fan_10x_sec"] = timed(lambda: materialize(fan10))
+    rows1, rows10 = fan1.count(), fan10.count()
+    probe["entity_res_fan_1x_rows"] = rows1
+    probe["entity_res_fan_10x_rows"] = rows10
+    probe["entity_res_fan_eff"] = round(
+        (rows10 / rows1)
+        / (probe["entity_res_fan_10x_sec"] / probe["entity_res_fan_1x_sec"]),
+        2,
+    )
+
+    # Line-dedup probe (round-7 q180): the tagged 10x corpus has
+    # disjoint line universes per copy, so the keep-first winner
+    # structure replicates exactly 10x. The operator is one struct-min
+    # groupBy on the line key + one line-keyed join — near-linear is
+    # healthy; superlinear flags the reassembly degenerating (e.g. a
+    # lost map-side combine on the winner aggregate).
+    from tp_integ_data_pipeline_spark.operators.dedup import (
+        line_dedup_keep_first,
+        segment_blocks,
+    )
+
+    blocks_1x = segment_blocks(docs, 6)
+    blocks_10x = segment_blocks(docs10, 6)
+    probe["linededup_1x_sec"] = timed(
+        lambda: materialize(line_dedup_keep_first(blocks_1x))
+    )
+    probe["linededup_10x_sec"] = timed(
+        lambda: materialize(line_dedup_keep_first(blocks_10x))
+    )
+    probe["linededup_ratio"] = round(
+        probe["linededup_10x_sec"] / probe["linededup_1x_sec"], 2
     )
     return probe
 
