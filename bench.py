@@ -106,6 +106,8 @@ HEADLINE = [
     "q185_cross_source_dup_matrix",
     "q186_url_canonical_dedup",
     "q187_temperature_mixture",
+    "q188_decayed_engagement",
+    "q189_trend_lines",
 ]
 
 

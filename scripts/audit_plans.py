@@ -94,6 +94,8 @@ BNLJ_ALLOWED = {
     # 1-row (Σ sqrt tokens, budget) scalar attached to the per-source
     # counts (q102 capacity pattern)
     "q187_temperature_mixture": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row max-timestamp reference scalar on the decay scan
+    "q188_decayed_engagement": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

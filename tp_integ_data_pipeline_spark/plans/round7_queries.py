@@ -657,3 +657,144 @@ def q187_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q188 — time-decayed engagement aggregates (feature-store verb)
+# --------------------------------------------------------------------------
+@query(
+    "q188_decayed_engagement",
+    oracle="""
+    WITH tref AS (SELECT MAX(epoch_us(ts)) AS t FROM events),
+    aged AS (
+        SELECT event_type, value,
+               POWER(0.5, FLOOR((t - epoch_us(ts)) / 86400000000.0)) AS decay
+        FROM events, tref
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(decay), 6) + 0 AS decayed_count,
+           ROUND(SUM(value * decay), 6) + 0 AS decayed_sum,
+           ROUND(SUM(value * decay) / SUM(decay), 6) + 0 AS decayed_mean
+    FROM aged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q188_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement per event type (half-life
+    one day, reference = newest event): the feature-store recency
+    aggregate that weights yesterday's signal half as much as
+    today's. Decay factor is 2^(-age_days) with an INTEGER day age —
+    pow(0.5, k) returns the exactly-representable power of two on
+    both engines (verified 0..69), so the per-row factor is
+    bit-identical cross-engine and only the final float sums carry
+    last-ULP variance under ROUND(,6) (the avg-aggregate convention).
+    One scan, a 1-row max-timestamp scalar broadcast (q102 capacity
+    pattern), one map-side-combined rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    tref = ev.agg(F.max(F.unix_micros("ts")).alias("t"))
+    aged = ev.crossJoin(F.broadcast(tref)).select(
+        "event_type",
+        "value",
+        F.pow(
+            F.lit(0.5),
+            F.floor((F.col("t") - F.unix_micros("ts")) / F.lit(86400000000.0)).cast(
+                "double"
+            ),
+        ).alias("decay"),
+    )
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.round(F.sum("decay"), 6) + F.lit(0.0)).alias("decayed_count"),
+            (F.round(F.sum(F.col("value") * F.col("decay")), 6) + F.lit(0.0)).alias(
+                "decayed_sum"
+            ),
+            (
+                F.round(
+                    F.sum(F.col("value") * F.col("decay")) / F.sum("decay"), 6
+                )
+                + F.lit(0.0)
+            ).alias("decayed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q189 — per-group linear trend (least squares on exact moments)
+# --------------------------------------------------------------------------
+@query(
+    "q189_trend_lines",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS DECIMAL(19,0)) AS x,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+    ),
+    mom AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400000000.0, 6) + 0 AS slope_per_day,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0 AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0 AS r2
+    FROM mom ORDER BY event_type
+    """,
+)
+def q189_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time:
+    slope (per day), intercept (at the 2024-01-01 origin), and R² —
+    the drift-detection regression a metrics pipeline fits per
+    series. The q88 determinism recipe: inputs cast to DECIMAL
+    (microsecond ints, 2-dp values), moments summed EXACTLY in
+    DECIMAL (order-independent — partial-agg order can't flip a
+    bit), and the closed-form double arithmetic mirrored expression-
+    for-expression in both engines, so even cancellation-heavy terms
+    are bit-identical. One map-side-combined rollup, row-local
+    finish."""
+    ev = load_table(spark, sf_dir, "events")
+    base_us = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    base = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - base_us).cast("decimal(19,0)").alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    mom = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope_us = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mom.select(
+        "event_type",
+        "n",
+        (F.round(slope_us * F.lit(86400000000.0), 6) + F.lit(0.0)).alias(
+            "slope_per_day"
+        ),
+        (F.round((sy - slope_us * sx) / n, 6) + F.lit(0.0)).alias("intercept"),
+        (
+            F.round(
+                (n * sxy - sx * sy)
+                * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r2"),
+    ).orderBy("event_type")
