@@ -318,3 +318,53 @@ def test_merge_summaries_matches_whole_corpus_bound(spark):
         est_rank = np.searchsorted(s, est[p], side="right")
         # 2 levels in each half-sketch + 1 merge level -> 3W/k slack
         assert abs(est_rank - p * total) <= 3 * total / k + 16, (p, est_rank)
+
+
+# --------------------------------------------------------------------------
+# round-7 operator edge cases (hardening sweep)
+# --------------------------------------------------------------------------
+def test_round7_edges(spark):
+    from tp_integ_data_pipeline_spark.operators.rank_sketch import (
+        rank_summaries,
+        summary_quantiles,
+    )
+    from tp_integ_data_pipeline_spark.operators.selection import canonicalize_url
+
+    # sketch: single row and all-ties groups stay exact
+    one = spark.createDataFrame([(0, "g", 5.0)], "id long, k string, v double")
+    est = summary_quantiles(rank_summaries(one, "k", "v", "id", k=8), [0.5]).collect()
+    assert [(r.key, r.est) for r in est] == [("g", 5.0)]
+    ties = spark.createDataFrame(
+        [(i, "g", 7.0) for i in range(1000)], "id long, k string, v double"
+    )
+    est2 = summary_quantiles(
+        rank_summaries(ties, "k", "v", "id", k=16), [0.1, 0.9]
+    ).collect()
+    assert all(r.est == 7.0 for r in est2)
+
+    # canonicalize_url degenerate inputs: scheme-only keeps its
+    # slashes (guarded trailing-slash rule), empty passes through,
+    # utm-only query at the root strips clean
+    cases = [
+        ("", ""),
+        ("https://", "https://"),
+        ("https://h.io?utm_x=1", "https://h.io"),
+        ("https://h.io/a//b/", "https://h.io/a//b"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    bad = df.withColumn("got", canonicalize_url("url")).filter(
+        F.col("got") != F.col("want")
+    )
+    assert bad.count() == 0
+
+
+def test_line_dedup_empty_and_single_word_docs(spark):
+    """Degenerate docs ('' splits to one empty token -> one '' line,
+    matching DuckDB string_split) flow through keep-first dedup
+    without loss: the corpus-first '' line survives, later ones
+    collapse."""
+    rows = [(1, ""), (2, ""), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    blocks = segment_blocks(df, 6)
+    kept = line_dedup_keep_first(blocks).collect()
+    assert {(r.doc_id, r.line) for r in kept} == {(1, ""), (3, "solo")}

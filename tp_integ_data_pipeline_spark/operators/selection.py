@@ -271,5 +271,7 @@ def canonicalize_url(url_col: F.Column | str) -> F.Column:
     c = F.regexp_replace(c, r"[?&]utm_[^&]*$", "")
     c = F.regexp_replace(c, r"\?&", "?")
     c = F.regexp_replace(c, r"[?&]$", "")
-    c = F.regexp_replace(c, r"/$", "")  # 5
+    # 5 — guarded so a degenerate scheme-only "https://" keeps its
+    # slashes (only strip a '/' that follows a path/authority char)
+    c = F.regexp_replace(c, r"([^:/])/$", r"$1")
     return c

@@ -556,7 +556,7 @@ _MESSY_URL_DUCK = _MESSY_URL_SPARK.replace("AS STRING", "AS VARCHAR").replace(
                     '[?&]utm_[^&]*$', ''),
                   '\\?&', '?'),
                 '[?&]$', ''),
-              '/$', ''),
+              '([^:/])/$', '\\1'),
             '^$', '') AS canonical
         FROM raw
     )
