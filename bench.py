@@ -108,6 +108,8 @@ HEADLINE = [
     "q187_temperature_mixture",
     "q188_decayed_engagement",
     "q189_trend_lines",
+    "q190_length_bucketing",
+    "q191_prefix_cache_share",
 ]
 
 

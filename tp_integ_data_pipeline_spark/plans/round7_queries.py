@@ -798,3 +798,125 @@ def q189_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q190 — length-bucketed batching (padding-efficiency report)
+# --------------------------------------------------------------------------
+@query(
+    "q190_length_bucketing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tok,
+               CAST(CASE WHEN n_tok <= 1 THEN 0
+                    ELSE FLOOR(LOG2(CAST(n_tok AS DOUBLE))) END AS INT) AS bucket
+        FROM t
+    )
+    SELECT bucket,
+           CAST(POWER(2, bucket) AS BIGINT) AS bucket_floor,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * MAX(n_tok) AS BIGINT) AS padded_tokens,
+           ROUND(SUM(n_tok) * 1.0 / (COUNT(*) * MAX(n_tok)), 6) AS pad_efficiency
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q190_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching for inference/training: assign each
+    document to its power-of-two token-length bucket and report the
+    padding efficiency a bucket-local batcher achieves (real tokens
+    over count x bucket-max — the padding a serving system would
+    allocate if it batched within buckets and padded to the batch
+    max). LOG2 of an integer; FLOOR(LOG2(2^k)) is exact on both
+    engines (log2 of a power of two is exactly representable; other
+    inputs sit far from integer boundaries for token counts < 2^20).
+    One scan, one map-side-combined rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    b = t.withColumn(
+        "bucket",
+        F.when(F.col("n_tok") <= 1, F.lit(0))
+        .otherwise(F.floor(F.log2(F.col("n_tok").cast("double"))))
+        .cast("int"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("bucket").cast("double")).cast("long").alias("bucket_floor"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("real_tokens"),
+            (F.count(F.lit(1)) * F.max("n_tok")).cast("long").alias("padded_tokens"),
+            F.round(
+                F.sum("n_tok") / (F.count(F.lit(1)) * F.max("n_tok")), 6
+            ).alias("pad_efficiency"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# q191 — shared-prefix (prompt-cache) analysis
+# --------------------------------------------------------------------------
+_PFX_W = 8
+
+
+@query(
+    "q191_prefix_cache_share",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               array_to_string(w[1:{_PFX_W}], ' ') AS prefix,
+               LEAST(len(w), {_PFX_W}) AS pfx_tok
+        FROM t
+    ),
+    g AS (
+        SELECT prefix, pfx_tok, COUNT(*) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM p GROUP BY prefix, pfx_tok
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN (n_docs - 1) * pfx_tok ELSE 0 END) AS BIGINT)
+               AS cacheable_tokens,
+           CAST(SUM(first_doc) AS BIGINT) AS group_checksum
+    FROM g
+    """,
+)
+def q191_prefix_cache_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-prefix cache analysis: group documents by their first
+    8 tokens and report how many share a prefix and how many tokens a
+    prefix cache would save (every repeat of a shared prefix skips
+    its pfx_tok tokens — the KV-cache-sharing win a serving stack
+    gets from templated prompts). One row-local prefix projection,
+    one map-side-combined groupBy, a 1-row corpus rollup; the
+    group_checksum (sum of per-group min doc ids) pins the exact
+    grouping, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    p = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(w, 1, _PFX_W)).alias("prefix"),
+        F.least(F.size(w), F.lit(_PFX_W)).alias("pfx_tok"),
+    )
+    g = p.groupBy("prefix", "pfx_tok").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long").alias("shared_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_docs") >= 2, (F.col("n_docs") - 1) * F.col("pfx_tok")).otherwise(0)
+        )
+        .cast("long")
+        .alias("cacheable_tokens"),
+        F.sum("first_doc").cast("long").alias("group_checksum"),
+    )
