@@ -110,6 +110,7 @@ HEADLINE = [
     "q189_trend_lines",
     "q190_length_bucketing",
     "q191_prefix_cache_share",
+    "q192_source_token_jsd",
 ]
 
 

@@ -96,6 +96,8 @@ BNLJ_ALLOWED = {
     "q187_temperature_mixture": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row max-timestamp reference scalar on the decay scan
     "q188_decayed_engagement": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row corpus-token-total scalar on the smoothed JSD grid
+    "q192_source_token_jsd": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -920,3 +920,91 @@ def q191_prefix_cache_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cacheable_tokens"),
         F.sum("first_doc").cast("long").alias("group_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q192 — per-source token-distribution JS divergence vs the corpus
+# --------------------------------------------------------------------------
+_JSD_B = 512  # hashed-vocab width: bounded forever, broadcast-able
+
+
+@query(
+    "q192_source_token_jsd",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) % {_JSD_B} AS b
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    sc AS (SELECT source, b, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, SUM(c) AS n FROM sc GROUP BY 1),
+    corpus AS (SELECT b, SUM(c) AS cc FROM sc GROUP BY 1),
+    ctot AS (SELECT SUM(cc) AS cn FROM corpus),
+    grid AS (
+        SELECT s.source, g.range AS b,
+               (COALESCE(sc.c, 0) + 1.0) / (s.n + {_JSD_B}) AS p,
+               (COALESCE(corpus.cc, 0) + 1.0) / ((SELECT cn FROM ctot) + {_JSD_B}) AS q
+        FROM stot s
+        CROSS JOIN range(0, {_JSD_B}) g
+        LEFT JOIN sc ON sc.source = s.source AND sc.b = g.range
+        LEFT JOIN corpus ON corpus.b = g.range
+    )
+    SELECT source,
+           ROUND(SUM(0.5 * p * ln(2 * p / (p + q)) + 0.5 * q * ln(2 * q / (p + q))), 6)
+               AS jsd
+    FROM grid GROUP BY source ORDER BY source
+    """,
+)
+def q192_source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source is most off-distribution: Jensen-Shannon
+    divergence between each source's hashed-token distribution and
+    the whole-corpus distribution (Laplace-smoothed over a FIXED
+    512-bucket hashed vocab — the q112 bounded-feature-space trick,
+    so the per-source histograms stay broadcast-able at any corpus
+    size and the md5 bucketing replays exactly in DuckDB). JSD is
+    symmetric and bounded (unlike q170's PSI) — the corpus-drift
+    score a mixture owner tracks per feed. Every term is
+    nonnegative (p·ln(2p/(p+q)) + q·ln(2q/(p+q)) >= 0 pairwise), so
+    no -0.0 trap; ln's last-ULP libm variance dies under ROUND(,6)
+    (the q170 convention). One token explode -> (source, bucket)
+    map-side counts; everything after is bucket-grid-sized."""
+    from tp_integ_data_pipeline_spark.operators.selection import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("__t")).select(
+        "source", hash_bucket(F.col("__t"), _JSD_B).alias("b")
+    )
+    sc = tok.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    sc = sc.localCheckpoint(eager=False)  # feeds stot, corpus, and the grid join
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = sc.groupBy("b").agg(F.sum("c").alias("cc"))
+    ctot = corpus.agg(F.sum("cc").alias("cn"))
+    # full 0..B-1 grid via a ROW-LOCAL sequence explode per source —
+    # never a relation-against-relation cross join (B is a constant;
+    # the only BNLJ left is the 1-row corpus-total scalar). Laplace
+    # smoothing is defined over the FULL hashed vocab on both engines,
+    # so never-observed buckets contribute identically.
+    grid = (
+        stot.select(
+            "source",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(_JSD_B - 1))).alias("b"),
+        )
+        .join(sc, ["source", "b"], "left")
+        .join(F.broadcast(corpus), "b", "left")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + _JSD_B)).alias("p"),
+            (
+                (F.coalesce(F.col("cc"), F.lit(0)) + 1.0) / (F.col("cn") + _JSD_B)
+            ).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    term = 0.5 * p * F.log(2 * p / (p + q)) + 0.5 * q * F.log(2 * q / (p + q))
+    return (
+        grid.groupBy("source")
+        .agg(F.round(F.sum(term), 6).alias("jsd"))
+        .orderBy("source")
+    )
