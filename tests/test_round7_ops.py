@@ -368,3 +368,72 @@ def test_line_dedup_empty_and_single_word_docs(spark):
     blocks = segment_blocks(df, 6)
     kept = line_dedup_keep_first(blocks).collect()
     assert {(r.doc_id, r.line) for r in kept} == {(1, ""), (3, "solo")}
+
+
+# --------------------------------------------------------------------------
+# idempotence laws (property sweep over a generated messy corpus)
+# --------------------------------------------------------------------------
+def test_canonicalize_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): a second normalization
+    pass must be a no-op — catches separator-mending bugs where a
+    replace manufactures new matches (e.g. '?&' mending exposing a
+    fresh utm_ param that the single pass missed)."""
+    import random
+
+    from tp_integ_data_pipeline_spark.operators.selection import canonicalize_url
+
+    rng = random.Random(7)
+    hosts = ["Ex.ORG", "a.b.co", "x-y.io:8080", "u:p@h.net", "h.net:443"]
+    paths = ["", "/", "/a/b", "/a/b/", "/a//b", "/A/B.html"]
+    params = ["", "?utm_a=1", "?k=1", "?utm_a=1&k=2", "?k=1&utm_b=2",
+              "?utm_a=1&utm_b=2&utm_c=3", "?utm_a=1&utm_b=2&k=3", "?k=1&utm_a=2&j=3"]
+    frags = ["", "#f", "#utm_x"]
+    schemes = ["https://", "HTTP://", "ftp://"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(params) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url("url").alias("c1"))
+    twice = once.select("c1", canonicalize_url("c1").alias("c2"))
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, [(r.c1, r.c2) for r in bad[:5]]
+
+
+def test_line_dedup_is_idempotent(spark, sf_dir):
+    """dedup(dedup(blocks)) == dedup(blocks): survivors are distinct
+    lines each at their winning position, so a second pass keeps
+    every row."""
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    blocks = segment_blocks(load_table(spark, sf_dir, "documents"), 6)
+    once = line_dedup_keep_first(blocks).localCheckpoint()
+    twice = line_dedup_keep_first(once)
+    assert once.count() == twice.count()
+    assert once.exceptAll(twice).count() == 0
+
+
+def test_domain_cap_is_idempotent(spark):
+    rows = [(i, f"h{i % 4}.com", i * 7 % 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, n_chars long")
+    rank = [(-F.col("n_chars")).alias("nc"), F.col("doc_id").alias("tb")]
+    once = domain_cap(df, "host", 3, rank, "doc_id").localCheckpoint()
+    twice = domain_cap(once, "host", 3, rank, "doc_id")
+    a = sorted(r.doc_id for r in once.collect())
+    b = sorted(r.doc_id for r in twice.collect())
+    assert a == b and len(a) == 12  # 4 hosts x cap 3
+
+
+def test_summary_quantiles_monotone_in_p(spark):
+    """Estimated quantiles must be nondecreasing in p (cumulative
+    weights are monotone, so the first-crossing pick must be too)."""
+    rng = np.random.RandomState(5)
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(rng.gamma(2.0, 1.0, 3000))],
+        "id long, k string, v double",
+    )
+    summ = rank_summaries(df, "k", "v", "id", k=64)
+    probs = [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = [r.est for r in summary_quantiles(summ, probs).orderBy("p").collect()]
+    assert est == sorted(est)
