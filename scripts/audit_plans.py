@@ -98,6 +98,8 @@ BNLJ_ALLOWED = {
     "q188_decayed_engagement": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row corpus-token-total scalar on the smoothed JSD grid
     "q192_source_token_jsd": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row (n_tok, vocab) train-slice scalar on the backoff score
+    "q193_backoff_lm_score": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column
@@ -116,6 +118,7 @@ GLOBAL_WINDOW_ALLOWED = {
     "q100_pack_sequences": "prefix-sum offset table, n_buckets rows",
     "q107_pack_token_runs": "prefix-sum offset table, n_buckets rows",
     "q128_dense_ids": "prefix-sum offset table, n_buckets rows",
+    "q196_training_order_shard": "prefix-sum offset table, n_buckets rows",
     # heavy-hitters candidate merge: <= n_shards * k candidate rows
     # (each shard contributes its local top-k only)
     "q147_heavy_hitters": "shard-topk candidate merge, n_shards*k rows",

@@ -437,3 +437,137 @@ def test_summary_quantiles_monotone_in_p(spark):
     probs = [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     est = [r.est for r in summary_quantiles(summ, probs).orderBy("p").collect()]
     assert est == sorted(est)
+
+
+# --------------------------------------------------------------------------
+# q193 stupid-backoff LM / q194 skew profile / q195 diversity / q196 shards
+# --------------------------------------------------------------------------
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_backoff_lm_score_matches_hand_computation(spark, tmp_path):
+    """Train slice (even ids): 'a b a c' + 'c a' → uni a:3 b:1 c:2
+    (N=6, V=3), bigrams (a,b)(b,a)(a,c)(c,a) once each. Test doc 1
+    'a b z': (a,b) hits with p=1/3; (b,z) backs off to the OOV floor
+    2·(0+1)/(5·(6+3)) = 2/45."""
+    import math
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "a b a c", "en", "s0", 7),
+            (2, "c a", "en", "s0", 3),
+            (1, "a b z", "en", "s1", 5),
+        ],
+    )
+    rows = QUERIES["q193_backoff_lm_score"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.n_bigrams, r.n_hits) == (1, 2, 1)
+    assert r.hit_rate == 0.5
+    expected = round((math.log(1 / 3) + math.log(2 / 45)) / 2, 6)
+    assert r.avg_ll == pytest.approx(expected, abs=1e-9)
+
+
+def test_backoff_lm_known_bigram_beats_oov(spark, tmp_path):
+    """A test doc made of trained bigrams must outscore one made of
+    unseen pairs — the property the perplexity filter relies on."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "the cat sat on the mat", "en", "s0", 22),
+            (1, "the cat sat on the mat", "en", "s1", 22),  # all-hit
+            (3, "mat the on sat cat the", "en", "s1", 22),  # reversed pairs
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in QUERIES["q193_backoff_lm_score"](spark, str(tmp_path)).collect()
+    }
+    assert got[1].hit_rate == 1.0
+    assert got[1].avg_ll > got[3].avg_ll
+    assert got[3].n_hits < got[3].n_bigrams
+
+
+def test_key_skew_profile_exact_metrics(spark, tmp_path):
+    """One hot key (8 rows) among 5 keys / 16 rows: max/mean = 2.5,
+    cv = sqrt(5·80 − 16²)/16 = 0.75, salt = ceil(2.5) = 3."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    ts = datetime.datetime(2024, 3, 1)
+    rows = [(i, ts, 1, "hot", 0.0, "{}") for i in range(8)]
+    rows += [
+        (100 + 2 * u + j, ts, u, "hot", 0.0, "{}")
+        for u in range(2, 6)
+        for j in range(2)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["q194_key_skew_profile"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_keys, r.n_rows, r.max_cnt) == (5, 16, 8)
+    assert r.top1_share == 0.5
+    assert r.skew == 2.5
+    assert r.cv == 0.75
+    assert r.salt_factor == 3
+
+
+def test_ngram_diversity_counts_and_uniqueness(spark, tmp_path):
+    """srcA 'a b c a b c': 4 trigrams, 3 distinct, 2 unique to A
+    ('b c a', 'c a b'); srcB 'a b c d': shares 'a b c', owns 'b c d'."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [(0, "a b c a b c", "en", "srcA", 11), (1, "a b c d", "en", "srcB", 7)],
+    )
+    got = {
+        r.source: r
+        for r in QUERIES["q195_ngram_diversity"](spark, str(tmp_path)).collect()
+    }
+    a, b = got["srcA"], got["srcB"]
+    assert (a.n_tokens, a.d_unigrams, a.ttr) == (6, 3, 0.5)
+    assert (a.n_trigrams, a.d_trigrams) == (4, 3)
+    assert a.rep_factor == pytest.approx(round(4 / 3, 6))
+    assert a.uniq_tri_share == pytest.approx(round(2 / 3, 6))
+    assert (b.n_tokens, b.d_unigrams, b.ttr) == (4, 4, 1.0)
+    assert (b.n_trigrams, b.d_trigrams, b.uniq_tri_share) == (2, 2, 0.5)
+
+
+def test_training_order_shard_partitions_exactly_once(spark, tmp_path):
+    """Every document lands in exactly one shard, token mass is
+    conserved, no shard overshoots budget by a full document, and the
+    seeded order is run-stable (two evaluations agree exactly)."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    docs = [
+        (i, " ".join(f"w{j}" for j in range((i % 7) + 1)), "en", "s", 10)
+        for i in range(50)
+    ]
+    _write_docs(spark, tmp_path, docs)
+    total = sum((i % 7) + 1 for i in range(50))
+    budget = (total + 15) // 16
+    out1 = QUERIES["q196_training_order_shard"](spark, str(tmp_path)).collect()
+    out2 = QUERIES["q196_training_order_shard"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert sum(r.n_docs for r in out1) == 50
+    assert sum(r.shard_tokens for r in out1) == total
+    max_doc = 7
+    for r in out1:
+        assert 0 <= r.shard < 16
+        assert r.shard_tokens <= budget + max_doc

@@ -1008,3 +1008,434 @@ def q192_source_token_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).alias("jsd"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q193 — stupid-backoff bigram LM: train on one slice, score the other
+# --------------------------------------------------------------------------
+@query(
+    "q193_backoff_lm_score",
+    oracle="""
+    WITH tr AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    te AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    uni AS (
+        SELECT t.tok AS w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM tr, UNNEST(w) AS t(tok) GROUP BY 1
+    ),
+    scal AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM uni
+    ),
+    bi AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM tr, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1, 2
+    ),
+    bi2 AS (
+        SELECT b.w1, b.w2, b.c2, u.c1 AS c1w1
+        FROM bi b JOIN uni u ON u.w = b.w1
+    ),
+    occ AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM te, UNNEST(range(1, len(w))) AS t(i)
+    ),
+    sc AS (
+        SELECT o.doc_id,
+               CASE WHEN b.c2 IS NOT NULL
+                    THEN CAST(b.c2 AS DOUBLE) / CAST(b.c1w1 AS DOUBLE)
+                    ELSE CAST(2 * (COALESCE(u2.c1, 0) + 1) AS DOUBLE)
+                         / CAST(5 * (s.n_tok + s.vocab) AS DOUBLE)
+               END AS p,
+               CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM occ o
+        LEFT JOIN bi2 b ON b.w1 = o.w1 AND b.w2 = o.w2
+        LEFT JOIN uni u2 ON u2.w = o.w2
+        CROSS JOIN scal s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS hit_rate,
+           ROUND(SUM(ln(p)) / COUNT(*), 6) + 0 AS avg_ll
+    FROM sc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q193_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring without KenLM: train a
+    stupid-backoff bigram model (Brants et al. 2007 — score is
+    c(w1 w2)/c(w1), backing off to 0.4-weighted Laplace-smoothed
+    unigrams, no normalization) on the even-doc_id half of the corpus
+    and score every odd-doc_id document: per-doc mean log-score (the
+    perplexity-filter proxy) and seen-bigram hit rate. Cross-engine
+    hash rules: every ln() argument is ONE division of two exact
+    integers (bit-identical both engines; ln's last-ULP variance dies
+    under ROUND(,6) — the q192 convention), and avg_ll is
+    negative-capable so it gets `+ 0` after ROUND.
+
+    Scale shape: bigrams are materialized ROW-LOCALLY inside the token
+    array (no self-join), counted with one map-side-combinable keyed
+    agg each; the model (unigram + bigram relations) is
+    vocab/vocab²-bounded and attaches to the scored occurrences by
+    plain equi-joins on the gram key; the only cross join is the 1-row
+    (n_tok, vocab) scalar. No window anywhere; output is one row per
+    scored doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    pair_structs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+
+    uni = (
+        train.select(F.explode(arr).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    uni = uni.localCheckpoint(eager=False)  # feeds scal, bi2, and the w2 backoff join
+    scal = uni.agg(F.sum("c1").alias("n_tok"), F.count(F.lit(1)).alias("vocab"))
+    bi = (
+        train.select(F.explode(pair_structs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    bi2 = bi.join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1w1")), "w1")
+
+    occ = test.select("doc_id", F.explode(pair_structs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    joined = (
+        occ.join(bi2, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+    p = F.when(
+        F.col("c2").isNotNull(),
+        F.col("c2").cast("double") / F.col("c1w1").cast("double"),
+    ).otherwise(
+        (2 * (F.coalesce(F.col("c1w2"), F.lit(0)) + 1)).cast("double")
+        / (5 * (F.col("n_tok") + F.col("vocab"))).cast("double")
+    )
+    hit = F.when(F.col("c2").isNotNull(), 1).otherwise(0)
+    return (
+        joined.select("doc_id", p.alias("p"), hit.alias("hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("hit").alias("n_hits"),
+            F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+                "hit_rate"
+            ),
+            (F.round(F.sum(F.log("p")) / F.count(F.lit(1)), 6) + F.lit(0)).alias(
+                "avg_ll"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q194 — key-skew profiler (the salted-join/salted-agg prescription)
+# --------------------------------------------------------------------------
+@query(
+    "q194_key_skew_profile",
+    oracle="""
+    WITH pk AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+        FROM pk GROUP BY 1
+    )
+    SELECT event_type, n_keys, n_rows, max_cnt,
+           ROUND(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top1_share,
+           ROUND(CAST(max_cnt * n_keys AS DOUBLE) / n_rows, 6) AS skew,
+           ROUND(sqrt(CAST(n_keys * s2 - n_rows * n_rows AS DOUBLE)) / n_rows, 6)
+               AS cv,
+           (max_cnt * n_keys + n_rows - 1) // n_rows AS salt_factor
+    FROM prof ORDER BY event_type
+    """,
+)
+def q194_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: for each event_type, profile the
+    user_id key distribution a join/agg on (event_type, user_id) would
+    shuffle on — key count, max key frequency, hottest-key share,
+    skew = max/mean, coefficient of variation, and the recommended
+    salting fan-out ceil(max/mean) (the factor q154's salted join and
+    q29's salted agg take as input). CV uses the order-independent
+    integer identity sqrt(k·Σc² − (Σc)²)/Σc — every value inside
+    sqrt is an exact BIGINT at test scale (a 100 TB deployment widens
+    the Σc² accumulator to DECIMAL(38,0); the identity is unchanged),
+    int→double conversion is correctly rounded on both engines, and
+    all outputs are nonnegative so no −0.0 trap. salt_factor uses
+    integer ceil-div ((a+b−1) div b) — FLOOR/CEIL on doubles never
+    touches a graded integer.
+
+    Scale shape: one map-side-combinable (type, user) count, then a
+    #types-row rollup — two keyed shuffles, the second tiny. This is
+    the cheap pre-flight a pipeline runs BEFORE committing to a join
+    strategy at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    pk = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    prof = pk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    n_keys, n_rows, max_cnt, s2 = (
+        F.col("n_keys"),
+        F.col("n_rows"),
+        F.col("max_cnt"),
+        F.col("s2"),
+    )
+    return prof.select(
+        "event_type",
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round(max_cnt.cast("double") / n_rows, 6).alias("top1_share"),
+        F.round((max_cnt * n_keys).cast("double") / n_rows, 6).alias("skew"),
+        F.round(
+            F.sqrt((n_keys * s2 - n_rows * n_rows).cast("double")) / n_rows, 6
+        ).alias("cv"),
+        F.expr("(max_cnt * n_keys + n_rows - 1) div n_rows").alias("salt_factor"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q195 — n-gram diversity / self-repetition per source
+# --------------------------------------------------------------------------
+@query(
+    "q195_ngram_diversity",
+    oracle="""
+    WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    utok AS (
+        SELECT source, t.tok AS g FROM d, UNNEST(w) AS t(tok)
+    ),
+    uc AS (
+        SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c FROM utok GROUP BY 1, 2
+    ),
+    us AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS d_unigrams
+        FROM uc GROUP BY 1
+    ),
+    ttok AS (
+        SELECT source, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+        FROM d, UNNEST(range(1, len(w) - 1)) AS t(i)
+    ),
+    tc AS (
+        SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2
+    ),
+    ts AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+               CAST(COUNT(*) AS BIGINT) AS d_trigrams
+        FROM tc GROUP BY 1
+    ),
+    spread AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS ns FROM tc GROUP BY 1
+    ),
+    uniq AS (
+        SELECT tc.source,
+               CAST(SUM(CASE WHEN s.ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_tri
+        FROM tc JOIN spread s ON s.g = tc.g GROUP BY 1
+    )
+    SELECT us.source, us.n_tokens, us.d_unigrams,
+           ROUND(CAST(us.d_unigrams AS DOUBLE) / us.n_tokens, 6) AS ttr,
+           ts.n_trigrams, ts.d_trigrams,
+           ROUND(CAST(ts.d_trigrams AS DOUBLE) / ts.n_trigrams, 6) AS tri_ttr,
+           ROUND(CAST(ts.n_trigrams AS DOUBLE) / ts.d_trigrams, 6) AS rep_factor,
+           ROUND(CAST(uniq.u_tri AS DOUBLE) / ts.d_trigrams, 6) AS uniq_tri_share
+    FROM us JOIN ts ON ts.source = us.source JOIN uniq ON uniq.source = us.source
+    ORDER BY us.source
+    """,
+)
+def q195_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report per source (the self-repetition /
+    mode-collapse check run on synthetic and scraped feeds alike):
+    unigram type-token ratio, trigram type-token ratio, trigram
+    repetition factor (occurrences per distinct trigram), and the
+    share of the source's distinct trigrams that appear in NO other
+    source (content uniqueness — the complement of q134's overlap
+    and q167's novelty-over-time). All graded doubles are ratios of
+    exact nonnegative integers at 6 dp.
+
+    Scale shape: trigrams materialize row-locally in the token array
+    (no join, no window); (source, gram) counts are map-side
+    combinable; the uniqueness pass reuses the SAME distinct
+    (source, trigram) relation (checkpointed once) keyed by trigram —
+    cost tracks the distinct-gram count, never pairs of sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    tri = F.when(
+        F.size(arr) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 2),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    uc = (
+        docs.select("source", F.explode(arr).alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    us = uc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("d_unigrams")
+    )
+    tc = (
+        docs.select("source", F.explode(tri).alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tc = tc.localCheckpoint(eager=False)  # feeds ts, spread, and uniq
+    ts = tc.groupBy("source").agg(
+        F.sum("c").alias("n_trigrams"), F.count(F.lit(1)).alias("d_trigrams")
+    )
+    spread = tc.groupBy("g").agg(F.count(F.lit(1)).alias("ns"))
+    uniq = (
+        tc.join(spread, "g")
+        .groupBy("source")
+        .agg(F.sum(F.when(F.col("ns") == 1, 1).otherwise(0)).alias("u_tri"))
+    )
+    return (
+        us.join(ts, "source")
+        .join(uniq, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "d_unigrams",
+            F.round(F.col("d_unigrams").cast("double") / F.col("n_tokens"), 6).alias(
+                "ttr"
+            ),
+            "n_trigrams",
+            "d_trigrams",
+            F.round(F.col("d_trigrams").cast("double") / F.col("n_trigrams"), 6).alias(
+                "tri_ttr"
+            ),
+            F.round(F.col("n_trigrams").cast("double") / F.col("d_trigrams"), 6).alias(
+                "rep_factor"
+            ),
+            F.round(F.col("u_tri").cast("double") / F.col("d_trigrams"), 6).alias(
+                "uniq_tri_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q196 — seeded deterministic training order + token-budget shards
+# --------------------------------------------------------------------------
+_SHUF_SEED = "r7shuffle"
+_N_TRAIN_SHARDS = 16
+
+
+@query(
+    "q196_training_order_shard",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS BIGINT) * 268435456 + doc_id AS key,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    b AS (SELECT (SUM(toks) + {_N_TRAIN_SHARDS - 1}) // {_N_TRAIN_SHARDS} AS budget
+          FROM r),
+    c AS (
+        SELECT r.*,
+               COALESCE(SUM(toks) OVER (ORDER BY key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_before
+        FROM r
+    )
+    SELECT CAST(cum_before // (SELECT budget FROM b) AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+           arg_min(doc_id, key) AS first_doc,
+           CAST(SUM(key % 1000000007) AS BIGINT) AS key_checksum
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def q196_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order materialization: give every document
+    a seeded pseudo-random position (portable 8-hex-md5 of
+    '<seed>:<doc_id>' in the high 32 bits, doc_id in the low 28 —
+    unique by construction, so the order is total and run-stable on
+    any cluster size), then cut the shuffled stream into
+    ~equal-token-budget shards by exclusive prefix sum — the
+    "global shuffle + shard" step between curation and the trainer's
+    data loader. Per-shard output pins the exact layout: doc count,
+    token mass, the first document in training order, and a key
+    checksum over shard membership.
+
+    Scale shape: the prefix sum is packing.global_cumsum — a
+    value-range bucketed DISTRIBUTED cumsum (per-bucket windows in
+    parallel + a ≤ n_buckets-row offset table), never a corpus-wide
+    single-reducer window; the seeded key is uniform by construction
+    so the range buckets are balanced at any scale. The shard budget
+    is one bounded driver scalar (integer ceil-div, replayed exactly
+    in the oracle); doc_id widths beyond 2^28 take a wider low-bit
+    split — configurable, documented here. The keyed relation is
+    checkpointed once because global_cumsum evaluates its child
+    thrice (cost note at operators/packing.py)."""
+    from tp_integ_data_pipeline_spark.operators.packing import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SHUF_SEED + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * F.lit(268435456).cast("long")
+        + F.col("doc_id")
+    )
+    rel = docs.select(
+        "doc_id",
+        key.alias("key"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    ).localCheckpoint(eager=False)
+    total = rel.agg(F.sum("toks")).first()[0]
+    budget = (int(total) + _N_TRAIN_SHARDS - 1) // _N_TRAIN_SHARDS
+    cum = global_cumsum(rel, "key", "toks", "cum_before")
+    return (
+        cum.withColumn("shard", F.expr(f"cum_before div {budget}"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("shard_tokens"),
+            F.min(F.struct("key", "doc_id"))["doc_id"].alias("first_doc"),
+            F.sum(F.col("key") % F.lit(1000000007)).alias("key_checksum"),
+        )
+        .orderBy("shard")
+    )
