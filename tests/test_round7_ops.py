@@ -571,3 +571,87 @@ def test_training_order_shard_partitions_exactly_once(spark, tmp_path):
     for r in out1:
         assert 0 <= r.shard < 16
         assert r.shard_tokens <= budget + max_doc
+
+
+def test_consecutive_line_collapse_keeps_nonadjacent_repeats(spark, tmp_path):
+    """Doc = lines A A B A: collapses to A B A (adjacent dup removed,
+    the non-adjacent repeat of A survives — unlike q180)."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+    from tp_integ_data_pipeline_spark.plans.round7_queries import _LINE_W
+
+    line_a = " ".join(["a"] * _LINE_W)
+    line_b = " ".join(["b"] * _LINE_W)
+    text = " ".join([line_a, line_a, line_b, line_a])
+    _write_docs(spark, tmp_path, [(0, text, "en", "s", len(text))])
+    r = QUERIES["q197_consecutive_line_collapse"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_lines, r.n_kept) == (4, 3)
+    import hashlib
+
+    expect = " ".join([line_a, line_b, line_a])
+    assert r.rebuilt_md5 == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_char_entropy_extremes(spark, tmp_path):
+    """Single-repeated-char doc has entropy exactly 0; a doc of n
+    distinct chars has entropy ln(n)."""
+    import math
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [(0, "aaaaaaaa", "en", "s", 8), (1, "abcdefgh", "en", "s", 8)],
+    )
+    got = {r.doc_id: r for r in QUERIES["q198_char_entropy"](spark, str(tmp_path)).collect()}
+    assert got[0].entropy == 0.0
+    assert got[0].d_chars == 1
+    assert got[1].entropy == pytest.approx(round(math.log(8), 6), abs=1e-9)
+    assert got[1].d_chars == 8
+
+
+def test_compression_signals_orders_repetitive_below_diverse(spark):
+    """zlib ratio: a highly repetitive doc compresses below a
+    shuffled-diverse one; accounting and determinism hold."""
+    import random
+
+    from tp_integ_data_pipeline_spark.operators.text import compression_signals
+
+    rng = random.Random(7)
+    diverse = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(200)
+    )
+    repetitive = "spam ham " * 800
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, diverse)], "doc_id long, text string"
+    )
+    out1 = {r.doc_id: r for r in compression_signals(df).collect()}
+    out2 = {r.doc_id: r for r in compression_signals(df).collect()}
+    assert out1[1].ratio < out1[2].ratio
+    for d in (1, 2):
+        assert out1[d].raw_bytes == len(
+            (repetitive if d == 1 else diverse).encode()
+        )
+        assert 0 < out1[d].gz_bytes <= out1[d].raw_bytes + 64
+        assert out1[d].ratio == out2[d].ratio  # deterministic within-build
+
+
+def test_stratified_kfold_balance_and_coverage(spark, tmp_path):
+    """Every doc lands in exactly one fold; per-stratum fold sizes
+    differ by at most 1; assignment replays identically."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    docs = [
+        (i, f"w{i} " * 3, "en", f"src{i % 3}", 10) for i in range(47)
+    ]
+    _write_docs(spark, tmp_path, docs)
+    out1 = QUERIES["q200_stratified_kfold"](spark, str(tmp_path)).collect()
+    out2 = QUERIES["q200_stratified_kfold"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert sum(r.n_docs for r in out1) == 47
+    by_src = {}
+    for r in out1:
+        by_src.setdefault(r.source, []).append(r.n_docs)
+    for src, sizes in by_src.items():
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)

@@ -1439,3 +1439,239 @@ def q196_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# q197 — collapse consecutive duplicate lines (row-local cleaner)
+# --------------------------------------------------------------------------
+@query(
+    "q197_consecutive_line_collapse",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, (i - 1) // {_LINE_W} AS pos,
+               array_to_string(w[i:i + {_LINE_W - 1}], ' ') AS line
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, greatest(len(w), 1) + 1, {_LINE_W})) AS t(i)
+    ),
+    k AS (
+        SELECT doc_id, pos, line,
+               CASE WHEN line = LAG(line) OVER (PARTITION BY doc_id ORDER BY pos)
+                    THEN 0 ELSE 1 END AS keep
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           md5(string_agg(CASE WHEN keep = 1 THEN line END, ' ' ORDER BY pos))
+               AS rebuilt_md5
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q197_consecutive_line_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'blank-line/stutter' cleaner every HTML-extraction pipeline
+    runs: collapse CONSECUTIVE duplicate lines inside each document
+    (keep the first of each run), leaving non-adjacent repeats alone —
+    the order-sensitive complement of q180's corpus-wide keep-first.
+    Lines are the q180 6-word segments; output pins the rebuilt text
+    by md5.
+
+    Scale shape: the whole operator is ROW-LOCAL — segment, compare
+    each line to its predecessor, and rebuild inside ONE projection
+    over the token array (no explode, no window, no shuffle beyond
+    the output sort). The oracle replays it relationally with
+    LAG-over-position; the engine never pays that window."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.expr(
+        f"""transform(
+              sequence(1, (size(split(text, ' ')) + {_LINE_W - 1}) div {_LINE_W}),
+              i -> array_join(slice(split(text, ' '), (i - 1) * {_LINE_W} + 1,
+                              {_LINE_W}), ' '))"""
+    )
+    kept = F.expr(
+        "filter(__lines, (x, i) -> i = 0 OR x != element_at(__lines, i))"
+    )
+    return (
+        docs.select("doc_id", lines.alias("__lines"))
+        .select(
+            "doc_id",
+            F.size("__lines").cast("long").alias("n_lines"),
+            kept.alias("__kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.size("__kept").cast("long").alias("n_kept"),
+            F.md5(F.array_join("__kept", " ")).alias("rebuilt_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q198 — character-entropy quality signal (row-local run-length histogram)
+# --------------------------------------------------------------------------
+@query(
+    "q198_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, substr(text, i, 1) AS c
+        FROM documents, UNNEST(range(1, len(text) + 1)) AS t(i)
+    ),
+    cc AS (
+        SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_chars_counted,
+           CAST(COUNT(*) AS BIGINT) AS d_chars,
+           ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 6) AS entropy
+    FROM cc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q198_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    cheap gibberish/encoding-junk detector (binary blobs and repeated
+    padding score far from prose). Identity: H = ln(N) − Σ c·ln(c)/N,
+    so every ln() argument is an exact integer (bit-identical across
+    engines; summation-order ULP noise dies under ROUND(,6)).
+
+    Scale shape: the oracle's relational form explodes one row per
+    CHARACTER — at 100 TB that shuffle is the corpus size itself. The
+    engine instead computes the histogram ROW-LOCALLY: sort the char
+    array, find run boundaries with an indexed filter, turn boundary
+    gaps into run lengths, and fold the entropy terms — one
+    projection, zero data shuffles (the memory's row-local-over-
+    relational rule). Entropy is nonnegative (no −0.0 trap): c·ln(c)
+    ≤ N·ln(N) by concavity, exactly 0 for single-char docs on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    # run boundaries: 1-based positions p where sorted[p] != sorted[p-1];
+    # the gap to the NEXT boundary (or N+1) is that run's length
+    bnds = F.expr(
+        """filter(sequence(1, size(__s)),
+                  p -> p = 1 OR element_at(__s, p) != element_at(__s, p - 1))"""
+    )
+    runs = F.expr(
+        """transform(__b,
+             (x, i) -> if(i + 1 < size(__b), element_at(__b, i + 2),
+                          cast(n_chars_counted as int) + 1) - x)"""
+    )
+    ent = F.expr(
+        """round(ln(n_chars_counted) -
+                 aggregate(__r, 0.0D, (a, c) -> a + c * ln(c)) / n_chars_counted, 6)"""
+    )
+    return (
+        docs.select("doc_id", F.expr("array_sort(split(text, ''))").alias("__s"))
+        .select(
+            "doc_id",
+            F.size("__s").cast("long").alias("n_chars_counted"),
+            "__s",
+        )
+        .select("doc_id", "n_chars_counted", bnds.alias("__b"))
+        .select(
+            "doc_id",
+            "n_chars_counted",
+            F.size("__b").cast("long").alias("d_chars"),
+            runs.alias("__r"),
+        )
+        .select("doc_id", "n_chars_counted", "d_chars", ent.alias("entropy"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q199 — compression-ratio quality proxy (rows-only by nature)
+# --------------------------------------------------------------------------
+@query("q199_compression_quality")
+def q199_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style redundancy scoring: per-source distribution of the
+    zlib compression ratio (min/median-ish mean/max plus the share of
+    docs under 0.3 — the 'mostly boilerplate' flag). Rows-only BY
+    NATURE: deflate lengths depend on the zlib build, so there is no
+    DuckDB oracle; determinism-within-run, repetitive<diverse ordering
+    and byte-accounting invariants are pytest-pinned
+    (tests/test_round7_ops.py). Scale: one Arrow mapInPandas pass
+    (no shuffle) + a #sources-row rollup."""
+    from tp_integ_data_pipeline_spark.operators.text import compression_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = compression_signals(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+            F.round(
+                F.avg(F.when(F.col("ratio") < 0.3, 1.0).otherwise(0.0)), 6
+            ).alias("share_high_redundancy"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q200 — stratified k-fold assignment (hash-ordered, leakage-free folds)
+# --------------------------------------------------------------------------
+_KFOLD = 5
+_FOLD_SEED = "r7fold"
+
+
+@query(
+    "q200_stratified_kfold",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5('{_FOLD_SEED}:'
+                              || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                            doc_id) AS rn
+        FROM documents
+    )
+    SELECT source, CAST((rn - 1) % {_KFOLD} AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q200_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within each source
+    stratum, order documents by a seeded portable hash (doc_id
+    tiebreak — a total order, so the split replays exactly on any
+    cluster) and deal them round-robin into k=5 folds — per-
+    stratum fold sizes differ by at most 1, every fold mirrors the
+    source mixture, and membership is pinned by an id checksum. The
+    exact-proportion complement of q76's threshold split and q111's
+    cluster-level leakage-safe split.
+
+    Scale shape: one window PARTITIONED BY the stratum (parallel
+    across sources; within a stratum the sort is the shuffle the
+    semantics require), then a (source, fold) map-side rollup. The
+    hash is uniform so stratum partitions are balanced; a single
+    giant stratum would take the q154 salt-then-merge treatment."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_FOLD_SEED + ":"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = W.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("fold", ((F.row_number().over(w) - 1) % _KFOLD).cast("long"))
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("source", "fold")
+    )
