@@ -111,6 +111,17 @@ HEADLINE = [
     "q190_length_bucketing",
     "q191_prefix_cache_share",
     "q192_source_token_jsd",
+    "q193_backoff_lm_score",
+    "q194_key_skew_profile",
+    "q195_ngram_diversity",
+    "q196_training_order_shard",
+    "q197_consecutive_line_collapse",
+    "q198_char_entropy",
+    "q199_compression_quality",
+    "q200_stratified_kfold",
+    "q201_functional_dependencies",
+    "q202_referential_integrity",
+    "q203_benford_audit",
 ]
 
 

@@ -100,6 +100,8 @@ BNLJ_ALLOWED = {
     "q192_source_token_jsd": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row (n_tok, vocab) train-slice scalar on the backoff score
     "q193_backoff_lm_score": {"scalar_aggs": 1, "filtered_batches": []},
+    # one 1-row child-total scalar per audited FK edge (7 edges)
+    "q202_referential_integrity": {"scalar_aggs": 7, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

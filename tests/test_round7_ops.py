@@ -655,3 +655,84 @@ def test_stratified_kfold_balance_and_coverage(spark, tmp_path):
         by_src.setdefault(r.source, []).append(r.n_docs)
     for src, sizes in by_src.items():
         assert max(sizes) - min(sizes) <= 1, (src, sizes)
+
+
+def test_functional_dependency_detects_planted_violation(spark, tmp_path):
+    """orders with one o_orderkey mapping to two custkeys: the
+    orderkey->custkey FD must report exactly that violating lhs."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    d = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, 10, "O", 5.0, d, "1-URGENT"), (1, 11, "O", 6.0, d, "1-URGENT"),
+         (2, 10, "F", 7.0, d, "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    # satisfy the other specs with minimal conforming tables
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "a", 1, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "p", "B1", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        [(1, "s", "a", 1, 0.0)][:1],
+        "s_suppkey long, s_name string, s_address string, s_nationkey int, s_acctbal double",
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(1, d, 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    _write_docs(spark, tmp_path, [(0, "a b", "en", "s0", 3)])
+
+    got = {
+        r.fd: r
+        for r in QUERIES["q201_functional_dependencies"](spark, str(tmp_path)).collect()
+    }
+    fd = got["orders.o_orderkey->o_custkey"]
+    assert (fd.n_lhs, fd.n_violating_lhs, fd.max_rhs_per_lhs, fd.holds) == (2, 1, 2, 0)
+    assert fd.violation_rate == 0.5
+    assert got["customer.c_custkey->c_mktsegment"].holds == 1
+
+
+def test_referential_integrity_counts_orphans(spark, sf_dir):
+    """At sf0.001 the TPC-H edges are consistent: lineitem->orders
+    has zero orphans; the events->customer edge reports its actual
+    orphan keys (user ids beyond the customer range)."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    got = {
+        r.edge: r
+        for r in QUERIES["q202_referential_integrity"](spark, sf_dir).collect()
+    }
+    li = got["lineitem.l_orderkey->orders.o_orderkey"]
+    assert li.n_orphan == 0 and li.orphan_rate == 0.0
+    assert len(got) == 7
+    for r in got.values():
+        assert 0 <= r.n_orphan <= r.n_child
+        assert r.n_orphan_keys <= r.n_orphan or r.n_orphan == 0
+
+
+def test_benford_grid_is_complete_and_shares_sum_to_one(spark, sf_dir):
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q203_benford_audit"](spark, sf_dir).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r.col, []).append(r)
+    assert set(by_col) == {"lineitem.l_extendedprice", "orders.o_totalprice"}
+    for col, rs in by_col.items():
+        assert sorted(r.digit for r in rs) == list(range(1, 10))
+        assert sum(r.obs_share for r in rs) == pytest.approx(1.0, abs=2e-5)
+        assert sum(r.exp_share for r in rs) == pytest.approx(1.0, abs=2e-5)
+        tvds = {r.tvd for r in rs}
+        assert len(tvds) == 1
+        assert 0 <= tvds.pop() <= 1

@@ -1675,3 +1675,269 @@ def q200_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "fold")
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — functional-dependency discovery (schema profiling)
+# --------------------------------------------------------------------------
+_FD_SPECS = [
+    # (table, lhs, rhs) — candidate "lhs determines rhs" dependencies
+    ("orders", "o_orderkey", "o_custkey"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("part", "p_brand", "p_type"),
+    ("supplier", "s_suppkey", "s_nationkey"),
+    ("events", "user_id", "event_type"),
+    ("documents", "doc_id", "source"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, lhs, rhs in _FD_SPECS:
+        parts.append(f"""
+        SELECT '{tbl}.{lhs}->{rhs}' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_lhs,
+               CAST(MAX(nd) AS BIGINT) AS max_rhs_per_lhs,
+               CAST(CASE WHEN MAX(nd) = 1 THEN 1 ELSE 0 END AS BIGINT) AS holds,
+               ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS violation_rate
+        FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd FROM {tbl} GROUP BY 1)
+        """)
+    return " UNION ALL ".join(parts) + " ORDER BY fd"
+
+
+@query("q201_functional_dependencies", oracle=_fd_oracle())
+def q201_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metanome-style schema profiling: for each candidate functional
+    dependency lhs→rhs, count the lhs values that map to more than one
+    rhs — holds/violation-rate output is the input to key discovery,
+    normalization advice, and DQ alerting. Candidates cover true keys
+    (order→cust, custkey→segment), real violations (orderkey→suppkey:
+    multi-supplier orders), and cross-table shapes.
+
+    Scale shape: each FD is one column-pruned scan + a two-phase
+    (lhs, distinct-rhs) aggregate — map-side combinable, shuffled on
+    lhs only — folded to ONE summary row; the union is report-sized.
+    No joins, no windows; cost is Σ per-table scans regardless of FD
+    count per table (Catalyst reuses nothing across specs by design —
+    at 100 TB you'd batch same-table FDs into one grouping-sets pass;
+    the per-FD form keeps each check independently schedulable)."""
+    out = None
+    for tbl, lhs, rhs in _FD_SPECS:
+        t = load_table(spark, sf_dir, tbl)
+        g = (
+            t.select(F.col(lhs).alias("__l"), F.col(rhs).alias("__r"))
+            .groupBy("__l")
+            .agg(F.countDistinct("__r").alias("nd"))
+        )
+        row = g.agg(
+            F.lit(f"{tbl}.{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_violating_lhs"),
+            F.max("nd").alias("max_rhs_per_lhs"),
+            F.when(F.max("nd") == 1, 1).otherwise(0).cast("long").alias("holds"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("violation_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd")
+
+
+# --------------------------------------------------------------------------
+# q202 — referential-integrity audit (orphan-key rates)
+# --------------------------------------------------------------------------
+_RI_SPECS = [
+    # (child table, fk col, parent table, pk col, parent is dim-sized)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", False),
+    ("orders", "o_custkey", "customer", "c_custkey", False),
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("events", "user_id", "customer", "c_custkey", False),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk, _ in _RI_SPECS:
+        parts.append(f"""
+        SELECT '{child}.{fk}->{parent}.{pk}' AS edge,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child,
+               CAST(COUNT(*) AS BIGINT) AS n_orphan,
+               CAST(COUNT(DISTINCT c.{fk}) AS BIGINT) AS n_orphan_keys,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM {child}), 6) AS orphan_rate
+        FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})
+        """)
+    return " UNION ALL ".join(parts) + " ORDER BY edge"
+
+
+@query("q202_referential_integrity", oracle=_ri_oracle())
+def q202_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table DQ audit: for every declared FK edge, the count and
+    rate of child rows whose key has no parent (plus distinct orphan
+    keys — 1M orphan rows from 3 keys is a different incident than 1M
+    keys). The lake-wide complement of q157's single-table audit and
+    q75's rule checks.
+
+    Scale shape: each edge is ONE left-anti equi-join on the key —
+    shuffled on the FK for fact-sized parents, broadcast for dims
+    (nation) — folded map-side to a 1-row summary; n_child comes from
+    the same column-pruned scan, not a second pass over wide rows.
+    Orphan checks never materialize matches (anti-join emits only
+    misses)."""
+    from pyspark.sql.functions import broadcast
+
+    out = None
+    for child, fk, parent, pk, is_dim in _RI_SPECS:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("__k"))
+        c = c.localCheckpoint(eager=False)  # feeds total AND the anti join
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("__k"))
+        if is_dim:
+            p = broadcast(p)
+        orphans = c.join(p, "__k", "left_anti")
+        total = c.agg(F.count(F.lit(1)).alias("n_child"))
+        row = (
+            orphans.agg(
+                F.count(F.lit(1)).alias("n_orphan"),
+                F.countDistinct("__k").alias("n_orphan_keys"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                "n_child",
+                "n_orphan",
+                "n_orphan_keys",
+                F.round(
+                    F.col("n_orphan").cast("double") / F.col("n_child"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge")
+
+
+# --------------------------------------------------------------------------
+# q203 — Benford first-digit audit (fraud/DQ signal on amount columns)
+# --------------------------------------------------------------------------
+def _benford_oracle() -> str:
+    branches = []
+    for label, tbl, col in [
+        ("lineitem.l_extendedprice", "lineitem", "l_extendedprice"),
+        ("orders.o_totalprice", "orders", "o_totalprice"),
+    ]:
+        branches.append(f"""
+        SELECT '{label}' AS col,
+               CAST(substr(CAST(CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM {tbl} WHERE {col} > 0
+        """)
+    u = " UNION ALL ".join(branches)
+    return f"""
+    WITH d AS ({u}),
+    cnt AS (SELECT col, digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+    tot AS (SELECT col, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+    grid AS (
+        SELECT tot.col, g.range AS digit, tot.t, COALESCE(cnt.n, 0) AS n,
+               CAST(COALESCE(cnt.n, 0) AS DOUBLE) / tot.t AS obs,
+               (ln(g.range + 1) - ln(g.range)) / ln(10) AS exp
+        FROM tot CROSS JOIN range(1, 10) g
+        LEFT JOIN cnt ON cnt.col = tot.col AND cnt.digit = g.range
+    ),
+    tvd AS (SELECT col, ROUND(0.5 * SUM(ABS(obs - exp)), 6) AS tvd FROM grid GROUP BY 1)
+    SELECT grid.col, grid.digit, CAST(grid.n AS BIGINT) AS n,
+           ROUND(grid.obs, 6) AS obs_share,
+           ROUND(grid.exp, 6) AS exp_share,
+           ROUND(ABS(grid.obs - grid.exp), 6) AS abs_dev,
+           tvd.tvd
+    FROM grid JOIN tvd ON tvd.col = grid.col
+    ORDER BY grid.col, grid.digit
+    """
+
+
+@query("q203_benford_audit", oracle=_benford_oracle())
+def q203_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance for the monetary columns — the
+    classic synthetic-data / fraud / unit-mixup detector (organically
+    grown amounts follow P(d) = log10(1+1/d); flat or spiked first
+    digits flag generated or corrupted feeds). Output: per (column,
+    digit) observed vs expected share, absolute deviation, and the
+    per-column total-variation distance.
+
+    Cross-engine rules: the first digit comes from the INTEGER cents
+    string (FLOOR(x·100 + 0.5) — never from double formatting, which
+    the engines render differently); expected shares are
+    (ln(d+1)−ln(d))/ln 10 over exact-integer inputs; the 1..9 grid is
+    materialized row-locally per column so an absent digit is an
+    explicit 0 on both engines.
+
+    Scale shape: one column-pruned scan per audited column folded to
+    ≤9 map-side (col, digit) counts — everything after is
+    constant-sized (18-row grid, 2-row TVD rollup)."""
+    cols = [
+        ("lineitem.l_extendedprice", "lineitem", "l_extendedprice"),
+        ("orders.o_totalprice", "orders", "o_totalprice"),
+    ]
+    cnt = None
+    for label, tbl, col in cols:
+        t = load_table(spark, sf_dir, tbl)
+        d = (
+            t.where(F.col(col) > 0)
+            .select(
+                F.lit(label).alias("col"),
+                F.substring(
+                    F.floor(F.col(col) * 100 + 0.5).cast("long").cast("string"), 1, 1
+                )
+                .cast("long")
+                .alias("digit"),
+            )
+            .groupBy("col", "digit")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cnt = d if cnt is None else cnt.unionByName(d)
+    cnt = cnt.localCheckpoint(eager=False)  # feeds tot and the grid join
+    tot = cnt.groupBy("col").agg(F.sum("n").alias("t"))
+    grid = (
+        tot.select(
+            "col", "t", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+        )
+        .join(cnt, ["col", "digit"], "left")
+        .select(
+            "col",
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("t")).alias(
+                "obs"
+            ),
+            (
+                (F.log(F.col("digit") + 1) - F.log(F.col("digit"))) / F.log(F.lit(10.0))
+            ).alias("exp"),
+        )
+    )
+    grid = grid.localCheckpoint(eager=False)  # feeds tvd and the final join
+    tvd = grid.groupBy("col").agg(
+        F.round(0.5 * F.sum(F.abs(F.col("obs") - F.col("exp"))), 6).alias("tvd")
+    )
+    return (
+        grid.join(tvd, "col")
+        .select(
+            "col",
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.round("obs", 6).alias("obs_share"),
+            F.round("exp", 6).alias("exp_share"),
+            F.round(F.abs(F.col("obs") - F.col("exp")), 6).alias("abs_dev"),
+            "tvd",
+        )
+        .orderBy("col", "digit")
+    )
