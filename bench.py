@@ -122,6 +122,10 @@ HEADLINE = [
     "q201_functional_dependencies",
     "q202_referential_integrity",
     "q203_benford_audit",
+    "q204_funnel_conversion",
+    "q205_cohort_retention",
+    "q206_event_transitions",
+    "q207_new_returning",
 ]
 
 

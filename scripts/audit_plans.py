@@ -124,6 +124,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # heavy-hitters candidate merge: <= n_shards * k candidate rows
     # (each shard contributes its local top-k only)
     "q147_heavy_hitters": "shard-topk candidate merge, n_shards*k rows",
+    # running sum over the per-DAY summary (calendar-span rows)
+    "q207_new_returning": "cumulative reach over per-day rows, span-bounded",
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

@@ -736,3 +736,118 @@ def test_benford_grid_is_complete_and_shares_sum_to_one(spark, sf_dir):
         tvds = {r.tvd for r in rs}
         assert len(tvds) == 1
         assert 0 <= tvds.pop() <= 1
+
+
+# --------------------------------------------------------------------------
+# q204 funnel / q205 cohort / q206 transitions / q207 new-vs-returning
+# --------------------------------------------------------------------------
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, iso_ts, user_id, event_type)."""
+    import datetime
+
+    data = [
+        (eid, datetime.datetime.fromisoformat(ts), uid, et, 1.0, "{}")
+        for eid, ts, uid, et in rows
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+
+def test_funnel_requires_strict_ordering(spark, tmp_path):
+    """User 1 converts the full funnel; user 2's click PRECEDES their
+    view so it must not count (their later purchase also not, since it
+    needs a post-view click); user 3 views only.  n = 3 / 1 / 1."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00", 1, "view"),
+            (2, "2024-01-01T01:00", 1, "click"),
+            (3, "2024-01-01T02:00", 1, "purchase"),
+            (4, "2024-01-01T00:00", 2, "click"),
+            (5, "2024-01-01T01:00", 2, "view"),
+            (6, "2024-01-01T02:00", 2, "purchase"),
+            (7, "2024-01-01T00:00", 3, "view"),
+        ],
+    )
+    rows = QUERIES["q204_funnel_conversion"](spark, str(tmp_path)).collect()
+    got = {r.step: (r.n_users, r.conv_vs_first, r.conv_vs_prev) for r in rows}
+    assert got["view"] == (3, 1.0, 1.0)
+    assert got["click"] == (1, pytest.approx(0.333333), pytest.approx(0.333333))
+    assert got["purchase"] == (1, pytest.approx(0.333333), 1.0)
+
+
+def test_cohort_retention_offsets_and_sizes(spark, tmp_path):
+    """Users A and B start in week 0; only A returns in week 2 →
+    cohort 0 has size 2, offset-0 retention 1.0, offset-2 0.5."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-02T00:00", 1, "view"),   # week 0
+            (2, "2024-01-16T00:00", 1, "view"),   # week 2
+            (3, "2024-01-03T00:00", 2, "view"),   # week 0
+        ],
+    )
+    rows = QUERIES["q205_cohort_retention"](spark, str(tmp_path)).collect()
+    got = {(r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention) for r in rows}
+    assert got == {(0, 0): (2, 2, 1.0), (0, 2): (1, 2, 0.5)}
+
+
+def test_event_transitions_rows_normalize_per_from_type(spark, tmp_path):
+    """view→click, view→view, click→purchase (one user, ordered by
+    ts): from 'view' the two transitions split 0.5/0.5; from 'click'
+    p = 1.0; the first event contributes no transition."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00", 1, "view"),
+            (2, "2024-01-01T01:00", 1, "view"),
+            (3, "2024-01-01T02:00", 1, "click"),
+            (4, "2024-01-01T03:00", 1, "purchase"),
+        ],
+    )
+    rows = QUERIES["q206_event_transitions"](spark, str(tmp_path)).collect()
+    got = {(r.from_type, r.to_type): (r.n, r.p) for r in rows}
+    assert got == {
+        ("view", "view"): (1, 0.5),
+        ("view", "click"): (1, 0.5),
+        ("click", "purchase"): (1, 1.0),
+    }
+
+
+def test_new_returning_decomposition_and_cumulative_reach(spark, tmp_path):
+    """Day 1 actives {1,2} (both new); day 2 actives {2,3} → 1 new,
+    1 returning, cumulative reach 3."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T05:00", 1, "view"),
+            (2, "2024-01-01T06:00", 2, "view"),
+            (3, "2024-01-02T05:00", 2, "click"),
+            (4, "2024-01-02T06:00", 3, "view"),
+        ],
+    )
+    rows = QUERIES["q207_new_returning"](spark, str(tmp_path)).collect()
+    got = {
+        r.day: (r.n_active, r.n_new, r.n_returning, r.cum_users, r.new_share)
+        for r in rows
+    }
+    assert got == {
+        datetime.date(2024, 1, 1): (2, 2, 0, 2, 1.0),
+        datetime.date(2024, 1, 2): (2, 1, 1, 3, 0.5),
+    }

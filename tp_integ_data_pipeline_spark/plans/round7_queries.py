@@ -1941,3 +1941,318 @@ def q203_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col", "digit")
     )
+
+
+# --------------------------------------------------------------------------
+# q204 — sequenced funnel conversion (view → click → purchase)
+# --------------------------------------------------------------------------
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "q204_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    ),
+    n AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step,
+               CAST(n1 AS BIGINT) AS n_users,
+               ROUND(CAST(n1 AS DOUBLE) / NULLIF(n1, 0), 6) AS conv_vs_first,
+               ROUND(CAST(n1 AS DOUBLE) / NULLIF(n1, 0), 6) AS conv_vs_prev
+        FROM n
+        UNION ALL
+        SELECT 2, 'click', n2,
+               ROUND(CAST(n2 AS DOUBLE) / NULLIF(n1, 0), 6),
+               ROUND(CAST(n2 AS DOUBLE) / NULLIF(n1, 0), 6)
+        FROM n
+        UNION ALL
+        SELECT 3, 'purchase', n3,
+               ROUND(CAST(n3 AS DOUBLE) / NULLIF(n1, 0), 6),
+               ROUND(CAST(n3 AS DOUBLE) / NULLIF(n2, 0), 6)
+        FROM n
+    ) ORDER BY step_no
+    """,
+)
+def q204_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced funnel: a user converts step k only with an event
+    STRICTLY after their step-(k-1) time (min view → first later click
+    → first later purchase) — the order-sensitive verb product
+    analytics needs and a plain per-type count can't express.
+
+    Scale shape: ONE groupBy(user_id) collecting that user's (ts,
+    event_id, type) structs, sorted row-locally, then a single
+    higher-order F.aggregate fold carries the (t1, t2, t3) state —
+    sequencing costs one keyed shuffle, no self-joins, no windows.
+    Per-user event counts are session-bounded in practice; a hot-user
+    cap (or the 3-stage min-join rewrite) is the escape hatch if a
+    key exceeds memory. The 3-row summary is driver-sized."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    ts_null = F.lit(None).cast("timestamp")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs"))
+        .select(
+            F.aggregate(
+                "evs",
+                F.struct(ts_null.alias("t1"), ts_null.alias("t2"), ts_null.alias("t3")),
+                lambda acc, e: F.struct(
+                    F.when(
+                        acc.t1.isNull() & (e.event_type == "view"), e.ts
+                    ).otherwise(acc.t1).alias("t1"),
+                    F.when(
+                        acc.t2.isNull()
+                        & acc.t1.isNotNull()
+                        & (e.event_type == "click")
+                        & (e.ts > acc.t1),
+                        e.ts,
+                    ).otherwise(acc.t2).alias("t2"),
+                    F.when(
+                        acc.t3.isNull()
+                        & acc.t2.isNotNull()
+                        & (e.event_type == "purchase")
+                        & (e.ts > acc.t2),
+                        e.ts,
+                    ).otherwise(acc.t3).alias("t3"),
+                ),
+            ).alias("s")
+        )
+    )
+    counts = per_user.agg(
+        F.count(F.col("s.t1")).alias("n1"),
+        F.count(F.col("s.t2")).alias("n2"),
+        F.count(F.col("s.t3")).alias("n3"),
+    )
+    return counts.selectExpr(
+        """stack(3,
+            1L, 'view',     n1, n1, n1,
+            2L, 'click',    n2, n1, n1,
+            3L, 'purchase', n3, n1, n2
+        ) AS (step_no, step, n_users, denom_first, denom_prev)"""
+    ).select(
+        "step_no",
+        "step",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(
+            F.col("n_users").cast("double") / F.nullif(F.col("denom_first"), F.lit(0)), 6
+        ).alias("conv_vs_first"),
+        F.round(
+            F.col("n_users").cast("double") / F.nullif(F.col("denom_prev"), F.lit(0)), 6
+        ).alias("conv_vs_prev"),
+    ).orderBy("step_no")
+
+
+# --------------------------------------------------------------------------
+# q205 — weekly cohort retention
+# --------------------------------------------------------------------------
+_COHORT_EPOCH = "2024-01-01"
+
+
+@query(
+    "q205_cohort_retention",
+    oracle=f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '{_COHORT_EPOCH}', CAST(ts AS DATE)) // 7 AS w
+        FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1),
+    act AS (
+        SELECT c.cw AS cohort_week, uw.w - c.cw AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM uw JOIN cohort c USING (user_id) GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_week, n_active AS cohort_size FROM act WHERE week_offset = 0)
+    SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+           ROUND(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM act a JOIN sz s USING (cohort_week)
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+)
+def q205_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first activity; for each (cohort, week-offset) the active-user
+    count and retention vs the cohort's size. Week = integer floor-div
+    of the day index from a fixed epoch — identical integer arithmetic
+    on both engines (no date_trunc week-start semantics to reconcile).
+
+    Scale shape: distinct(user, week) is one keyed shuffle; the
+    cohort min reuses the user key (co-partitioned groupBy + join);
+    the (cohort, offset) rollup is map-side combinable to a
+    weeks²-bounded summary, and the offset-0 size join is a broadcast
+    of that summary against itself."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.expr(
+                f"datediff(to_date(ts), date '{_COHORT_EPOCH}') div 7"
+            ).alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds cohort min AND the activity join
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy(F.col("cw").alias("cohort_week"), (F.col("w") - F.col("cw")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .localCheckpoint(eager=False)  # feeds sizes AND the final join
+    )
+    sz = act.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        act.join(F.broadcast(sz), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# q206 — event-type transition matrix (first-order Markov)
+# --------------------------------------------------------------------------
+@query(
+    "q206_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS tn FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+           ROUND(CAST(t.n AS DOUBLE) / tot.tn, 6) AS p
+    FROM t JOIN tot USING (from_type)
+    ORDER BY t.from_type, t.to_type
+    """,
+)
+def q206_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence (deterministic (ts, event_id) order): transition counts
+    and row-normalized probabilities — the sequence-model / anomalous-
+    flow summary a plain type histogram can't give.
+
+    Scale shape: ONE user-partitioned window (LAG — keyed shuffle,
+    no global sort), then a map-side-combinable (from, to) rollup to
+    a ≤|types|² summary; the row-total join is a broadcast of that
+    summary. Nothing downstream of the window exceeds types²."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # feeds totals AND the final join
+    )
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("tn"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q207 — daily new vs returning actives + cumulative reach
+# --------------------------------------------------------------------------
+@query(
+    "q207_new_returning",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    act AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM ud GROUP BY 1),
+    firsts AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1),
+    new_d AS (SELECT fday AS day, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts GROUP BY 1)
+    SELECT a.day, a.n_active,
+           COALESCE(n.n_new, 0) AS n_new,
+           a.n_active - COALESCE(n.n_new, 0) AS n_returning,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day) AS BIGINT) AS cum_users,
+           ROUND(CAST(COALESCE(n.n_new, 0) AS DOUBLE) / a.n_active, 6) AS new_share
+    FROM act a LEFT JOIN new_d n USING (day)
+    ORDER BY a.day
+    """,
+)
+def q207_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity decomposition: active users split into first-
+    ever-seen (new) vs returning, plus the cumulative distinct-user
+    reach — the growth-accounting view; the exact running-distinct
+    comes free from summing the new-user counts (no per-day distinct
+    rescans, no HLL needed at day granularity).
+
+    Scale shape: distinct(user, day) is one keyed shuffle reused
+    (checkpointed) for both the per-day count and the per-user first
+    day; everything after is per-DAY rows (span-bounded), so the
+    running-sum window is over a calendar-sized relation, not data."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds actives AND first-day
+    )
+    act = ud.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    new_d = (
+        ud.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        act.join(new_d, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.col("n_active") - F.coalesce("n_new", F.lit(0))).alias("n_returning"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+        .withColumn(
+            "new_share",
+            F.round(F.col("n_new").cast("double") / F.col("n_active"), 6),
+        )
+        .orderBy("day")
+    )
