@@ -126,6 +126,10 @@ HEADLINE = [
     "q205_cohort_retention",
     "q206_event_transitions",
     "q207_new_returning",
+    "q208_ab_test",
+    "q209_basket_pair_lift",
+    "q210_rater_agreement",
+    "q211_corr_profile",
 ]
 
 

@@ -102,6 +102,13 @@ BNLJ_ALLOWED = {
     "q193_backoff_lm_score": {"scalar_aggs": 1, "filtered_batches": []},
     # one 1-row child-total scalar per audited FK edge (7 edges)
     "q202_referential_integrity": {"scalar_aggs": 7, "filtered_batches": []},
+    # 1-row pooled z-statistic scalar on the 2-row arm summary
+    "q208_ab_test": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row n_orders denominator scalar on the qualifying pairs
+    "q209_basket_pair_lift": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row pe-numerator scalar onto the 1-row (total, diag) scalar,
+    # then the combined 1-row po/pe/kappa scalar onto the 9-row grid
+    "q210_rater_agreement": {"scalar_aggs": 2, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -851,3 +851,92 @@ def test_new_returning_decomposition_and_cumulative_reach(spark, tmp_path):
         datetime.date(2024, 1, 1): (2, 2, 0, 2, 1.0),
         datetime.date(2024, 1, 2): (2, 1, 1, 3, 0.5),
     }
+
+
+# --------------------------------------------------------------------------
+# q208 A/B test / q209 basket lift / q210 kappa / q211 corr profile
+# --------------------------------------------------------------------------
+def test_ab_test_pooled_z_from_planted_arms(spark, tmp_path):
+    """Arm A = users 0,2 (both convert), arm B = users 1,3 (one
+    converts): rate_A=1.0, rate_B=0.5, pooled p=0.75 →
+    z = 0.5/sqrt(0.1875·(1/2+1/2)) = 1.154701, not significant."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00", 0, "purchase"),
+            (2, "2024-01-01T00:00", 2, "purchase"),
+            (3, "2024-01-01T00:00", 1, "purchase"),
+            (4, "2024-01-01T00:00", 3, "view"),
+        ],
+    )
+    rows = QUERIES["q208_ab_test"](spark, str(tmp_path)).collect()
+    got = {r.arm: (r.n_users, r.n_conv, r.conv_rate, r.z_score, r.significant) for r in rows}
+    assert got["A"] == (2, 2, 1.0, pytest.approx(1.154701), 0)
+    assert got["B"] == (2, 1, 0.5, pytest.approx(1.154701), 0)
+
+
+def test_basket_pair_lift_counts_orders_not_rows(spark, tmp_path):
+    """Orders {1,2}, {1,2}, {1,3} with a duplicated (o1,p1) row: the
+    (1,2) pair co-occurs in 2 of 3 orders (kept), (1,3) only once
+    (dropped by the >=2 floor); lift(1,2) = 2·3/(3·2) = 1.0."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = [(10, 1), (10, 1), (10, 2), (20, 1), (20, 2), (30, 1), (30, 3)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = QUERIES["q209_basket_pair_lift"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.p1, r.p2, r.pair_cnt, r.n1, r.n2) == (1, 2, 2, 3, 2)
+    assert r.support == pytest.approx(0.666667)
+    assert r.confidence == pytest.approx(0.666667)
+    assert r.lift == pytest.approx(1.0)
+
+
+def test_rater_agreement_kappa_hand_computed(spark, tmp_path):
+    """One diagonal doc (short/short) + one off-diagonal (medium/long):
+    po=0.5, pe=0.25, kappa=(0.5-0.25)/0.75=0.333333; grid has all 9
+    cells with absent ones explicit 0."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    docs = [
+        (1, " ".join(["w"] * 10), 100),   # short chars, short words
+        (2, " ".join(["w"] * 80), 300),   # medium chars, long words
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, n_chars long").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = QUERIES["q210_rater_agreement"](spark, str(tmp_path)).collect()
+    assert len(rows) == 9
+    got = {(r.label_a, r.label_b): r.n for r in rows}
+    assert got[("short", "short")] == 1
+    assert got[("medium", "long")] == 1
+    assert sum(got.values()) == 2
+    r0 = rows[0]
+    assert r0.po == pytest.approx(0.5)
+    assert r0.pe == pytest.approx(0.25)
+    assert r0.kappa == pytest.approx(0.333333)
+
+
+def test_corr_profile_exact_and_degenerate_columns(spark, tmp_path):
+    """qty/price perfectly correlated (+1), qty/discount perfectly
+    anti-correlated (-1), constant tax → NULL correlation on every
+    pair involving it (zero variance), n=3 on all rows."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = [(1.0, 2.0, 3.0, 1.0), (2.0, 4.0, 2.0, 1.0), (3.0, 6.0, 1.0, 1.0)]
+    spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double, l_discount double, l_tax double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = QUERIES["q211_corr_profile"](spark, str(tmp_path)).collect()
+    got = {(r.col_x, r.col_y): (r.n, r.r) for r in out}
+    assert len(got) == 6
+    assert got[("l_quantity", "l_extendedprice")] == (3, pytest.approx(1.0))
+    assert got[("l_quantity", "l_discount")] == (3, pytest.approx(-1.0))
+    assert got[("l_extendedprice", "l_discount")] == (3, pytest.approx(-1.0))
+    for pair in [("l_quantity", "l_tax"), ("l_extendedprice", "l_tax"), ("l_discount", "l_tax")]:
+        assert got[pair][1] is None

@@ -2256,3 +2256,421 @@ def q207_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q208 — A/B experiment two-proportion z-test
+# --------------------------------------------------------------------------
+@query(
+    "q208_ab_test",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(conv) AS BIGINT) AS n_conv
+        FROM pu GROUP BY 1
+    ),
+    s AS (
+        SELECT MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+               MAX(CASE WHEN arm = 'A' THEN n_conv END) AS ca,
+               MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+               MAX(CASE WHEN arm = 'B' THEN n_conv END) AS cb
+        FROM arms
+    ),
+    z AS (
+        SELECT ROUND(
+                   (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                   / NULLIF(
+                       sqrt(
+                           (CAST(ca + cb AS DOUBLE) / (na + nb))
+                           * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                           * (1.0 / na + 1.0 / nb)
+                       ),
+                       0.0
+                   ),
+                   6
+               ) + 0 AS z_score
+        FROM s
+    )
+    SELECT a.arm, a.n_users, a.n_conv,
+           ROUND(CAST(a.n_conv AS DOUBLE) / a.n_users, 6) AS conv_rate,
+           z.z_score,
+           CAST(ABS(z.z_score) > 1.96 AS INT) AS significant
+    FROM arms a, z
+    ORDER BY a.arm
+    """,
+)
+def q208_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically assigned to
+    arms (user_id parity — the hash-bucketing stand-in), converted =
+    any purchase event; per-arm size/conversions/rate plus the pooled
+    two-proportion z statistic and a |z| > 1.96 significance flag —
+    the experimentation verb a plain rate comparison can't defend.
+
+    Cross-engine: z is ROUND(·,6)+0 (negative-capable) on both sides;
+    the flag derives from the ROUNDED z so both engines agree.
+
+    Scale shape: one groupBy(user) keyed shuffle folds events to a
+    per-user conversion bit; the arm rollup is map-side combinable to
+    2 rows; the z scalar is a 1-row broadcast attach (BNLJ_ALLOWED
+    scalar_aggs). Nothing downstream exceeds the arm count."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            "conv",
+        )
+    )
+    arms = (
+        pu.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+        .localCheckpoint(eager=False)  # feeds the scalar AND the output
+    )
+    s = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("cb"),
+    )
+    pool = F.col("ca").cast("double") + F.col("cb")
+    ntot = F.col("na").cast("double") + F.col("nb")
+    p = pool / ntot
+    se = F.sqrt(p * (1.0 - p) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    z = s.select(
+        (
+            F.round(
+                (
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cb").cast("double") / F.col("nb")
+                )
+                / F.nullif(se, F.lit(0.0)),
+                6,
+            )
+            + 0
+        ).alias("z_score")
+    )
+    return (
+        arms.crossJoin(F.broadcast(z))
+        .select(
+            "arm",
+            "n_users",
+            "n_conv",
+            F.round(F.col("n_conv").cast("double") / F.col("n_users"), 6).alias(
+                "conv_rate"
+            ),
+            "z_score",
+            (F.abs(F.col("z_score")) > 1.96).cast("int").alias("significant"),
+        )
+        .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# q209 — market-basket pair lift (association mining)
+# --------------------------------------------------------------------------
+@query(
+    "q209_basket_pair_lift",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n_orders FROM items),
+    pc AS (SELECT pk, COUNT(*) AS n_ok FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS pair_cnt
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+    )
+    SELECT p.p1, p.p2, CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(c1.n_ok AS BIGINT) AS n1, CAST(c2.n_ok AS BIGINT) AS n2,
+           ROUND(p.pair_cnt / n.n_orders, 6) AS support,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) / c1.n_ok, 6) AS confidence,
+           ROUND(p.pair_cnt * n.n_orders / (c1.n_ok * c2.n_ok), 6) AS lift
+    FROM pairs p
+    JOIN pc c1 ON c1.pk = p.p1
+    JOIN pc c2 ON c2.pk = p.p2
+    CROSS JOIN n
+    WHERE p.pair_cnt >= 2
+    ORDER BY p.p1, p.p2
+    """,
+)
+def q209_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: for every part pair co-bought
+    in >= 2 orders, support / confidence / lift vs independence — the
+    recommendation / co-occurrence verb.
+
+    Scale shape: pairs are expanded ROW-LOCALLY from the per-order
+    sorted item array (one groupBy(order) shuffle; fan-out bounded by
+    basket size squared, ~21 pairs for TPC-H's <= 7 items), never via
+    an order-keyed self-join relation; the >= 2 floor prunes before
+    the part-frequency joins; the n_orders denominator is a 1-row
+    broadcast attach (BNLJ_ALLOWED scalar_aggs). The count-based
+    floor (not a top-k on a double) keeps the output set identical
+    across engines."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds baskets, part counts, n_orders
+    )
+    baskets = items.groupBy("ok").agg(
+        F.array_sort(F.collect_set("pk")).alias("ps")
+    ).localCheckpoint(eager=False)  # feeds the pair fan-out AND n_orders
+    pc = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_ok"))
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 2)
+    )
+    return (
+        pairs.join(pc.withColumnRenamed("pk", "p1").withColumnRenamed("n_ok", "n1"), "p1")
+        .join(pc.withColumnRenamed("pk", "p2").withColumnRenamed("n_ok", "n2"), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(F.col("pair_cnt") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("n1"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("pair_cnt") * F.col("n_orders") / (F.col("n1") * F.col("n2")), 6
+            ).alias("lift"),
+        )
+        .orderBy("p1", "p2")
+    )
+
+
+# --------------------------------------------------------------------------
+# q210 — inter-rater agreement (Cohen's kappa) between two labelers
+# --------------------------------------------------------------------------
+_KAPPA_LABELS = ["short", "medium", "long"]
+
+
+@query(
+    "q210_rater_agreement",
+    oracle="""
+    WITH lab AS (
+        SELECT CASE WHEN n_chars < 220 THEN 'short'
+                    WHEN n_chars < 380 THEN 'medium' ELSE 'long' END AS label_a,
+               CASE WHEN len(string_split(text, ' ')) < 40 THEN 'short'
+                    WHEN len(string_split(text, ' ')) < 70 THEN 'medium'
+                    ELSE 'long' END AS label_b
+        FROM documents
+    ),
+    c AS (SELECT label_a, label_b, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+    s AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS total,
+               CAST(SUM(CASE WHEN label_a = label_b THEN n ELSE 0 END) AS DOUBLE) AS diag
+        FROM c
+    ),
+    ma AS (SELECT label_a AS l, SUM(n) AS na FROM c GROUP BY 1),
+    mb AS (SELECT label_b AS l, SUM(n) AS nb FROM c GROUP BY 1),
+    pe AS (
+        SELECT CAST(SUM(COALESCE(ma.na, 0) * COALESCE(mb.nb, 0)) AS DOUBLE) AS pe_num
+        FROM ma FULL JOIN mb USING (l)
+    ),
+    k AS (
+        SELECT ROUND(s.diag / s.total, 6) AS po,
+               ROUND(pe.pe_num / (s.total * s.total), 6) AS pe,
+               ROUND(
+                   (s.diag / s.total - pe.pe_num / (s.total * s.total))
+                   / NULLIF(1.0 - pe.pe_num / (s.total * s.total), 0.0),
+                   6
+               ) + 0 AS kappa
+        FROM s, pe
+    ),
+    grid AS (
+        SELECT a.l AS label_a, b.l AS label_b
+        FROM (VALUES ('short'), ('medium'), ('long')) a(l),
+             (VALUES ('short'), ('medium'), ('long')) b(l)
+    )
+    SELECT g.label_a, g.label_b,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           k.po, k.pe, k.kappa
+    FROM grid g LEFT JOIN c USING (label_a, label_b) CROSS JOIN k
+    ORDER BY g.label_a, g.label_b
+    """,
+)
+def q210_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent labelers — the
+    annotator-agreement / weak-supervision QA verb (chance-corrected:
+    kappa = (po - pe)/(1 - pe)). Here the raters are two deterministic
+    length heuristics (char-bucket vs word-bucket) so both engines
+    label identically; the operator is generic over any two
+    categorical columns. Output: the full label x label confusion
+    grid (absent cells explicit 0) with po / pe / kappa attached.
+
+    Scale shape: one map-side-combinable (label_a, label_b) rollup to
+    <= |labels|^2 rows; marginals, po/pe/kappa, and the grid are all
+    label-bounded; the kappa scalar is a 1-row broadcast attach
+    (BNLJ_ALLOWED scalar_aggs). kappa is negative-capable ->
+    ROUND+0 on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("n_chars", "text")
+    lab = docs.select(
+        F.when(F.col("n_chars") < 220, "short")
+        .when(F.col("n_chars") < 380, "medium")
+        .otherwise("long")
+        .alias("label_a"),
+        F.when(F.size(F.split(F.col("text"), " ")) < 40, "short")
+        .when(F.size(F.split(F.col("text"), " ")) < 70, "medium")
+        .otherwise("long")
+        .alias("label_b"),
+    )
+    c = (
+        lab.groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # feeds scalars, marginals, grid join
+    )
+    s = c.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.sum(F.when(F.col("label_a") == F.col("label_b"), F.col("n")).otherwise(0))
+        .cast("double")
+        .alias("diag"),
+    )
+    ma = c.groupBy(F.col("label_a").alias("l")).agg(F.sum("n").alias("na"))
+    mb = c.groupBy(F.col("label_b").alias("l")).agg(F.sum("n").alias("nb"))
+    pe_num = (
+        ma.join(mb, "l", "full")
+        .agg(
+            F.sum(
+                F.coalesce("na", F.lit(0)) * F.coalesce("nb", F.lit(0))
+            )
+            .cast("double")
+            .alias("pe_num")
+        )
+    )
+    po_c = F.col("diag") / F.col("total")
+    pe_c = F.col("pe_num") / (F.col("total") * F.col("total"))
+    k = s.crossJoin(pe_num).select(
+        F.round(po_c, 6).alias("po"),
+        F.round(pe_c, 6).alias("pe"),
+        (
+            F.round((po_c - pe_c) / F.nullif(F.lit(1.0) - pe_c, F.lit(0.0)), 6) + 0
+        ).alias("kappa"),
+    )
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(a) for a in _KAPPA_LABELS])
+            ).alias("label_a")
+        )
+        .select(
+            "label_a",
+            F.explode(
+                F.array(*[F.lit(b) for b in _KAPPA_LABELS])
+            ).alias("label_b"),
+        )
+    )
+    return (
+        grid.join(c, ["label_a", "label_b"], "left")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "label_a",
+            "label_b",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "po",
+            "pe",
+            "kappa",
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q211 — numeric correlation-matrix profile
+# --------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "q211_corr_profile",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               corr(l_quantity, l_extendedprice) AS c01,
+               corr(l_quantity, l_discount) AS c02,
+               corr(l_quantity, l_tax) AS c03,
+               corr(l_extendedprice, l_discount) AS c12,
+               corr(l_extendedprice, l_tax) AS c13,
+               corr(l_discount, l_tax) AS c23
+        FROM lineitem
+    )
+    SELECT col_x, col_y, n, ROUND(r, 6) + 0 AS r FROM (
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n, c01 AS r FROM s
+        UNION ALL SELECT 'l_quantity', 'l_discount', n, c02 FROM s
+        UNION ALL SELECT 'l_quantity', 'l_tax', n, c03 FROM s
+        UNION ALL SELECT 'l_extendedprice', 'l_discount', n, c12 FROM s
+        UNION ALL SELECT 'l_extendedprice', 'l_tax', n, c13 FROM s
+        UNION ALL SELECT 'l_discount', 'l_tax', n, c23 FROM s
+    ) ORDER BY col_x, col_y
+    """,
+)
+def q211_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation profile over the numeric measure
+    columns — the schema-profiling complement to q173's univariate
+    stats and q201's FD discovery (redundant/derived-column and
+    unit-mixup detector). Sample correlation on both engines,
+    ROUND+0 (negative-capable). Spark's native corr() raises
+    DIVIDE_BY_ZERO under ANSI mode when a column has zero variance,
+    while DuckDB's corr() returns NULL — so the engine side builds
+    r = covar_samp / nullif(stddev*stddev, 0), which is the same
+    sample statistic with the degenerate case explicitly NULL.
+
+    Scale shape: ONE map-side-combinable global aggregate computes
+    all C(4,2) correlations in a single pass over the column-pruned
+    scan (co-moment partial state merges associatively); the unpivot
+    to (col_x, col_y, r) rows is over that 1-row summary."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    stack_parts = []
+    for i in range(len(_CORR_COLS)):
+        for j in range(i + 1, len(_CORR_COLS)):
+            a, b = _CORR_COLS[i], _CORR_COLS[j]
+            nm = f"c{i}{j}"
+            ax, bx = F.col(a).cast("double"), F.col(b).cast("double")
+            aggs.append(
+                (
+                    F.covar_samp(ax, bx)
+                    / F.nullif(F.stddev_samp(ax) * F.stddev_samp(bx), F.lit(0.0))
+                ).alias(nm)
+            )
+            stack_parts.append(f"'{a}', '{b}', {nm}")
+    s = li.agg(*aggs)
+    n_pairs = len(stack_parts)
+    return (
+        s.selectExpr(
+            "n",
+            f"stack({n_pairs}, {', '.join(stack_parts)}) AS (col_x, col_y, r)",
+        )
+        .select("col_x", "col_y", "n", (F.round("r", 6) + 0).alias("r"))
+        .orderBy("col_x", "col_y")
+    )
