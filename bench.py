@@ -130,6 +130,10 @@ HEADLINE = [
     "q209_basket_pair_lift",
     "q210_rater_agreement",
     "q211_corr_profile",
+    "q212_calibration_ece",
+    "q213_chi2_independence",
+    "q214_jackknife_ci",
+    "q215_dup_spectrum",
 ]
 
 

@@ -109,6 +109,17 @@ BNLJ_ALLOWED = {
     # 1-row pe-numerator scalar onto the 1-row (total, diag) scalar,
     # then the combined 1-row po/pe/kappa scalar onto the 9-row grid
     "q210_rater_agreement": {"scalar_aggs": 2, "filtered_batches": []},
+    # 1-row ECE scalar onto the <=10-row bin relation
+    "q212_calibration_ece": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row chi2/dof/V summary onto the cells; the grand-total attach
+    # sits behind the checkpointed cells relation so only one BNLJ is
+    # visible in the final plan
+    "q213_chi2_independence": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row totals onto the G-row bucket relation, then the 1-row
+    # jackknife variance onto the 1-row totals
+    "q214_jackknife_ci": {"scalar_aggs": 2, "filtered_batches": []},
+    # 1-row Hill-alpha scalar onto the <=max-frequency spectrum rows
+    "q215_dup_spectrum": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -940,3 +940,130 @@ def test_corr_profile_exact_and_degenerate_columns(spark, tmp_path):
     assert got[("l_extendedprice", "l_discount")] == (3, pytest.approx(-1.0))
     for pair in [("l_quantity", "l_tax"), ("l_extendedprice", "l_tax"), ("l_discount", "l_tax")]:
         assert got[pair][1] is None
+
+
+# --------------------------------------------------------------------------
+# q212 calibration / q213 chi2 / q214 jackknife / q215 dup spectrum
+# --------------------------------------------------------------------------
+def test_calibration_bins_and_ece_hand_computed(spark, tmp_path):
+    """Bin 3 holds scores 0.30 (label 0) and 0.35 (label 1): conf
+    0.325, acc 0.5; bin 9 holds the capped score 1.0 (label 1):
+    perfectly calibrated. ECE = 2·|0.5−0.325|/3 = 0.116667."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, " ".join(["w"] * 30), "en", "s", 100),
+            (2, " ".join(["w"] * 35), "en", "s", 400),
+            (3, " ".join(["w"] * 120), "en", "s", 500),
+        ],
+    )
+    rows = QUERIES["q212_calibration_ece"](spark, str(tmp_path)).collect()
+    got = {r.bin: (r.n, r.conf, r.acc, r.ece) for r in rows}
+    assert set(got) == {3, 9}
+    assert got[3] == (2, pytest.approx(0.325), pytest.approx(0.5), pytest.approx(0.116667))
+    assert got[9] == (1, pytest.approx(1.0), pytest.approx(1.0), pytest.approx(0.116667))
+
+
+def test_chi2_counts_absent_grid_cells_exactly(spark, tmp_path):
+    """2×2 grid with (fr, s2) unobserved: observed-cell terms sum to
+    0.194444 and the absent cell contributes e = 1·1/4 = 0.25 via the
+    N − Σe identity → chi2 = 0.444444, dof 1, V = sqrt(chi2/4) =
+    0.333333."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "t", "en", "s1", 1),
+            (2, "t", "en", "s1", 1),
+            (3, "t", "en", "s2", 1),
+            (4, "t", "fr", "s1", 1),
+        ],
+    )
+    rows = QUERIES["q213_chi2_independence"](spark, str(tmp_path)).collect()
+    got = {(r.lang, r.source): (r.o, r.expected) for r in rows}
+    assert len(got) == 3  # only observed cells materialize
+    assert got[("en", "s1")] == (2, pytest.approx(2.25))
+    assert got[("en", "s2")] == (1, pytest.approx(0.75))
+    assert got[("fr", "s1")] == (1, pytest.approx(0.75))
+    r0 = rows[0]
+    assert r0.chi2 == pytest.approx(0.444444)
+    assert r0.dof == 1
+    assert r0.cramers_v == pytest.approx(0.333333)
+
+
+def test_jackknife_ci_two_user_buckets(spark, tmp_path):
+    """User 1 (bucket 0): values 1, 3; user 2 (bucket 5): value 5.
+    R = 9/3 = 3; leave-one-out ratios {5/1, 4/2} → mean 3.5, var =
+    (1/2)·(1.5² + 1.5²) = 2.25, se 1.5, CI 3 ± 2.94."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    t = datetime.datetime(2024, 1, 1)
+    data = [
+        (1, t, 1, "view", 1.0, "{}"),
+        (2, t, 1, "view", 3.0, "{}"),
+        (3, t, 2, "view", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    rows = QUERIES["q214_jackknife_ci"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_groups == 2
+    assert r.metric == pytest.approx(3.0)
+    assert r.se == pytest.approx(1.5)
+    assert r.ci_lo == pytest.approx(3.0 - 1.96 * 1.5)
+    assert r.ci_hi == pytest.approx(3.0 + 1.96 * 1.5)
+
+
+def test_dup_spectrum_hill_alpha_hand_computed(spark, tmp_path):
+    """Three docs share the same first 6-word line (freq 3); one doc
+    carries a second unique line (freq 1). Spectrum {1: 1, 3: 1};
+    Hill at xmin=2: alpha = 1 + 1/ln(3/2) = 3.466303."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    shared = "a b c d e f"
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, shared + " g h i j k l", "en", "s", 10),
+            (2, shared, "en", "s", 10),
+            (3, shared, "en", "s", 10),
+        ],
+    )
+    rows = QUERIES["q215_dup_spectrum"](spark, str(tmp_path)).collect()
+    got = {r.freq: (r.n_lines, r.hill_alpha) for r in rows}
+    assert got[1][0] == 1 and got[3][0] == 1 and len(got) == 2
+    import math
+
+    assert got[1][1] == pytest.approx(1 + 1 / math.log(1.5), abs=1e-6)
+
+
+def test_jackknife_zero_variance_when_buckets_identical(spark, tmp_path):
+    """Both users contribute the identical (sum, count) profile →
+    every leave-one-out ratio equals the full metric → se = 0 and the
+    CI collapses to the point estimate."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    t = datetime.datetime(2024, 1, 1)
+    data = [
+        (1, t, 1, "view", 2.0, "{}"),
+        (2, t, 2, "view", 2.0, "{}"),
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = QUERIES["q214_jackknife_ci"](spark, str(tmp_path)).collect()[0]
+    assert (r.metric, r.se, r.ci_lo, r.ci_hi) == (2.0, 0.0, 2.0, 2.0)

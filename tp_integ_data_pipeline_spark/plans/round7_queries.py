@@ -2674,3 +2674,382 @@ def q211_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_x", "col_y", "n", (F.round("r", 6) + 0).alias("r"))
         .orderBy("col_x", "col_y")
     )
+
+
+# --------------------------------------------------------------------------
+# q212 — quality-score calibration curve + expected calibration error
+# --------------------------------------------------------------------------
+@query(
+    "q212_calibration_ece",
+    oracle="""
+    WITH scored AS (
+        SELECT LEAST(1.0, len(string_split(text, ' ')) / 100.0) AS score,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    bins AS (
+        SELECT CAST(LEAST(9, FLOOR(score * 10)) AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(score) AS conf_raw,
+               AVG(CAST(label AS DOUBLE)) AS acc_raw
+        FROM scored GROUP BY 1
+    ),
+    e AS (
+        SELECT ROUND(
+                   SUM(n * ABS(acc_raw - conf_raw)) / SUM(n), 6
+               ) AS ece
+        FROM bins
+    )
+    SELECT b.bin, b.n,
+           ROUND(b.conf_raw, 6) AS conf,
+           ROUND(b.acc_raw, 6) AS acc,
+           e.ece
+    FROM bins b, e
+    ORDER BY b.bin
+    """,
+)
+def q212_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration audit (reliability curve + expected
+    calibration error) — the quality-filter QA verb: a score that
+    ranks well but is miscalibrated silently shifts every threshold
+    cut. Score = capped words/100 heuristic, label = n_chars >= 300
+    (both deterministic so the engines agree); 10 equal-width bins,
+    per-bin mean confidence vs empirical accuracy, ECE = Σ (n_b/N)·
+    |acc_b − conf_b| computed from the UNROUNDED bin values.
+
+    Scale shape: one column-pruned scan → map-side-combinable rollup
+    to ≤ 10 bin rows; the ECE scalar is a 1-row broadcast attach over
+    those bins (BNLJ_ALLOWED scalar_aggs)."""
+    docs = load_table(spark, sf_dir, "documents").select("text", "n_chars")
+    scored = docs.select(
+        F.least(F.lit(1.0), F.size(F.split(F.col("text"), " ")) / 100.0).alias(
+            "score"
+        ),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+    )
+    bins = (
+        scored.groupBy(
+            F.least(F.lit(9), F.floor(F.col("score") * 10)).cast("int").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("score").alias("conf_raw"),
+            F.avg(F.col("label").cast("double")).alias("acc_raw"),
+        )
+        .localCheckpoint(eager=False)  # feeds the ECE scalar AND the output
+    )
+    e = bins.agg(
+        F.round(
+            F.sum(F.col("n") * F.abs(F.col("acc_raw") - F.col("conf_raw")))
+            / F.sum("n"),
+            6,
+        ).alias("ece")
+    )
+    return (
+        bins.crossJoin(F.broadcast(e))
+        .select(
+            "bin",
+            "n",
+            F.round("conf_raw", 6).alias("conf"),
+            F.round("acc_raw", 6).alias("acc"),
+            "ece",
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# q213 — chi-squared independence test + Cramér's V (lang × source)
+# --------------------------------------------------------------------------
+@query(
+    "q213_chi2_independence",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(SUM(o) AS DOUBLE) AS total FROM c),
+    ma AS (SELECT lang, SUM(o) AS na FROM c GROUP BY 1),
+    mb AS (SELECT source, SUM(o) AS nb FROM c GROUP BY 1),
+    cells AS (
+        SELECT c.lang, c.source, c.o,
+               ma.na * mb.nb / n.total AS e_raw
+        FROM c JOIN ma USING (lang) JOIN mb USING (source) CROSS JOIN n
+    ),
+    s AS (
+        -- absent (lang, source) combos contribute (0 - e)^2 / e = e
+        -- to chi2, and SUM(e) over the FULL grid is exactly N, so the
+        -- unobserved-cell mass is N - SUM(e over observed cells):
+        -- no grid materialization needed.
+        SELECT SUM((o - e_raw) * (o - e_raw) / e_raw)
+                   + (SUM(o) - SUM(e_raw)) AS chi2_raw,
+               COUNT(DISTINCT lang) AS r,
+               COUNT(DISTINCT source) AS k,
+               SUM(o) AS total
+        FROM cells
+    ),
+    kk AS (
+        SELECT ROUND(chi2_raw, 6) AS chi2,
+               CAST((r - 1) * (k - 1) AS BIGINT) AS dof,
+               ROUND(
+                   sqrt(chi2_raw / (total * LEAST(r - 1, k - 1))), 6
+               ) AS cramers_v
+        FROM s
+    )
+    SELECT cells.lang, cells.source, cells.o,
+           ROUND(cells.e_raw, 6) AS expected,
+           kk.chi2, kk.dof, kk.cramers_v
+    FROM cells, kk
+    ORDER BY cells.lang, cells.source
+    """,
+)
+def q213_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test between two categorical
+    columns (lang × source) with Cramér's V effect size — the
+    categorical complement to q211's numeric correlation profile
+    (detects source/language confounds in a corpus mix). Output: every
+    observed contingency cell with its expected count, plus the
+    chi2 / dof / V test summary attached to each row. Unobserved
+    (lang, source) combos are NOT materialized, but their chi2 mass is
+    exact: each absent cell contributes (0−e)²/e = e, and Σe over the
+    full grid is N, so the absent-cell term is N − Σ_observed e.
+
+    Scale shape: one map-side-combinable (lang, source) rollup to
+    ≤ |langs|·|sources| cells; marginals are rollups OF that bounded
+    relation (broadcast equi-joins back); the grand total and the
+    chi2/V summary are 1-row broadcast attaches (BNLJ_ALLOWED
+    scalar_aggs: 2). Nothing downstream exceeds the cell count."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    c = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)  # feeds marginals, total, cells
+    )
+    n = c.agg(F.sum("o").cast("double").alias("total"))
+    ma = c.groupBy("lang").agg(F.sum("o").alias("na"))
+    mb = c.groupBy("source").agg(F.sum("o").alias("nb"))
+    cells = (
+        c.join(ma, "lang")
+        .join(mb, "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "o",
+            (F.col("na") * F.col("nb") / F.col("total")).alias("e_raw"),
+        )
+        .localCheckpoint(eager=False)  # feeds the chi2 scalar AND the output
+    )
+    s = cells.agg(
+        (
+            F.sum(
+                (F.col("o") - F.col("e_raw"))
+                * (F.col("o") - F.col("e_raw"))
+                / F.col("e_raw")
+            )
+            + (F.sum("o") - F.sum("e_raw"))
+        ).alias("chi2_raw"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("k"),
+        F.sum("o").alias("total"),
+    )
+    kk = s.select(
+        F.round("chi2_raw", 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (F.col("total") * F.least(F.col("r") - 1, F.col("k") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(kk))
+        .select(
+            "lang",
+            "source",
+            "o",
+            F.round("e_raw", 6).alias("expected"),
+            "chi2",
+            "dof",
+            "cramers_v",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q214 — delete-a-group jackknife CI for a per-event mean (user-clustered)
+# --------------------------------------------------------------------------
+_JK_GROUPS = 20
+
+
+@query(
+    "q214_jackknife_ci",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {_JK_GROUPS} AS grp,
+               value
+        FROM events
+    ),
+    b AS (
+        SELECT grp, SUM(value) AS s, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM g GROUP BY 1
+    ),
+    tot AS (SELECT SUM(s) AS st, SUM(c) AS ct, COUNT(*) AS ng FROM b),
+    loo AS (
+        SELECT (tot.st - b.s) / (tot.ct - b.c) AS r_g
+        FROM b CROSS JOIN tot
+    ),
+    v AS (
+        SELECT (COUNT(*) - 1.0) / COUNT(*)
+                   * (SUM(r_g * r_g) - COUNT(*) * AVG(r_g) * AVG(r_g)) AS var_jk
+        FROM loo
+    )
+    SELECT CAST(tot.ng AS BIGINT) AS n_groups,
+           ROUND(tot.st / tot.ct, 6) + 0 AS metric,
+           ROUND(sqrt(v.var_jk), 6) AS se,
+           ROUND(tot.st / tot.ct - 1.96 * sqrt(v.var_jk), 6) + 0 AS ci_lo,
+           ROUND(tot.st / tot.ct + 1.96 * sqrt(v.var_jk), 6) + 0 AS ci_hi
+    FROM tot CROSS JOIN v
+    """,
+)
+def q214_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife confidence interval for a ratio metric
+    (mean event value), with USERS as the randomization unit — the
+    scale-safe uncertainty verb production experimentation systems use
+    when per-user resampling is infeasible: hash users into G=20
+    buckets, compute the metric leaving each bucket out, and estimate
+    Var = (G-1)/G · Σ (R_g − R̄)². User-level bucketing makes the SE
+    cluster-robust (correlated events of one user stay together).
+
+    Cross-engine: the bucket hash is the portable first-8-hex-md5
+    rule; metric/ci are ROUND+0 (negative-capable in general).
+
+    Scale shape: one map-side-combinable groupBy(grp) rollup to G
+    rows; totals, leave-one-out ratios, and the variance are all
+    G-bounded; two 1-row broadcast attaches (BNLJ_ALLOWED
+    scalar_aggs: 2). No per-user state, no resampling shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    g = ev.select(
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % _JK_GROUPS
+        ).alias("grp"),
+        "value",
+    )
+    b = (
+        g.groupBy("grp")
+        .agg(
+            F.sum("value").alias("s"),
+            F.count(F.lit(1)).cast("double").alias("c"),
+        )
+        .localCheckpoint(eager=False)  # feeds totals AND leave-one-out rows
+    )
+    tot = b.agg(
+        F.sum("s").alias("st"),
+        F.sum("c").alias("ct"),
+        F.count(F.lit(1)).alias("ng"),
+    )
+    loo = b.crossJoin(F.broadcast(tot)).select(
+        ((F.col("st") - F.col("s")) / (F.col("ct") - F.col("c"))).alias("r_g")
+    )
+    v = loo.agg(
+        (
+            (F.count(F.lit(1)) - 1.0)
+            / F.count(F.lit(1))
+            * (
+                F.sum(F.col("r_g") * F.col("r_g"))
+                - F.count(F.lit(1)) * F.avg("r_g") * F.avg("r_g")
+            )
+        ).alias("var_jk")
+    )
+    est = F.col("st") / F.col("ct")
+    se = F.sqrt(F.col("var_jk"))
+    return tot.crossJoin(F.broadcast(v)).select(
+        F.col("ng").cast("long").alias("n_groups"),
+        (F.round(est, 6) + 0).alias("metric"),
+        F.round(se, 6).alias("se"),
+        (F.round(est - 1.96 * se, 6) + 0).alias("ci_lo"),
+        (F.round(est + 1.96 * se, 6) + 0).alias("ci_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q215 — duplicate-line frequency spectrum + Hill tail exponent
+# --------------------------------------------------------------------------
+@query(
+    "q215_dup_spectrum",
+    oracle=f"""
+    WITH b AS (
+        SELECT array_to_string(w[i:i+{_LINE_W - 1}], ' ') AS line
+        FROM (SELECT string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, greatest(len(w), 1) + 1, {_LINE_W})) AS t(i)
+    ),
+    lf AS (SELECT line, COUNT(*) AS cnt FROM b GROUP BY 1),
+    spec AS (
+        SELECT CAST(cnt AS BIGINT) AS freq,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lf GROUP BY 1
+    ),
+    hill AS (
+        SELECT ROUND(
+                   1.0 + SUM(CASE WHEN freq >= 2 THEN n_lines ELSE 0 END)
+                       / NULLIF(SUM(CASE WHEN freq >= 2
+                                         THEN n_lines * ln(freq / 2.0) END), 0.0),
+                   6
+               ) AS hill_alpha
+        FROM spec
+    )
+    SELECT s.freq, s.n_lines, h.hill_alpha
+    FROM spec s, hill h
+    ORDER BY s.freq
+    """,
+)
+def q215_dup_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-line frequency spectrum (how many distinct 6-word
+    lines occur exactly k times corpus-wide) plus the Hill maximum-
+    likelihood tail exponent at xmin=2 — the corpus-health analytic
+    behind dedup planning: a heavy tail (small alpha) means boilerplate
+    dominates and line-level dedup (q180) pays; alpha is NULL when no
+    line repeats (the estimator is undefined on an empty tail).
+
+    Scale shape: the line relation is segment_blocks' row-local
+    explode of the per-document word array (the SAME segmentation
+    q180 dedups, one scan); groupBy(line) is the single data-sized
+    shuffle; the spectrum rollup is ≤ max-frequency rows and the Hill
+    scalar is a 1-row broadcast attach over it (BNLJ_ALLOWED
+    scalar_aggs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = segment_blocks(docs, _LINE_W).select("line")
+    lf = lines.groupBy("line").agg(F.count(F.lit(1)).alias("cnt"))
+    spec = (
+        lf.groupBy(F.col("cnt").cast("long").alias("freq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+        .localCheckpoint(eager=False)  # feeds the Hill scalar AND the output
+    )
+    hill = spec.agg(
+        F.round(
+            1.0
+            + F.sum(F.when(F.col("freq") >= 2, F.col("n_lines")).otherwise(0))
+            / F.nullif(
+                F.sum(
+                    F.when(
+                        F.col("freq") >= 2,
+                        F.col("n_lines") * F.log(F.col("freq") / 2.0),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("hill_alpha")
+    )
+    return (
+        spec.crossJoin(F.broadcast(hill))
+        .select("freq", "n_lines", "hill_alpha")
+        .orderBy("freq")
+    )
