@@ -134,6 +134,8 @@ HEADLINE = [
     "q213_chi2_independence",
     "q214_jackknife_ci",
     "q215_dup_spectrum",
+    "q216_id_gaps",
+    "q217_cusum_changepoint",
 ]
 
 

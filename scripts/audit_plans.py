@@ -120,6 +120,10 @@ BNLJ_ALLOWED = {
     "q214_jackknife_ci": {"scalar_aggs": 2, "filtered_batches": []},
     # 1-row Hill-alpha scalar onto the <=max-frequency spectrum rows
     "q215_dup_spectrum": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row |CUSUM| peak scalar onto the per-day series; the grand-mean
+    # attach sits behind the checkpointed series so only one BNLJ is
+    # visible in the final plan
+    "q217_cusum_changepoint": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column
@@ -144,6 +148,11 @@ GLOBAL_WINDOW_ALLOWED = {
     "q147_heavy_hitters": "shard-topk candidate merge, n_shards*k rows",
     # running sum over the per-DAY summary (calendar-span rows)
     "q207_new_returning": "cumulative reach over per-day rows, span-bounded",
+    # hierarchical islands: only the n/512^3 TOP level is partitionless
+    # (operators/islands.py — every data-sized level is bucket-keyed)
+    "q216_id_gaps": "top-level LEAD over the n/B^levels bucket summary",
+    # CUSUM running sum over the per-DAY summary (calendar-span rows)
+    "q217_cusum_changepoint": "running CUSUM over per-day rows, span-bounded",
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

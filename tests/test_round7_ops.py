@@ -1067,3 +1067,68 @@ def test_jackknife_zero_variance_when_buckets_identical(spark, tmp_path):
     ).write.parquet(str(tmp_path / "events.parquet"))
     r = QUERIES["q214_jackknife_ci"](spark, str(tmp_path)).collect()[0]
     assert (r.metric, r.se, r.ci_lo, r.ci_hi) == (2.0, 0.0, 2.0, 2.0)
+
+
+# --------------------------------------------------------------------------
+# q216 id gaps / q217 CUSUM changepoint
+# --------------------------------------------------------------------------
+def test_id_gaps_planted_holes(spark, tmp_path):
+    """Purchase ids {1, 2, 5, 9} → missing ranges [3,4] and [6,8];
+    non-purchase ids inside the holes must not fill them."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00", 1, "purchase"),
+            (2, "2024-01-01T00:01", 1, "purchase"),
+            (3, "2024-01-01T00:02", 1, "view"),
+            (5, "2024-01-01T00:03", 1, "purchase"),
+            (7, "2024-01-01T00:04", 1, "click"),
+            (9, "2024-01-01T00:05", 1, "purchase"),
+        ],
+    )
+    rows = QUERIES["q216_id_gaps"](spark, str(tmp_path)).collect()
+    assert [(r.gap_start, r.gap_end, r.gap_len) for r in rows] == [
+        (3, 4, 2),
+        (6, 8, 3),
+    ]
+
+
+def test_consecutive_pairs_matches_naive_across_bucket_levels(spark):
+    """Hierarchical pair detection == the naive sorted zip, on an id
+    set engineered to exercise every recursion path with width=3,
+    levels=3: multi-id buckets, singleton buckets, empty-bucket runs
+    (cross-bucket AND cross-super-bucket successors)."""
+    from tp_integ_data_pipeline_spark.operators.islands import consecutive_pairs
+
+    ids = [0, 1, 2, 3, 5, 8, 9, 26, 27, 28, 80, 81, 200]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = sorted(
+        (r.id, r.nxt)
+        for r in consecutive_pairs(df, "id", bucket_width=3, levels=3).collect()
+    )
+    want = list(zip(ids, ids[1:]))
+    assert got == want
+
+
+def test_cusum_changepoint_peak_day(spark, tmp_path):
+    """Counts 2,2,5 over three days: mean 3, CUSUM −1,−2,0 → the
+    peak |CUSUM| = 2 lands on day 2 (the level-shift point)."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = []
+    eid = 0
+    for day, cnt in [(1, 2), (2, 2), (3, 5)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day}T00:00", 1, "view"))
+    _write_events(spark, tmp_path, rows)
+    out = QUERIES["q217_cusum_changepoint"](spark, str(tmp_path)).collect()
+    got = {r.day: (r.n, r.cusum, r.is_peak) for r in out}
+    assert got[datetime.date(2024, 1, 1)] == (2, pytest.approx(-1.0), 0)
+    assert got[datetime.date(2024, 1, 2)] == (2, pytest.approx(-2.0), 1)
+    assert got[datetime.date(2024, 1, 3)] == (5, pytest.approx(0.0), 0)

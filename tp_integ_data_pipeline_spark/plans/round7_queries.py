@@ -16,6 +16,7 @@ from tp_integ_data_pipeline_spark.operators.rank_sketch import (
     rank_summaries,
     summary_quantiles,
 )
+from tp_integ_data_pipeline_spark.operators.islands import id_gaps
 from tp_integ_data_pipeline_spark.operators.selection import domain_cap, url_host
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.sources.fixtures import load_table
@@ -3052,4 +3053,116 @@ def q215_dup_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         spec.crossJoin(F.broadcast(hill))
         .select("freq", "n_lines", "hill_alpha")
         .orderBy("freq")
+    )
+
+
+# --------------------------------------------------------------------------
+# q216 — id-sequence gap audit (distributed gaps-and-islands)
+# --------------------------------------------------------------------------
+@query(
+    "q216_id_gaps",
+    oracle="""
+    WITH ids AS (
+        SELECT DISTINCT event_id AS id FROM events WHERE event_type = 'purchase'
+    ),
+    p AS (SELECT id, LEAD(id) OVER (ORDER BY id) AS nxt FROM ids)
+    SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - id - 1 AS gap_len
+    FROM p WHERE nxt - id > 1
+    ORDER BY gap_start
+    """,
+)
+def q216_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands audit over a filtered id stream: every maximal
+    missing event_id range inside the purchase-event sequence — the
+    continuity check behind "did an ingest drop a batch?" / free-range
+    discovery. The DuckDB oracle is the textbook single-sort LEAD; the
+    engine side is operators/islands.py's HIERARCHICAL pair detection:
+    LEAD partitioned by id div 512 (parallel), bucket-boundary
+    successors from the recursively-shrunk bucket summary, and only
+    the n/512^3 top relation (< 1 row per 1.3e8 ids) ever sees a
+    partitionless sort — the global-sort shape the naive plan would
+    put on ONE reducer at 100 TB never appears over data-sized rows.
+
+    Scale shape: one distinct shuffle + per-level keyed windows; the
+    two boundary joins are bucket-summary-sized equi-joins
+    (GLOBAL_WINDOW_ALLOWED documents the tiny top-level window)."""
+    ids = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("id"))
+        .distinct()
+    )
+    return id_gaps(ids, "id").orderBy("gap_start")
+
+
+# --------------------------------------------------------------------------
+# q217 — CUSUM changepoint scan over the daily event-count series
+# --------------------------------------------------------------------------
+@query(
+    "q217_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    m AS (SELECT AVG(CAST(n AS DOUBLE)) AS mu FROM d),
+    c AS (
+        SELECT day, n,
+               SUM(n - m.mu) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_raw
+        FROM d, m
+    ),
+    mx AS (SELECT MAX(ABS(cusum_raw)) AS peak FROM c)
+    SELECT c.day, c.n,
+           ROUND(c.cusum_raw, 6) + 0 AS cusum,
+           CAST(ABS(c.cusum_raw) = mx.peak AS INT) AS is_peak
+    FROM c, mx
+    ORDER BY c.day
+    """,
+)
+def q217_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan: cumulative sum of (daily count − grand
+    mean) over the day series, with the |CUSUM| peak flagged — the
+    standard nonparametric single-changepoint locator for "did the
+    event rate shift, and when?" (peak day = most likely split point).
+
+    Cross-engine: cusum is ROUND+0 (negative-capable); the peak flag
+    compares UNROUNDED |cusum| against the unrounded max so ties are
+    engine-identical.
+
+    Scale shape: the day rollup is map-side combinable (365 rows per
+    year); the running sum, mean attach, and peak attach all operate
+    on that calendar-span-bounded relation (GLOBAL_WINDOW_ALLOWED —
+    same precedent as q207; BNLJ_ALLOWED scalar_aggs: 2)."""
+    ev = load_table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    d = (
+        ev.groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds the mean scalar AND the series
+    )
+    m = d.agg(F.avg(F.col("n").cast("double")).alias("mu"))
+    from pyspark.sql.window import Window as W
+
+    c = (
+        d.crossJoin(F.broadcast(m))
+        .select(
+            "day",
+            "n",
+            F.sum(F.col("n") - F.col("mu"))
+            .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("cusum_raw"),
+        )
+        .localCheckpoint(eager=False)  # feeds the peak scalar AND the output
+    )
+    mx = c.agg(F.max(F.abs(F.col("cusum_raw"))).alias("peak"))
+    return (
+        c.crossJoin(F.broadcast(mx))
+        .select(
+            "day",
+            "n",
+            (F.round("cusum_raw", 6) + 0).alias("cusum"),
+            (F.abs(F.col("cusum_raw")) == F.col("peak")).cast("int").alias("is_peak"),
+        )
+        .orderBy("day")
     )
