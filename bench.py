@@ -136,6 +136,9 @@ HEADLINE = [
     "q215_dup_spectrum",
     "q216_id_gaps",
     "q217_cusum_changepoint",
+    "q218_session_concurrency",
+    "q219_woe_iv",
+    "q220_l_diversity",
 ]
 
 

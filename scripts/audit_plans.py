@@ -124,6 +124,9 @@ BNLJ_ALLOWED = {
     # attach sits behind the checkpointed series so only one BNLJ is
     # visible in the final plan
     "q217_cusum_changepoint": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row IV scalar onto the checkpointed share rows (the bounds
+    # and totals attaches sit behind checkpoints)
+    "q219_woe_iv": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column
@@ -153,6 +156,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "q216_id_gaps": "top-level LEAD over the n/B^levels bucket summary",
     # CUSUM running sum over the per-DAY summary (calendar-span rows)
     "q217_cusum_changepoint": "running CUSUM over per-day rows, span-bounded",
+    # sweep-line prefix sum via packing.global_cumsum: the only
+    # partitionless window is its <= n_buckets offset table
+    "q218_session_concurrency": "prefix-sum offset table, n_buckets rows",
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

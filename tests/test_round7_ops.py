@@ -1132,3 +1132,107 @@ def test_cusum_changepoint_peak_day(spark, tmp_path):
     assert got[datetime.date(2024, 1, 1)] == (2, pytest.approx(-1.0), 0)
     assert got[datetime.date(2024, 1, 2)] == (2, pytest.approx(-2.0), 1)
     assert got[datetime.date(2024, 1, 3)] == (5, pytest.approx(0.0), 0)
+
+
+# --------------------------------------------------------------------------
+# q218 concurrency / q219 WOE-IV / q220 l-diversity
+# --------------------------------------------------------------------------
+def test_session_concurrency_overlap_and_days(spark, tmp_path):
+    """User 1's [0,600] session overlaps user 2's instant session at
+    t=300 → day-0 peak 2; user 3's lone event lands on epoch day 1
+    (t=100000) → peak 1 there."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00:00", 1, "view"),
+            (2, "2024-01-01T00:10:00", 1, "view"),
+            (3, "2024-01-01T00:05:00", 2, "view"),
+            (4, "2024-01-02T03:46:40", 3, "view"),
+        ],
+    )
+    rows = QUERIES["q218_session_concurrency"](spark, str(tmp_path)).collect()
+    assert [(r.day, r.peak) for r in rows] == [(0, 2), (1, 1)]
+
+
+def test_session_gap_rule_is_strictly_greater(spark, tmp_path):
+    """Gaps of exactly 1800 s stay in one session; 1801 s splits. One
+    user, events at t = 0, 1800, 3601 → sessions [0,1800] and
+    [3601,3601], never concurrent → peak 1."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00:00", 1, "view"),
+            (2, "2024-01-01T00:30:00", 1, "view"),
+            (3, "2024-01-01T01:00:01", 1, "view"),
+        ],
+    )
+    rows = QUERIES["q218_session_concurrency"](spark, str(tmp_path)).collect()
+    assert [(r.day, r.peak) for r in rows] == [(0, 1)]
+
+
+def _write_orders(spark, tmp_path, rows, schema):
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_woe_iv_hand_computed_with_smoothing(spark, tmp_path):
+    """Three 1-row bins (prices 5/15/100 over [0,100]), one event in
+    bin 0: smoothed WOE/IV verified against the closed form."""
+    import math
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_orders(
+        spark,
+        tmp_path,
+        [(5.0, "F"), (15.0, "O"), (100.0, "O")],
+        "o_totalprice double, o_orderstatus string",
+    )
+    rows = QUERIES["q219_woe_iv"](spark, str(tmp_path)).collect()
+    got = {r.bin: (r.n, r.n_event, r.woe, r.iv) for r in rows}
+    assert set(got) == {0, 1, 9}
+    pe0, pn0 = 1.5 / 2.5, 0.5 / 3.5
+    pe1, pn1 = 0.5 / 2.5, 1.5 / 3.5
+    iv = (pe0 - pn0) * math.log(pe0 / pn0) + 2 * (pe1 - pn1) * math.log(pe1 / pn1)
+    assert got[0][:2] == (1, 1)
+    assert got[0][2] == pytest.approx(math.log(pe0 / pn0), abs=1e-6)
+    assert got[1][2] == pytest.approx(math.log(pe1 / pn1), abs=1e-6)
+    assert got[9][2] == got[1][2]
+    assert got[0][3] == pytest.approx(iv, abs=1e-6)
+
+
+def test_l_diversity_entropy_flags_skewed_group(spark, tmp_path):
+    """Group (1-URGENT, F): custkeys {1,1,2} → l=2, H = ln3 − (2ln2)/3
+    ≈ 0.6365 < ln3 → fails; group (2-HIGH, O): four uniform custkeys
+    → H = ln4 > ln3 → passes."""
+    import math
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = [
+        ("1-URGENT", "F", 1),
+        ("1-URGENT", "F", 1),
+        ("1-URGENT", "F", 2),
+        ("2-HIGH", "O", 1),
+        ("2-HIGH", "O", 2),
+        ("2-HIGH", "O", 3),
+        ("2-HIGH", "O", 4),
+    ]
+    _write_orders(
+        spark,
+        tmp_path,
+        rows,
+        "o_orderpriority string, o_orderstatus string, o_custkey long",
+    )
+    out = QUERIES["q220_l_diversity"](spark, str(tmp_path)).collect()
+    got = {(r.qi1, r.qi2): (r.n, r.l_distinct, r.entropy, r.meets_entropy_l) for r in out}
+    h_skew = math.log(3) - 2 * math.log(2) / 3
+    assert got[("1-URGENT", "F")][:2] == (3, 2)
+    assert got[("1-URGENT", "F")][2] == pytest.approx(h_skew, abs=1e-6)
+    assert got[("1-URGENT", "F")][3] == 0
+    assert got[("2-HIGH", "O")] == (4, 4, pytest.approx(math.log(4), abs=1e-6), 1)

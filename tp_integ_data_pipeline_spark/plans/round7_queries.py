@@ -3166,3 +3166,292 @@ def q217_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q218 — peak concurrent sessions per day (distributed sweep-line)
+# --------------------------------------------------------------------------
+_SESSION_GAP_S = 1800
+
+
+@query(
+    "q218_session_concurrency",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                   // 1000000 AS t
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, t,
+               CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                         OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                            > {_SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS ns
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, t,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o
+    ),
+    sess AS (SELECT user_id, sid, MIN(t) AS st, MAX(t) AS en FROM s GROUP BY 1, 2),
+    dl AS (
+        SELECT st AS b, 1 AS d FROM sess
+        UNION ALL SELECT en + 1, -1 FROM sess
+    ),
+    net AS (SELECT b, SUM(d) AS net FROM dl GROUP BY 1),
+    c AS (
+        SELECT b, SUM(net) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM net
+    )
+    SELECT b // 86400 AS day, CAST(MAX(conc) AS BIGINT) AS peak
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def q218_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning verb:
+    sessionize per user (30-min gap rule, q28's semantics), sweep-line
+    the session intervals as +1/−1 boundary deltas, and report each
+    day's maximum running concurrency. Time is TZ-free seconds since
+    2024-01-01 (the q189 epoch-difference rule); day = t div 86400.
+
+    Scale shape: sessionization windows are USER-partitioned; the
+    sweep's running sum — the step the naive plan puts on one global
+    sort — is packing.global_cumsum's distributed prefix sum (keys
+    are the DISTINCT boundary seconds after the net rollup, so the
+    unique-key precondition holds by construction); only its
+    ≤ n_buckets offset table is ever partitionless. The day peak is a
+    map-side-combinable rollup of the boundary relation."""
+    from pyspark.sql.window import Window as W
+
+    from tp_integ_data_pipeline_spark.operators.packing import global_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "CAST((unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("t"),
+    )
+    uw = W.partitionBy("user_id").orderBy("t")
+    o = e.select(
+        "user_id",
+        "t",
+        F.when(
+            F.lag("t").over(uw).isNull()
+            | (F.col("t") - F.lag("t").over(uw) > _SESSION_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("ns"),
+    )
+    s = o.select(
+        "user_id",
+        "t",
+        F.sum("ns").over(uw.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(F.min("t").alias("st"), F.max("t").alias("en"))
+    dl = sess.select(F.col("st").alias("b"), F.lit(1).alias("d")).unionByName(
+        sess.select((F.col("en") + 1).alias("b"), F.lit(-1).alias("d"))
+    )
+    # global_cumsum evaluates its child up to three times (documented
+    # at operators/packing.py) — checkpoint the boundary relation so
+    # the sessionization pipeline above runs once.
+    net = dl.groupBy("b").agg(F.sum("d").alias("net")).localCheckpoint(eager=False)
+    c = global_cumsum(net, "b", "net", out_col="cum_before").select(
+        "b", (F.col("cum_before") + F.col("net")).alias("conc")
+    )
+    return (
+        c.groupBy(F.expr("b DIV 86400").alias("day"))
+        .agg(F.max("conc").cast("long").alias("peak"))
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# q219 — weight-of-evidence / information-value feature audit
+# --------------------------------------------------------------------------
+_WOE_BINS = 10
+
+
+@query(
+    "q219_woe_iv",
+    oracle=f"""
+    WITH bd AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+    binned AS (
+        SELECT CAST(LEAST(FLOOR((o_totalprice - bd.lo)
+                                / NULLIF(bd.hi - bd.lo, 0.0) * {_WOE_BINS}),
+                          {_WOE_BINS - 1}) AS INT) AS bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+        FROM orders, bd
+    ),
+    c AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ev) AS BIGINT) AS e
+        FROM binned GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(e) AS DOUBLE) AS et,
+               CAST(SUM(n) - SUM(e) AS DOUBLE) AS nt,
+               COUNT(*) AS nb
+        FROM c
+    ),
+    w AS (
+        SELECT c.bin, c.n, c.e,
+               (c.e + 0.5) / (t.et + 0.5 * t.nb) AS pe,
+               (c.n - c.e + 0.5) / (t.nt + 0.5 * t.nb) AS pn
+        FROM c, t
+    ),
+    iv AS (SELECT ROUND(SUM((pe - pn) * ln(pe / pn)), 6) AS iv FROM w)
+    SELECT w.bin, w.n, w.e AS n_event,
+           ROUND(ln(w.pe / w.pn), 6) + 0 AS woe,
+           iv.iv
+    FROM w, iv ORDER BY w.bin
+    """,
+)
+def q219_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value audit of a numeric
+    feature against a binary outcome (o_totalprice predicting
+    finished status) — the standard feature-screening verb: per-bin
+    WOE = ln(P(bin|event)/P(bin|non-event)) with +0.5 Laplace
+    smoothing (so empty cells stay finite), IV = Σ(pe−pn)·WOE.
+    Equal-WIDTH bins over the [min,max] scalar (q170's binning rule:
+    row-local, tie-free, no cross-engine quantile drift).
+
+    Scale shape: bounds are a 1-row broadcast onto the scan; the bin
+    rollup is map-side combinable to ≤ 10 rows; totals / smoothed
+    shares / IV are all bin-bounded with 1-row scalar attaches
+    (BNLJ_ALLOWED)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderstatus"
+    )
+    bd = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bd)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+                * _WOE_BINS
+            ),
+            F.lit(_WOE_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+    )
+    c = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ev").cast("long").alias("e"),
+        )
+        .localCheckpoint(eager=False)  # feeds totals AND the share rows
+    )
+    t = c.agg(
+        F.sum("e").cast("double").alias("et"),
+        (F.sum("n") - F.sum("e")).cast("double").alias("nt"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    w = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n",
+            "e",
+            ((F.col("e") + 0.5) / (F.col("et") + 0.5 * F.col("nb"))).alias("pe"),
+            (
+                (F.col("n") - F.col("e") + 0.5)
+                / (F.col("nt") + 0.5 * F.col("nb"))
+            ).alias("pn"),
+        )
+        .localCheckpoint(eager=False)  # feeds the IV scalar AND the output
+    )
+    iv = w.agg(
+        F.round(
+            F.sum((F.col("pe") - F.col("pn")) * F.log(F.col("pe") / F.col("pn"))), 6
+        ).alias("iv")
+    )
+    return (
+        w.crossJoin(F.broadcast(iv))
+        .select(
+            "bin",
+            "n",
+            F.col("e").alias("n_event"),
+            (F.round(F.log(F.col("pe") / F.col("pn")), 6) + 0).alias("woe"),
+            "iv",
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# q220 — l-diversity audit (distinct + entropy) over quasi-identifiers
+# --------------------------------------------------------------------------
+_LDIV_L = 3
+
+
+@query(
+    "q220_l_diversity",
+    oracle=f"""
+    WITH sv AS (
+        SELECT o_orderpriority AS qi1, o_orderstatus AS qi2, o_custkey,
+               COUNT(*) AS c
+        FROM orders GROUP BY 1, 2, 3
+    ),
+    g AS (
+        SELECT qi1, qi2,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               -SUM(c * ln(c)) / SUM(c) + ln(SUM(c)) AS h_raw
+        FROM sv GROUP BY 1, 2
+    )
+    SELECT qi1, qi2, n, l_distinct,
+           ROUND(h_raw, 6) + 0 AS entropy,
+           CAST(h_raw >= ln({_LDIV_L}.0) AS INT) AS meets_entropy_l
+    FROM g ORDER BY qi1, qi2
+    """,
+)
+def q220_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the release-safety complement to q166's
+    k-anonymity: per quasi-identifier group (priority × status), the
+    count of DISTINCT sensitive values (custkey) and the ENTROPY of
+    their distribution, flagged against entropy-l-diversity H ≥ ln(3)
+    (a group k-anonymous on size can still leak if one sensitive value
+    dominates — the entropy form catches that). H is computed as
+    ln(n) − Σ c·ln(c)/n, algebraically equal to −Σ p·ln p but summed
+    over EXACT integer counts so partial-agg order can't drift.
+
+    Scale shape: two map-side-combinable keyed rollups — (qi, custkey)
+    then (qi) — both shuffle-bounded by group cardinality; no distinct
+    subquery, no window, no scalar attach."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("qi1"),
+        F.col("o_orderstatus").alias("qi2"),
+        "o_custkey",
+    )
+    sv = orders.groupBy("qi1", "qi2", "o_custkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    h_raw = -F.sum(F.col("c") * F.log("c")) / F.sum("c") + F.log(F.sum("c"))
+    g = sv.groupBy("qi1", "qi2").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        h_raw.alias("h_raw"),
+    )
+    import math
+
+    return g.select(
+        "qi1",
+        "qi2",
+        "n",
+        "l_distinct",
+        (F.round("h_raw", 6) + 0).alias("entropy"),
+        (F.col("h_raw") >= math.log(_LDIV_L)).cast("int").alias("meets_entropy_l"),
+    ).orderBy("qi1", "qi2")
