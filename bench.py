@@ -139,6 +139,9 @@ HEADLINE = [
     "q218_session_concurrency",
     "q219_woe_iv",
     "q220_l_diversity",
+    "q221_attribution",
+    "q222_session_paths",
+    "q223_km_survival",
 ]
 
 

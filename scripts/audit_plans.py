@@ -127,6 +127,8 @@ BNLJ_ALLOWED = {
     # 1-row IV scalar onto the checkpointed share rows (the bounds
     # and totals attaches sit behind checkpoints)
     "q219_woe_iv": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row user-total scalar onto the per-day duration rollup
+    "q223_km_survival": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column
@@ -159,6 +161,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # sweep-line prefix sum via packing.global_cumsum: the only
     # partitionless window is its <= n_buckets offset table
     "q218_session_concurrency": "prefix-sum offset table, n_buckets rows",
+    # KM risk-set and ln-survival folds over the per-DAY duration
+    # rollup (observation-span rows)
+    "q223_km_survival": "risk/ln-S folds over per-day rows, span-bounded",
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

@@ -1236,3 +1236,100 @@ def test_l_diversity_entropy_flags_skewed_group(spark, tmp_path):
     assert got[("1-URGENT", "F")][2] == pytest.approx(h_skew, abs=1e-6)
     assert got[("1-URGENT", "F")][3] == 0
     assert got[("2-HIGH", "O")] == (4, 4, pytest.approx(math.log(4), abs=1e-6), 1)
+
+
+# --------------------------------------------------------------------------
+# q221 attribution / q222 session paths / q223 KM survival
+# --------------------------------------------------------------------------
+def test_attribution_first_vs_last_touch(spark, tmp_path):
+    """User 1: view→click→purchase→purchase (both purchases credit
+    first=view, last=click); user 2's opening purchase credits
+    first=purchase, last=(none)."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00", 1, "view"),
+            (2, "2024-01-01T00:01", 1, "click"),
+            (3, "2024-01-01T00:02", 1, "purchase"),
+            (4, "2024-01-01T00:03", 1, "purchase"),
+            (5, "2024-01-01T00:00", 2, "purchase"),
+        ],
+    )
+    rows = QUERIES["q221_attribution"](spark, str(tmp_path)).collect()
+    got = {r.channel: (r.first_conv, r.last_conv) for r in rows}
+    assert got == {
+        "view": (2, 0),
+        "click": (0, 2),
+        "purchase": (1, 0),
+        "(none)": (0, 1),
+    }
+
+
+def test_session_paths_truncate_and_split(spark, tmp_path):
+    """User 1's first session has 4 events → path keeps only the first
+    3; a ≥30-min gap opens a second session with a 1-event path; ties
+    rank alphabetically at equal counts."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00", 1, "view"),
+            (2, "2024-01-01T00:01", 1, "click"),
+            (3, "2024-01-01T00:02", 1, "purchase"),
+            (4, "2024-01-01T00:03", 1, "error"),
+            (5, "2024-01-01T01:00", 1, "signup"),
+            (6, "2024-01-01T00:00", 2, "view"),
+            (7, "2024-01-01T00:05", 2, "click"),
+        ],
+    )
+    rows = QUERIES["q222_session_paths"](spark, str(tmp_path)).collect()
+    assert [(r.path, r.n_sessions) for r in rows] == [
+        ("signup", 1),
+        ("view>click", 1),
+        ("view>click>purchase", 1),
+    ]
+
+
+def test_km_survival_with_censoring(spark, tmp_path):
+    """A purchases on day 1, C on day 2, B never (censored at the
+    day-2 observation end): S(1) = 2/3, S(2) = 1/3 with n_risk 3→2."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00", 10, "view"),
+            (2, "2024-01-02T00:00", 10, "purchase"),
+            (3, "2024-01-01T00:00", 20, "view"),
+            (4, "2024-01-01T00:00", 30, "view"),
+            (5, "2024-01-03T00:00", 30, "purchase"),
+        ],
+    )
+    rows = QUERIES["q223_km_survival"](spark, str(tmp_path)).collect()
+    got = [(r.day, r.n_risk, r.d_t, r.c_t, r.survival) for r in rows]
+    assert got == [
+        (1, 3, 1, 0, pytest.approx(0.666667)),
+        (2, 2, 1, 1, pytest.approx(0.333333)),
+    ]
+
+
+def test_km_survival_drops_risk_exhausting_final_day(spark, tmp_path):
+    """Every user purchases instantly (day 0 exhausts the risk set):
+    the ln(0) terminal day is excluded, leaving an empty curve."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00", 1, "purchase"),
+            (2, "2024-01-01T00:00", 2, "purchase"),
+        ],
+    )
+    assert QUERIES["q223_km_survival"](spark, str(tmp_path)).count() == 0

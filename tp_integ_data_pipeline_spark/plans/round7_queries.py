@@ -3455,3 +3455,290 @@ def q220_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("h_raw", 6) + 0).alias("entropy"),
         (F.col("h_raw") >= math.log(_LDIV_L)).cast("int").alias("meets_entropy_l"),
     ).orderBy("qi1", "qi2")
+
+
+# --------------------------------------------------------------------------
+# q221 — first-touch vs last-touch conversion attribution
+# --------------------------------------------------------------------------
+@query(
+    "q221_attribution",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                          IGNORE NULLS) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        FROM events
+    ),
+    p AS (
+        SELECT first_touch, COALESCE(last_touch, '(none)') AS last_touch
+        FROM w WHERE event_type = 'purchase'
+    ),
+    f AS (SELECT first_touch AS channel, COUNT(*) AS fc FROM p GROUP BY 1),
+    l AS (SELECT last_touch AS channel, COUNT(*) AS lc FROM p GROUP BY 1)
+    SELECT COALESCE(f.channel, l.channel) AS channel,
+           CAST(COALESCE(f.fc, 0) AS BIGINT) AS first_conv,
+           CAST(COALESCE(l.lc, 0) AS BIGINT) AS last_conv
+    FROM f FULL JOIN l ON f.channel = l.channel
+    ORDER BY channel
+    """,
+)
+def q221_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: every purchase credits
+    (a) the user's FIRST-ever event type (first-touch) and (b) the
+    nearest PRECEDING non-purchase event type (last-touch, '(none)'
+    when the purchase opens the stream) — the two standard models,
+    reported side-by-side per channel. Ordering ties break on
+    (ts, event_id) (q28's rule) so both engines walk identical
+    sequences.
+
+    Scale shape: both attributions come from ONE user-partitioned
+    window pass (first_value + ignore-nulls last over the shifted
+    frame) — no self-joins, no per-purchase scans; the channel
+    rollups and their full-outer alignment are event-type-bounded."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = ev.select(
+        "event_type",
+        F.first("event_type")
+        .over(uw.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("first_touch"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(uw.rowsBetween(W.unboundedPreceding, -1))
+        .alias("last_touch"),
+    )
+    p = w.where(F.col("event_type") == "purchase").select(
+        "first_touch", F.coalesce("last_touch", F.lit("(none)")).alias("last_touch")
+    ).localCheckpoint(eager=False)  # feeds both channel rollups
+    f = p.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("fc")
+    )
+    l = p.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("lc")
+    )
+    return (
+        f.join(l, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("fc", F.lit(0)).cast("long").alias("first_conv"),
+            F.coalesce("lc", F.lit(0)).cast("long").alias("last_conv"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# q222 — top session entry paths (first 3 event types per session)
+# --------------------------------------------------------------------------
+_PATH_K = 10
+
+
+@query(
+    "q222_session_paths",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM g
+    ),
+    paths AS (
+        SELECT user_id, sess_id,
+               array_to_string((LIST(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+        FROM s GROUP BY 1, 2
+    ),
+    pc AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY 1)
+    SELECT path, n_sessions FROM pc
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_K}
+    """,
+)
+def q222_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_K} session ENTRY paths: the first three event types
+    of every session (30-min gap, q28's ≥-1800 s rule and
+    (ts, event_id) tie-break), '>'-joined, ranked by session count
+    with a path tie-break — the "how do journeys start" verb that
+    funnels (q204) and the transition matrix (q206) don't answer.
+
+    Scale shape: sessionization is two user-partitioned window
+    passes; the path string is a ROW-LOCAL sort_array+slice of the
+    per-session collected triples (sessions are gap-bounded, not
+    data-sized); the path rollup is bounded by |event types|³ and the
+    final top-k is a TakeOrdered over that bounded relation."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        (us - F.lag(us).over(uw) >= 1800 * 1000 * 1000) | F.lag("ts").over(uw).isNull(),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("new_sess", new_sess).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(uw.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = s.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("us"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("et"),
+                            )
+                        )
+                    ),
+                    lambda x: x.et,
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# q223 — Kaplan-Meier time-to-first-purchase survival curve
+# --------------------------------------------------------------------------
+@query(
+    "q223_km_survival",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS t0,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        FROM events GROUP BY 1
+    ),
+    mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+    d AS (
+        SELECT CAST((COALESCE(u.tp, mx.tmax) - u.t0) // 86400000000 AS BIGINT) AS day,
+               CASE WHEN u.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u, mx
+    ),
+    r AS (
+        SELECT day,
+               CAST(SUM(ev) AS BIGINT) AS d_t,
+               CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c_t
+        FROM d GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(d_t + c_t) AS DOUBLE) AS total FROM r),
+    risk AS (
+        SELECT day, d_t, c_t,
+               n.total - COALESCE(SUM(d_t + c_t) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM r, n
+    ),
+    -- a day whose events exhaust the risk set (d_t = n_risk) can only
+    -- be the final row; dropping it before the cumulative keeps ln(0)
+    -- out of the fold without changing any earlier term
+    k AS (
+        SELECT day, d_t, c_t, n_risk,
+               SUM(ln(1.0 - d_t / n_risk)) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_s
+        FROM risk WHERE d_t < n_risk OR d_t = 0
+    )
+    SELECT day, CAST(n_risk AS BIGINT) AS n_risk, d_t, c_t,
+           ROUND(exp(ln_s), 6) AS survival
+    FROM k WHERE d_t > 0
+    ORDER BY day
+    """,
+)
+def q223_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase, in
+    days since each user's first event; users who never purchase are
+    right-censored at the global observation end — the
+    retention-statistics verb behind "how long until activation?".
+    One row per day WITH events: n at risk, events, censored, S(t) =
+    Π(1 − d/n) computed as exp(Σ ln(·)) so both engines multiply in
+    the same order-free way. Days where the events would exhaust the
+    risk set (S hits exactly 0, ln(0) domain edge) are excluded on
+    both sides — the curve is reported strictly above zero.
+
+    Scale shape: the per-user fold is one keyed rollup; everything
+    after operates on the day-bounded duration relation
+    (observation-span rows — GLOBAL_WINDOW_ALLOWED precedent) with
+    the user total as a 1-row broadcast scalar (BNLJ_ALLOWED)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+    )
+    mx = ev.agg(F.max(us).alias("tmax"))
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("CAST((COALESCE(tp, tmax) - t0) DIV 86400000000 AS BIGINT)").alias(
+            "day"
+        ),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    r = (
+        d.groupBy("day")
+        .agg(
+            F.sum("ev").cast("long").alias("d_t"),
+            (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c_t"),
+        )
+        .localCheckpoint(eager=False)  # feeds the total scalar AND the curve
+    )
+    n = r.agg(F.sum(F.col("d_t") + F.col("c_t")).cast("double").alias("total"))
+    ow = W.orderBy("day")
+    prior = F.coalesce(
+        F.sum(F.col("d_t") + F.col("c_t")).over(
+            ow.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    risk = r.crossJoin(F.broadcast(n)).select(
+        "day", "d_t", "c_t", (F.col("total") - prior).alias("n_risk")
+    )
+    # a day whose events exhaust the risk set (d_t = n_risk) can only
+    # be the final row; dropping it before the cumulative keeps ln(0)
+    # out of the fold without changing any earlier term
+    k = risk.where((F.col("d_t") < F.col("n_risk")) | (F.col("d_t") == 0)).select(
+        "day",
+        "d_t",
+        "c_t",
+        "n_risk",
+        F.sum(F.log(1.0 - F.col("d_t") / F.col("n_risk")))
+        .over(ow.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("ln_s"),
+    )
+    return (
+        k.where(F.col("d_t") > 0)
+        .select(
+            "day",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            "d_t",
+            "c_t",
+            F.round(F.exp("ln_s"), 6).alias("survival"),
+        )
+        .orderBy("day")
+    )
