@@ -142,6 +142,8 @@ HEADLINE = [
     "q221_attribution",
     "q222_session_paths",
     "q223_km_survival",
+    "q224_negative_sampling",
+    "q225_audio_silence",
 ]
 
 

@@ -129,6 +129,8 @@ BNLJ_ALLOWED = {
     "q219_woe_iv": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row user-total scalar onto the per-day duration rollup
     "q223_km_survival": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row part-count scalar onto the users x K candidate explode
+    "q224_negative_sampling": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -1333,3 +1333,58 @@ def test_km_survival_drops_risk_exhausting_final_day(spark, tmp_path):
         ],
     )
     assert QUERIES["q223_km_survival"](spark, str(tmp_path)).count() == 0
+
+
+# --------------------------------------------------------------------------
+# q224 negative sampling / q225 audio silence
+# --------------------------------------------------------------------------
+def test_negative_sampling_excludes_positives_and_dedups(spark, tmp_path):
+    """With a 1-item catalog every candidate hashes to item 0: user 1
+    (who bought 0) yields nothing; user 2 (who bought 1) yields item 0
+    once, at the smallest k."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    spark.createDataFrame(
+        [(100, 1), (200, 2)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(100, 0), (200, 1)], "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame([(0,)], "p_partkey long").write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    rows = QUERIES["q224_negative_sampling"](spark, str(tmp_path)).collect()
+    assert [(r.u, r.item, r.k) for r in rows] == [(2, 0, 1)]
+
+
+def test_audio_silence_spans_golden(spark):
+    """Planted spans (samples 800-1119 and 2400-2879 at 160/frame)
+    come back as exactly frames [5,6] and [15,17]; a loud id emits no
+    span; a non-WAV payload is skipped."""
+    from tp_integ_data_pipeline_spark.operators.multimodal import (
+        audio_silence_spans,
+        synth_wav_payload,
+    )
+
+    ids = spark.createDataFrame([(0,), (1,), (5,)], "doc_id long")
+    payloads = synth_wav_payload(ids, "doc_id")
+    got = sorted(
+        (r.doc_id, r.start_frame, r.end_frame, r.n_frames)
+        for r in audio_silence_spans(payloads, "doc_id").collect()
+    )
+    assert got == [(0, 5, 6, 2), (0, 15, 17, 3), (5, 5, 6, 2), (5, 15, 17, 3)]
+    junk = spark.createDataFrame([(9, bytearray(b"not a wav"))], "doc_id long, payload binary")
+    assert audio_silence_spans(junk, "doc_id").count() == 0
+
+
+def test_wav_payload_decodes_via_decode_meta(spark):
+    """synth_wav_payload emits structurally valid WAVs: the existing
+    RIFF chunk-walk decoder reports (8000 Hz, mono, 4000 frames)."""
+    from tp_integ_data_pipeline_spark.operators.multimodal import (
+        decode_payload,
+        synth_wav_payload,
+    )
+
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    payload = synth_wav_payload(ids, "doc_id").collect()[0].payload
+    assert decode_payload(bytes(payload)) == (8000, 1, 4000, "wav")

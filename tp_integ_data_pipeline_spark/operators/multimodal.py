@@ -481,3 +481,123 @@ def image_dhash(
     return df.select(id_col, payload_col).mapInPandas(
         hashes, schema=f"{id_col} long, dhash long"
     )
+
+
+def synth_wav_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+    n_samples: int = 4000,
+    silent_mod: int = 5,
+) -> DataFrame:
+    """Deterministic synthetic 16-bit mono PCM WAV payload per row —
+    the fixture audio corpus this sandbox lacks (same convention as
+    synth_bmp_payload). Samples derive from counter-mode md5 of the id
+    (loud everywhere, RMS ≈ 4700 at the ±64-scaled byte amplitude);
+    ids with id % silent_mod == 0 get TWO planted all-zero spans at
+    samples [800, 1120) and [2400, 2880) — frames 5–6 and 15–17 at the
+    160-sample frame size audio_silence_spans uses — so silence
+    detection has ground truth. Arrow mapInPandas, row-local."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                need = n_samples
+                blocks = [
+                    hashlib.md5(f"wav:{int(did)}:{i}".encode()).digest()
+                    for i in range((need + 15) // 16)
+                ]
+                raw = np.frombuffer(b"".join(blocks)[:need], dtype=np.uint8)
+                samples = ((raw.astype(np.int32) - 128) * 64).astype(np.int16)
+                if int(did) % silent_mod == 0:
+                    samples = samples.copy()
+                    samples[800:1120] = 0
+                    samples[2400:2880] = 0
+                data = samples.tobytes()
+                hdr = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + len(data), b"WAVE",
+                    b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+                    b"data", len(data),
+                )
+                payloads.append(hdr + data)
+            out = pdf[[id_col]].copy()
+            out["payload"] = payloads
+            yield out
+
+    return df.select(id_col).mapInPandas(render, schema=f"{id_col} long, payload binary")
+
+
+def audio_silence_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_samples: int = 160,
+    rms_threshold: float = 100.0,
+) -> DataFrame:
+    """Silence-span detection over 16-bit PCM WAV payloads: REAL RIFF
+    chunk walk (same layout rules as decode_meta), frame the samples
+    into non-overlapping ``frame_samples`` windows, RMS per frame,
+    merge consecutive sub-threshold frames into (start_frame,
+    end_frame) spans — the VAD-style segmentation verb an audio
+    training pipeline runs before transcription/chunking. Undecodable
+    or non-16-bit payloads emit nothing. Arrow mapInPandas, row-local,
+    no shuffle; output is span rows (id, start_frame, end_frame,
+    n_frames)."""
+    import numpy as np
+
+    def spans(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(payload)
+                if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                    continue
+                bits = block_align = 0
+                data = b""
+                off = 12
+                while off + 8 <= len(p):
+                    cid = p[off : off + 4]
+                    size = int.from_bytes(p[off + 4 : off + 8], "little")
+                    body = p[off + 8 : off + 8 + size]
+                    if cid == b"fmt " and size >= 16:
+                        block_align = int.from_bytes(body[12:14], "little")
+                        bits = int.from_bytes(body[14:16], "little")
+                    elif cid == b"data":
+                        data = body
+                    off += 8 + size + (size & 1)
+                if bits != 16 or block_align != 2 or not data:
+                    continue
+                samples = np.frombuffer(
+                    data[: len(data) // 2 * 2], dtype="<i2"
+                ).astype(np.float64)
+                n_frames = len(samples) // frame_samples
+                if not n_frames:
+                    continue
+                frames = samples[: n_frames * frame_samples].reshape(
+                    n_frames, frame_samples
+                )
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                silent = rms < rms_threshold
+                start = None
+                for i, s in enumerate(silent):
+                    if s and start is None:
+                        start = i
+                    elif not s and start is not None:
+                        out.append((int(did), start, i - 1, i - start))
+                        start = None
+                if start is not None:
+                    out.append((int(did), start, n_frames - 1, n_frames - start))
+            yield pd.DataFrame(
+                out, columns=[id_col, "start_frame", "end_frame", "n_frames"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        spans,
+        schema=f"{id_col} long, start_frame int, end_frame int, n_frames int",
+    )

@@ -3742,3 +3742,117 @@ def q223_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q224 — deterministic negative sampling for retrieval/recsys training
+# --------------------------------------------------------------------------
+_NEG_K = 4
+
+
+@query(
+    "q224_negative_sampling",
+    oracle=f"""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
+    cand AS (
+        SELECT u, k,
+               CAST(('0x' || substr(md5('neg:' || CAST(u AS VARCHAR) || ':'
+                                        || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % np.n_parts AS item
+        FROM (SELECT DISTINCT u FROM pos),
+             UNNEST(range(1, {_NEG_K} + 1)) AS t(k),
+             np
+    ),
+    ded AS (SELECT u, item, CAST(MIN(k) AS BIGINT) AS k FROM cand GROUP BY 1, 2)
+    SELECT d.u, d.item, d.k
+    FROM ded d ANTI JOIN pos p ON p.u = d.u AND p.item = d.item
+    ORDER BY d.u, d.k
+    """,
+)
+def q224_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling — the contrastive-training-data
+    verb (retrieval / recsys): for every user with purchases, draw
+    K=4 candidate items by the portable seeded hash over the DENSE
+    0-based part keyspace, drop duplicates (keep the smallest k) and
+    drop accidental positives via an anti-join. No resampling on
+    collision — the yield is K minus the (rare) positive-hit rate,
+    which keeps the sample content-stable: reruns, engines and
+    repartitionings all produce the SAME negatives (q119's
+    determinism rule applied to sampling against a relation).
+
+    Scale shape: the positives relation is ONE orderkey equi-join +
+    distinct; candidates explode row-locally (users × K); the dedup
+    and the anti-join are (u, item)-keyed shuffles; n_parts is a
+    1-row broadcast scalar (BNLJ_ALLOWED)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds users, the anti-join
+    )
+    np_ = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    cand = (
+        pos.select("u")
+        .distinct()
+        .select("u", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("k"))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "u",
+            "k",
+            (
+                F.expr(
+                    "CAST(conv(substr(md5(concat('neg:', CAST(u AS STRING), ':', "
+                    "CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                )
+                % F.col("n_parts")
+            ).alias("item"),
+        )
+    )
+    ded = cand.groupBy("u", "item").agg(F.min("k").cast("long").alias("k"))
+    return (
+        ded.join(pos, ["u", "item"], "left_anti")
+        .select("u", "item", "k")
+        .orderBy("u", "k")
+    )
+
+
+# --------------------------------------------------------------------------
+# q225 — audio silence-span detection (multimodal VAD segmentation)
+# --------------------------------------------------------------------------
+# Rows-only by design: WAV synthesis + PCM decode + frame RMS run in
+# Arrow mapInPandas (not SQL-expressible); the hard checks are
+# tests/test_round7_ops.py's planted-span goldens (ids % 5 == 0 carry
+# exactly frames 5-6 and 15-17 silent; loud ids emit nothing).
+@query("q225_audio_silence")
+def q225_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio segmentation: deterministic synthetic 16-bit
+    PCM WAV corpus (every 5th id carries two planted silent spans —
+    the fixture media this sandbox lacks), REAL RIFF/PCM decode →
+    per-160-sample-frame RMS → merged sub-threshold spans, with the
+    planted-truth agreement as the self-audit column. The VAD-style
+    segmentation an audio training pipeline runs before chunking;
+    plumbing (schema, Arrow batching, row-local spans) is the real
+    100 TB shape."""
+    from tp_integ_data_pipeline_spark.operators.multimodal import (
+        audio_silence_spans,
+        synth_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    payloads = synth_wav_payload(docs, "doc_id")
+    spans = audio_silence_spans(payloads, "doc_id")
+    return spans.select(
+        "doc_id",
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        (F.col("doc_id") % 5 == 0).alias("planted"),
+    ).orderBy("doc_id", "start_frame")
