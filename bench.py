@@ -144,6 +144,9 @@ HEADLINE = [
     "q223_km_survival",
     "q224_negative_sampling",
     "q225_audio_silence",
+    "q226_weak_labels",
+    "q227_trailing_p95",
+    "q228_minhash_calibration",
 ]
 
 

@@ -131,6 +131,8 @@ BNLJ_ALLOWED = {
     "q223_km_survival": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row part-count scalar onto the users x K candidate explode
     "q224_negative_sampling": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row consensus-rate scalar onto the 3-row labeler rollup
+    "q226_weak_labels": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -1388,3 +1388,66 @@ def test_wav_payload_decodes_via_decode_meta(spark):
     ids = spark.createDataFrame([(3,)], "doc_id long")
     payload = synth_wav_payload(ids, "doc_id").collect()[0].payload
     assert decode_payload(bytes(payload)) == (8000, 1, 4000, "wav")
+
+
+# --------------------------------------------------------------------------
+# q226 weak labels / q227 trailing p95 / q228 MinHash calibration
+# --------------------------------------------------------------------------
+def test_weak_labels_agreement_hand_computed(spark, tmp_path):
+    """Doc A passes all three LFs, B fails all, C passes chars+vocab
+    only → majority [1,0,1]; lf_words disagrees on C (2/3 agreement),
+    the other two agree fully; consensus rate 2/3."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    a = " ".join(f"w{i}" for i in range(70))
+    b = " ".join(["w"] * 10)
+    c = " ".join(f"w{i}" for i in range(26)) + " w0 w1 w2 w3"
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, a, "en", "s", 400), (2, b, "en", "s", 100), (3, c, "en", "s", 350)],
+    )
+    rows = QUERIES["q226_weak_labels"](spark, str(tmp_path)).collect()
+    got = {r.labeler: (r.n, r.n_pos, r.n_agree, r.agree_rate, r.consensus_pos_rate) for r in rows}
+    assert got["lf_chars"] == (3, 2, 3, pytest.approx(1.0), pytest.approx(0.666667))
+    assert got["lf_words"] == (3, 1, 2, pytest.approx(0.666667), pytest.approx(0.666667))
+    assert got["lf_vocab"] == (3, 2, 3, pytest.approx(1.0), pytest.approx(0.666667))
+
+
+def test_trailing_p95_window_and_warmup(spark, tmp_path):
+    """Counts 1..8 over days 0..7: warm-up day 0 reports its own value;
+    day 6's 7-value frame gives p95 = 7 (rank ceil(0.95·7)); day 7's
+    sliding frame [2..8] gives 8."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    rows, eid = [], 0
+    for day in range(8):
+        for _ in range(day + 1):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day + 1}T12:00", 1, "view"))
+    _write_events(spark, tmp_path, rows)
+    out = QUERIES["q227_trailing_p95"](spark, str(tmp_path)).collect()
+    got = {r.day: (r.n, r.p95_7d) for r in out}
+    assert got[0] == (1, 1)
+    assert got[1] == (2, 2)  # frame [1,2], rank ceil(1.9)=2
+    assert got[6] == (7, 7)
+    assert got[7] == (8, 8)
+
+
+def test_minhash_calibration_identical_docs_score_one(spark, tmp_path):
+    """Two identical documents: exact J = 1, every MinHash minimum
+    matches → estimate 1, error 0; the unrelated third doc stays
+    below the 0.5 threshold and emits no pair."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    t = "a b c d e f g h"
+    other = "z1 z2 z3 z4 z5 z6 z7 z8"
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, t, "en", "s", 10), (2, t, "en", "s", 10), (3, other, "en", "s", 10)],
+    )
+    rows = QUERIES["q228_minhash_calibration"](spark, str(tmp_path)).collect()
+    assert [(r.a, r.b, r.jaccard, r.minhash_est, r.abs_err) for r in rows] == [
+        (1, 2, 1.0, 1.0, 0.0)
+    ]

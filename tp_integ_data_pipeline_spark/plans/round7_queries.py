@@ -3856,3 +3856,264 @@ def q225_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         (F.col("doc_id") % 5 == 0).alias("planted"),
     ).orderBy("doc_id", "start_frame")
+
+
+# --------------------------------------------------------------------------
+# q226 — weak-supervision labeler audit (majority vote + agreement)
+# --------------------------------------------------------------------------
+@query(
+    "q226_weak_labels",
+    oracle="""
+    WITH lf AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS lf_chars,
+               CASE WHEN len(string_split(text, ' ')) >= 60 THEN 1 ELSE 0 END AS lf_words,
+               CASE WHEN len(list_distinct(string_split(text, ' '))) >= 25
+                    THEN 1 ELSE 0 END AS lf_vocab
+        FROM documents
+    ),
+    m AS (
+        SELECT lf_chars, lf_words, lf_vocab,
+               CASE WHEN lf_chars + lf_words + lf_vocab >= 2 THEN 1 ELSE 0 END AS maj
+        FROM lf
+    ),
+    long AS (
+        SELECT 'lf_chars' AS labeler, lf_chars AS vote, maj FROM m
+        UNION ALL SELECT 'lf_words', lf_words, maj FROM m
+        UNION ALL SELECT 'lf_vocab', lf_vocab, maj FROM m
+    ),
+    per AS (
+        SELECT labeler, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vote) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN vote = maj THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM long GROUP BY 1
+    ),
+    c AS (SELECT ROUND(AVG(CAST(maj AS DOUBLE)), 6) AS consensus_pos_rate FROM m)
+    SELECT p.labeler, p.n, p.n_pos, p.n_agree,
+           ROUND(CAST(p.n_agree AS DOUBLE) / p.n, 6) AS agree_rate,
+           c.consensus_pos_rate
+    FROM per p, c
+    ORDER BY p.labeler
+    """,
+)
+def q226_weak_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision (Snorkel-style) labeler audit: three
+    deterministic labeling functions (char-length, word-count,
+    vocab-richness) vote on 'high quality'; consensus = majority;
+    per-labeler positive rate and consensus-agreement rate tell you
+    which heuristic to trust before training a label model — the
+    programmatic-labeling QA verb for LLM data curation.
+
+    Scale shape: ONE column-pruned scan computes all three votes and
+    the majority row-locally; the stack-unpivot triples rows before a
+    3-row map-side rollup; the consensus rate is a 1-row broadcast
+    scalar (BNLJ_ALLOWED)."""
+    docs = load_table(spark, sf_dir, "documents").select("text", "n_chars")
+    words = F.split(F.col("text"), " ")
+    m = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("lf_chars"),
+        F.when(F.size(words) >= 60, 1).otherwise(0).alias("lf_words"),
+        F.when(F.size(F.array_distinct(words)) >= 25, 1).otherwise(0).alias("lf_vocab"),
+    ).select(
+        "*",
+        F.when(
+            F.col("lf_chars") + F.col("lf_words") + F.col("lf_vocab") >= 2, 1
+        )
+        .otherwise(0)
+        .alias("maj"),
+    ).localCheckpoint(eager=False)  # feeds the unpivot AND the consensus scalar
+    long = m.selectExpr(
+        "stack(3, 'lf_chars', lf_chars, 'lf_words', lf_words, 'lf_vocab', lf_vocab)"
+        " AS (labeler, vote)",
+        "maj",
+    )
+    per = long.groupBy("labeler").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vote").cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("vote") == F.col("maj"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    c = m.agg(
+        F.round(F.avg(F.col("maj").cast("double")), 6).alias("consensus_pos_rate")
+    )
+    return (
+        per.crossJoin(F.broadcast(c))
+        .select(
+            "labeler",
+            "n",
+            "n_pos",
+            "n_agree",
+            F.round(F.col("n_agree").cast("double") / F.col("n"), 6).alias(
+                "agree_rate"
+            ),
+            "consensus_pos_rate",
+        )
+        .orderBy("labeler")
+    )
+
+
+# --------------------------------------------------------------------------
+# q227 — trailing 7-day p95 of daily event counts per type (SLA curve)
+# --------------------------------------------------------------------------
+@query(
+    "q227_trailing_p95",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                   // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, day, n,
+               list_sort(LIST(n) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        FROM d
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day, n,
+           CAST(win[(95 * len(win) + 99) // 100] AS BIGINT) AS p95_7d
+    FROM w
+    ORDER BY event_type, day
+    """,
+)
+def q227_trailing_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day p95 of the daily event count, per event type —
+    the rolling SLA/anomaly-threshold curve. The frame holds ≤ 7
+    values, so the percentile is EXACT and engine-portable: collect
+    the frame, sort it row-locally, index at the q169 integer rank
+    ceil(0.95·n) — no percentile aggregate, no interpolation drift,
+    and warm-up days (n < 7) use the same rule over what exists.
+
+    Scale shape: the (type, day) rollup is map-side combinable and
+    calendar-bounded; the window is TYPE-partitioned over those
+    day rows; the frame sort is over ≤ 7 elements per row."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST((unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("day"),
+    )
+    d = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tw = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, W.currentRow)
+    win = F.array_sort(F.collect_list("n").over(tw))
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        F.element_at(win, ((F.lit(95) * F.size(win) + 99) / 100).cast("int"))
+        .cast("long")
+        .alias("p95_7d"),
+    ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# q228 — MinHash estimator calibration against exact Jaccard
+# --------------------------------------------------------------------------
+_MHC_H = 16
+_MHC_T = 0.5
+_MHC_DOCS = 300
+
+
+def _mhc_oracle() -> str:
+    from tp_integ_data_pipeline_spark.operators.dedup import shingle_sql
+
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < {_MHC_DOCS}),
+    {shingle_sql("base", "doc_id", "text", 3)},
+    n AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+    i AS (
+        SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a, b,
+               inter * 1.0 / (na.n + nb.n - inter) AS j
+        FROM i JOIN n na ON na.id = i.a JOIN n nb ON nb.id = i.b
+        WHERE inter * 1.0 / (na.n + nb.n - inter) >= {_MHC_T}
+    ),
+    mh AS (
+        SELECT id, t.h,
+               MIN(CAST(('0x' || substr(md5(CAST(t.h AS VARCHAR) || ':' || sh), 1, 8))
+                        AS BIGINT)) AS m
+        FROM sh, UNNEST(range({_MHC_H})) AS t(h)
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.a, p.b, p.j,
+               AVG(CASE WHEN x.m = y.m THEN 1.0 ELSE 0.0 END) AS e
+        FROM pairs p
+        JOIN mh x ON x.id = p.a
+        JOIN mh y ON y.id = p.b AND y.h = x.h
+        GROUP BY 1, 2, 3
+    )
+    SELECT a, b, ROUND(j, 6) AS jaccard, ROUND(e, 6) AS minhash_est,
+           ROUND(ABS(e - j), 6) AS abs_err
+    FROM est ORDER BY a, b
+    """
+
+
+@query("q228_minhash_calibration", oracle=_mhc_oracle())
+def q228_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy calibration: for every high-similarity pair
+    (exact 3-shingle Jaccard ≥ 0.5 over the first 300 docs), the
+    H=16 MinHash estimate — match fraction of per-function minima
+    under the portable first-8-hex-md5 hash — next to the exact value
+    and |error|. This PROVES the MinHash machinery's estimator
+    quality inside the hash-checked gate itself (the q42 LSH path's
+    recall tests sample; this measures the estimator bias directly,
+    and DuckDB replays the identical 16 hash functions).
+
+    Scale shape: shingles explode row-locally ONCE (checkpointed for
+    the three consumers); signatures are a (id, h)-keyed rollup of
+    the ×16 explode; exact pairs use the inverted-index join with the
+    threshold prune; the estimate join is pair×H-bounded."""
+    from tp_integ_data_pipeline_spark.operators.dedup import pair_jaccard, shingles
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _MHC_DOCS
+    )
+    sh = shingles(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    pairs = (
+        pair_jaccard(sh)
+        .where(F.col("jaccard") >= _MHC_T)
+        .localCheckpoint(eager=False)
+    )
+    mh = (
+        sh.select(
+            "id", F.explode(F.sequence(F.lit(0), F.lit(_MHC_H - 1))).alias("h"), "sh"
+        )
+        .groupBy("id", "h")
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(conv(substr(md5(concat(CAST(h AS STRING), ':', sh)), 1, 8),"
+                    " 16, 10) AS BIGINT)"
+                )
+            ).alias("m")
+        )
+    )
+    est = (
+        pairs.join(mh.select(F.col("id").alias("a"), "h", F.col("m").alias("ma")), "a")
+        .join(
+            mh.select(F.col("id").alias("b"), "h", F.col("m").alias("mb")),
+            ["b", "h"],
+        )
+        .groupBy("a", "b", "jaccard")
+        .agg(
+            F.avg(F.when(F.col("ma") == F.col("mb"), 1.0).otherwise(0.0)).alias("e")
+        )
+    )
+    return est.select(
+        "a",
+        "b",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("e", 6).alias("minhash_est"),
+        F.round(F.abs(F.col("e") - F.col("jaccard")), 6).alias("abs_err"),
+    ).orderBy("a", "b")
