@@ -147,6 +147,9 @@ HEADLINE = [
     "q226_weak_labels",
     "q227_trailing_p95",
     "q228_minhash_calibration",
+    "q229_seasonal_decompose",
+    "q230_diff_in_diff",
+    "q231_truncation_loss",
 ]
 
 

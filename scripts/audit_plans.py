@@ -133,6 +133,10 @@ BNLJ_ALLOWED = {
     "q224_negative_sampling": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row consensus-rate scalar onto the 3-row labeler rollup
     "q226_weak_labels": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row DOW-centering scalar onto the day-bounded decomposition
+    "q229_seasonal_decompose": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row DiD scalar onto the 4-row (arm, period) rollup
+    "q230_diff_in_diff": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column
@@ -168,6 +172,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # KM risk-set and ln-survival folds over the per-DAY duration
     # rollup (observation-span rows)
     "q223_km_survival": "risk/ln-S folds over per-day rows, span-bounded",
+    # centered 7-day moving average over the per-DAY summary
+    "q229_seasonal_decompose": "centered MA over per-day rows, span-bounded",
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

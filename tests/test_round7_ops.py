@@ -1451,3 +1451,77 @@ def test_minhash_calibration_identical_docs_score_one(spark, tmp_path):
     assert [(r.a, r.b, r.jaccard, r.minhash_est, r.abs_err) for r in rows] == [
         (1, 2, 1.0, 1.0, 0.0)
     ]
+
+
+# --------------------------------------------------------------------------
+# q229 seasonal / q230 DiD / q231 truncation loss
+# --------------------------------------------------------------------------
+def test_seasonal_decompose_identity_and_centering(spark, tmp_path):
+    """Invariants on a 14-day planted series: trend+dow_effect+residual
+    reconstructs n to 6 dp, and the DOW effects (weighted by their day
+    counts) center to ~0."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    rows, eid = [], 0
+    for day in range(14):
+        cnt = 10 + (5 if day % 7 == 0 else 0) + day  # weekly bump + drift
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, f"2024-01-{day + 1:02d}T12:00", 1, "view"))
+    _write_events(spark, tmp_path, rows)
+    out = QUERIES["q229_seasonal_decompose"](spark, str(tmp_path)).collect()
+    assert len(out) == 14
+    for r in out:
+        assert r.n == pytest.approx(r.trend + r.dow_effect + r.residual, abs=2e-5)
+    effs = {}
+    for r in out:
+        effs.setdefault(r.dow, r.dow_effect)
+    assert sum(effs.values()) == pytest.approx(0.0, abs=1e-4)
+    # the planted weekly bump concentrates on dow 0
+    assert effs[0] == max(effs.values())
+
+
+def test_diff_in_diff_hand_computed(spark, tmp_path):
+    """A (even users): pre 1.0 → post 2.0 (+1 trend); B (odd): pre 1.0
+    → post 4.0 (+3) → DiD = +2."""
+    import datetime
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    pre = datetime.datetime(2024, 1, 10)
+    post = datetime.datetime(2024, 1, 20)
+    data = [
+        (1, pre, 2, "view", 1.0, "{}"),
+        (2, post, 2, "view", 2.0, "{}"),
+        (3, pre, 3, "view", 1.0, "{}"),
+        (4, post, 3, "view", 4.0, "{}"),
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    rows = QUERIES["q230_diff_in_diff"](spark, str(tmp_path)).collect()
+    got = {(r.arm, r.period): (r.n, r.avg_value, r.did) for r in rows}
+    assert got[("A", "pre")] == (1, 1.0, pytest.approx(2.0))
+    assert got[("A", "post")] == (1, 2.0, pytest.approx(2.0))
+    assert got[("B", "post")] == (1, 4.0, pytest.approx(2.0))
+
+
+def test_truncation_loss_grid(spark, tmp_path):
+    """Docs of 100 and 600 words: at ctx 128 only the long doc
+    overflows (472 tokens dropped of 700); at 2048 nothing does."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, " ".join(["w"] * 100), "en", "s", 100),
+            (2, " ".join(["w"] * 600), "en", "s", 600),
+        ],
+    )
+    rows = QUERIES["q231_truncation_loss"](spark, str(tmp_path)).collect()
+    got = {r.ctx_len: (r.n_docs, r.n_docs_over, r.tokens_dropped, r.share_dropped) for r in rows}
+    assert got[128] == (2, 1, 472, pytest.approx(472 / 700, abs=1e-6))
+    assert got[512] == (2, 1, 88, pytest.approx(88 / 700, abs=1e-6))
+    assert got[2048] == (2, 0, 0, pytest.approx(0.0))

@@ -4117,3 +4117,231 @@ def q228_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("e", 6).alias("minhash_est"),
         F.round(F.abs(F.col("e") - F.col("jaccard")), 6).alias("abs_err"),
     ).orderBy("a", "b")
+
+
+# --------------------------------------------------------------------------
+# q229 — seasonal decomposition of the daily series (trend + DOW + resid)
+# --------------------------------------------------------------------------
+@query(
+    "q229_seasonal_decompose",
+    oracle="""
+    WITH d AS (
+        SELECT (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                   // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT day, n,
+               AVG(CAST(n AS DOUBLE)) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+               day % 7 AS dow
+        FROM d
+    ),
+    eff AS (SELECT dow, AVG(n - trend) AS e_raw FROM tr GROUP BY 1),
+    ctr AS (SELECT AVG(e_raw) AS bias FROM eff)
+    SELECT tr.day, tr.n,
+           ROUND(tr.trend, 6) AS trend,
+           CAST(tr.dow AS INT) AS dow,
+           ROUND(eff.e_raw - ctr.bias, 6) + 0 AS dow_effect,
+           ROUND(tr.n - tr.trend - (eff.e_raw - ctr.bias), 6) + 0 AS residual
+    FROM tr JOIN eff USING (dow) CROSS JOIN ctr
+    ORDER BY tr.day
+    """,
+)
+def q229_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event-count
+    series: trend = 7-day CENTERED moving average, day-of-week effect
+    = mean detrended value per weekday CENTERED to sum ~0 (so trend
+    keeps the level), residual = the rest — the STL-lite anomaly
+    baseline ("is Monday low, or is something broken?").
+
+    Scale shape: the day rollup is map-side combinable and
+    calendar-bounded; the centered MA window, the 7-row DOW rollup,
+    its centering scalar, and the final joins all operate on that
+    day-bounded relation (GLOBAL_WINDOW_ALLOWED precedent;
+    BNLJ_ALLOWED scalar)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST((unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("day")
+    )
+    d = ev.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tr = d.select(
+        "day",
+        "n",
+        F.avg(F.col("n").cast("double"))
+        .over(W.orderBy("day").rowsBetween(-3, 3))
+        .alias("trend"),
+        (F.col("day") % 7).cast("int").alias("dow"),
+    ).localCheckpoint(eager=False)  # feeds the DOW rollup AND the output
+    eff = tr.groupBy("dow").agg(F.avg(F.col("n") - F.col("trend")).alias("e_raw"))
+    ctr = eff.agg(F.avg("e_raw").alias("bias"))
+    e = F.col("e_raw") - F.col("bias")
+    return (
+        tr.join(eff, "dow")
+        .crossJoin(F.broadcast(ctr))
+        .select(
+            "day",
+            "n",
+            F.round("trend", 6).alias("trend"),
+            "dow",
+            (F.round(e, 6) + 0).alias("dow_effect"),
+            (F.round(F.col("n") - F.col("trend") - e, 6) + 0).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# q230 — difference-in-differences experiment readout
+# --------------------------------------------------------------------------
+_DID_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "q230_diff_in_diff",
+    oracle=f"""
+    WITH cell AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN ts < TIMESTAMP '{_DID_SPLIT}' THEN 'pre' ELSE 'post' END
+                   AS period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS m_raw
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT MAX(CASE WHEN arm = 'A' AND period = 'pre' THEN m_raw END) AS a0,
+               MAX(CASE WHEN arm = 'A' AND period = 'post' THEN m_raw END) AS a1,
+               MAX(CASE WHEN arm = 'B' AND period = 'pre' THEN m_raw END) AS b0,
+               MAX(CASE WHEN arm = 'B' AND period = 'post' THEN m_raw END) AS b1
+        FROM cell
+    ),
+    d AS (SELECT ROUND((b1 - b0) - (a1 - a0), 6) + 0 AS did FROM s)
+    SELECT cell.arm, cell.period, cell.n,
+           ROUND(cell.m_raw, 6) AS avg_value,
+           d.did
+    FROM cell, d
+    ORDER BY cell.arm, cell.period
+    """,
+)
+def q230_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout: arms by the q208 parity
+    assignment, periods split at the q170 boundary; the DiD estimate
+    (B_post − B_pre) − (A_post − A_pre) removes the shared time trend
+    a naive post-only comparison conflates with the treatment — the
+    panel-experimentation verb alongside q208's z-test and q214's
+    jackknife.
+
+    Scale shape: ONE map-side-combinable (arm, period) rollup to 4
+    rows; the pivot and the DiD scalar live on that 4-row relation
+    (BNLJ_ALLOWED scalar)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cell = (
+        ev.select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+            F.when(F.col("ts") < F.lit(_DID_SPLIT).cast("timestamp"), "pre")
+            .otherwise("post")
+            .alias("period"),
+            "value",
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("value").alias("m_raw"),
+        )
+        .localCheckpoint(eager=False)  # feeds the pivot scalar AND the output
+    )
+
+    def pick(arm: str, period: str):
+        return F.max(
+            F.when(
+                (F.col("arm") == arm) & (F.col("period") == period), F.col("m_raw")
+            )
+        )
+
+    s = cell.agg(
+        pick("A", "pre").alias("a0"),
+        pick("A", "post").alias("a1"),
+        pick("B", "pre").alias("b0"),
+        pick("B", "post").alias("b1"),
+    )
+    d = s.select(
+        (
+            F.round(
+                (F.col("b1") - F.col("b0")) - (F.col("a1") - F.col("a0")), 6
+            )
+            + 0
+        ).alias("did")
+    )
+    return (
+        cell.crossJoin(F.broadcast(d))
+        .select(
+            "arm",
+            "period",
+            "n",
+            F.round("m_raw", 6).alias("avg_value"),
+            "did",
+        )
+        .orderBy("arm", "period")
+    )
+
+
+# --------------------------------------------------------------------------
+# q231 — context-window truncation-loss planner
+# --------------------------------------------------------------------------
+_CTX_GRID = [128, 512, 2048]
+
+
+@query(
+    "q231_truncation_loss",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents
+    ),
+    g AS (
+        SELECT t.ctx, toks.tok
+        FROM toks, UNNEST([{", ".join(str(c) for c in _CTX_GRID)}]) AS t(ctx)
+    )
+    SELECT CAST(ctx AS INT) AS ctx_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tok > ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over,
+           CAST(SUM(GREATEST(tok - ctx, 0)) AS BIGINT) AS tokens_dropped,
+           ROUND(CAST(SUM(GREATEST(tok - ctx, 0)) AS DOUBLE) / SUM(tok), 6)
+               AS share_dropped
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+)
+def q231_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation planning: for each candidate context
+    length, how many documents overflow and what fraction of corpus
+    tokens a hard truncation would discard — the sizing study run
+    before choosing packing (q100) vs chunking (q95) parameters.
+
+    Scale shape: tokens are counted row-locally; the ×|grid| explode
+    is a literal array (3 rows per doc); ONE map-side-combinable
+    rollup per grid point — no scalar attach needed because each
+    grid group already sees every document's token count."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok")
+    )
+    g = docs.select(
+        "tok",
+        F.explode(F.array(*[F.lit(c) for c in _CTX_GRID])).alias("ctx"),
+    )
+    dropped = F.sum(F.greatest(F.col("tok") - F.col("ctx"), F.lit(0)))
+    return (
+        g.groupBy(F.col("ctx").cast("int").alias("ctx_len"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("tok") > F.col("ctx"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_over"),
+            dropped.cast("long").alias("tokens_dropped"),
+            F.round(dropped.cast("double") / F.sum("tok"), 6).alias("share_dropped"),
+        )
+        .orderBy("ctx_len")
+    )
