@@ -150,6 +150,7 @@ HEADLINE = [
     "q229_seasonal_decompose",
     "q230_diff_in_diff",
     "q231_truncation_loss",
+    "q232_stream_session_window",
 ]
 
 

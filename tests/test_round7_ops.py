@@ -1525,3 +1525,49 @@ def test_truncation_loss_grid(spark, tmp_path):
     assert got[128] == (2, 1, 472, pytest.approx(472 / 700, abs=1e-6))
     assert got[512] == (2, 1, 88, pytest.approx(88 / 700, abs=1e-6))
     assert got[2048] == (2, 0, 0, pytest.approx(0.0))
+
+
+# --------------------------------------------------------------------------
+# q232 streaming session windows
+# --------------------------------------------------------------------------
+def test_stream_session_window_merges_and_flushes_tail(spark, tmp_path):
+    """User 1: events 5 min apart merge into one session; a >10-min
+    gap opens a second. The second session ENDS at the global max
+    timestamp — the one append mode would withhold without the
+    sentinel flush — and must still be emitted."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:00:00", 1, "view"),
+            (2, "2024-01-01T00:05:00", 1, "click"),
+            (3, "2024-01-01T00:30:00", 1, "view"),
+            (4, "2024-01-01T00:02:00", 2, "view"),
+        ],
+    )
+    rows = QUERIES["q232_stream_session_window"](spark, str(tmp_path)).collect()
+    got = [(r.user_id, r.session_start.isoformat(), r.n_events) for r in rows]
+    assert got == [
+        (1, "2024-01-01T00:00:00", 2),
+        (1, "2024-01-01T00:30:00", 1),
+        (2, "2024-01-01T00:02:00", 1),
+    ]
+
+
+def test_stream_session_window_matches_batch_native(spark):
+    """The streaming path equals the batch-native session_window (q63)
+    row-for-row on the fixture corpus."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in QUERIES["q232_stream_session_window"](spark, sf).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in QUERIES["q63_session_window"](spark, sf).collect()
+    }
+    assert stream == batch

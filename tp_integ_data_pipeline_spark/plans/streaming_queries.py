@@ -354,3 +354,101 @@ def q143_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_memory(agg, f"q143_out_{uuid.uuid4().hex[:8]}", "complete")
     return out.orderBy("c_mktsegment", "event_type")
+
+
+@query(
+    "q232_stream_session_window",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) >= 600000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q232_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5: STREAMING session windows (10-minute gap) with watermarked
+    append output — the stateful window kind whose state merges as
+    sessions coalesce. Append mode only emits a session once the
+    watermark PROVES it closed, so a drained finite stream would
+    normally withhold every session near the stream end; the harness
+    closes them exactly by staging TWO far-future SENTINEL events
+    (files 2 and 3, forced to process after the real file — and after
+    each other — via mtime ordering + maxFilesPerTrigger=1). Sentinel
+    1 advances the watermark a day past the real data at its batch
+    END; sentinel 2's batch then runs WITH that watermark and emits
+    the last real sessions — no reliance on a trailing no-data batch,
+    which this availableNow drain does not get. Result: byte-identical
+    to the batch-native session_window (q63) and to the oracle's
+    gap-island SQL — streaming session semantics inside the
+    hash-checked gate, not just a rows-only smoke."""
+    import time
+
+    import glob as _glob
+
+    staging = scratch_dir(prefix="events_sess_")
+    src = f"{sf_dir}/events.parquet"
+    now = time.time()
+    # Consolidate the real data into ONE top-level staged file: with
+    # maxFilesPerTrigger=1, multiple equal-mtime real files would
+    # process in arbitrary order, and the watermark from an
+    # out-of-order first batch would drop earlier events as late.
+    src_raw = spark.read.parquet(src)
+    tmp0 = scratch_dir(prefix="sess_real_")
+    src_raw.coalesce(1).write.mode("overwrite").parquet(tmp0)
+    real = os.path.join(staging, "aa_events.parquet")
+    shutil.move(_glob.glob(os.path.join(tmp0, "*.parquet"))[0], real)
+    os.utime(real, (now - 100, now - 100))
+    raw = spark.read.parquet(staging)
+    ts_type = dict(raw.dtypes)["ts"]  # TIMESTAMP(NANOS): ns-long or NTZ
+    mx = raw.agg(F.max("ts").alias("ts"))
+    for i in (1, 2):
+        shifted = (
+            F.col("ts") + F.lit(i * 86_400_000_000_000)
+            if ts_type == "bigint"
+            else F.expr(f"ts + INTERVAL {i} DAY")
+        )
+        sentinel = mx.select(
+            F.lit(-i).cast("long").alias("event_id"),
+            shifted.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        # the file source neither recurses into write directories nor
+        # orders by directory mtime — promote the part file to a plain
+        # top-level file and stamp ITS mtime for the processing order
+        import glob as _glob
+
+        tmp = scratch_dir(prefix=f"sess_flush{i}_")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        flush = os.path.join(staging, f"zz_flush{i}.parquet")
+        shutil.move(part, flush)
+        os.utime(flush, (now + i, now + i))
+    stream = _normalize_ts(
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    out = run_stream_to_memory(agg, f"q232_out_{uuid.uuid4().hex[:8]}", "append")
+    return out.where(F.col("user_id") >= 0).orderBy("user_id", "session_start")
