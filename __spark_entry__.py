@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   q55–q61 q64–q68 q70 q71. After this round no grade is older
 #   than r4.
 # NEXT ROUND: the round-7 newcomers that did NOT fit this front
-# (q183–q232 — all hash-green locally (q225 rows-only by nature) at sf0.001 AND sf0.01,
+# (q183–q234 — all hash-green locally (q225 rows-only by nature) at sf0.001 AND sf0.01,
 # scripts/check_oracle.py), any round-8 changes/newcomers, then the
 # r4 cohort (q87 q100 q102–q111 q114–q117 q119–q121 q123–q125 q128
 # q129 q131 q132 q134–q138 q140 q141 q143–q149 q151 q152), then r5.

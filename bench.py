@@ -151,6 +151,8 @@ HEADLINE = [
     "q230_diff_in_diff",
     "q231_truncation_loss",
     "q232_stream_session_window",
+    "q233_srm_check",
+    "q234_reconciliation",
 ]
 
 

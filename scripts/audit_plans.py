@@ -137,6 +137,8 @@ BNLJ_ALLOWED = {
     "q229_seasonal_decompose": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row DiD scalar onto the 4-row (arm, period) rollup
     "q230_diff_in_diff": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row chi2/flag scalar onto the 2-row arm rollup
+    "q233_srm_check": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

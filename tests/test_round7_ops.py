@@ -1571,3 +1571,61 @@ def test_stream_session_window_matches_batch_native(spark):
         for r in QUERIES["q63_session_window"](spark, sf).collect()
     }
     assert stream == batch
+
+
+# --------------------------------------------------------------------------
+# q233 SRM / q234 reconciliation
+# --------------------------------------------------------------------------
+def test_srm_flags_broken_randomizer(spark, tmp_path):
+    """16 even users vs 4 odd: chi2 = (16−4)²/20 = 7.2 > 3.84 → SRM
+    flagged; shares 0.8/0.2. Duplicate events must not double-count
+    users."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = []
+    eid = 0
+    for uid in list(range(0, 32, 2)) + [1, 3, 5, 7]:
+        for _ in range(2):  # two events per user
+            eid += 1
+            rows.append((eid, "2024-01-01T00:00", uid, "view"))
+    _write_events(spark, tmp_path, rows)
+    out = QUERIES["q233_srm_check"](spark, str(tmp_path)).collect()
+    got = {r.arm: (r.n, r.share, r.chi2, r.srm_flag) for r in out}
+    assert got["A"] == (16, pytest.approx(0.8), pytest.approx(7.2), 1)
+    assert got["B"] == (4, pytest.approx(0.2), pytest.approx(7.2), 1)
+
+
+def test_srm_passes_balanced_split(spark, tmp_path):
+    """2 even vs 2 odd users: chi2 = 0, no flag."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [(i, "2024-01-01T00:00", i, "view") for i in range(4)],
+    )
+    out = QUERIES["q233_srm_check"](spark, str(tmp_path)).collect()
+    assert all((r.chi2, r.srm_flag) == (0.0, 0) for r in out)
+
+
+def test_reconciliation_ranks_worst_mismatch_first(spark, tmp_path):
+    """Order 1's stated total misses the derived 110.0 by +10; order 2
+    agrees exactly → order 1 leads with delta = +10, order 2 shows
+    delta −0.0-normalized 0."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    spark.createDataFrame(
+        [(1, 100.0), (2, 55.0)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    li = [
+        (1, 100.0, 0.0, 0.10),  # 100 * 1.1 = 110
+        (2, 50.0, 0.0, 0.10),  # 55
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_extendedprice double, l_discount double, l_tax double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = QUERIES["q234_reconciliation"](spark, str(tmp_path)).collect()
+    assert [(r.o_orderkey, r.stated, r.derived, r.delta) for r in rows] == [
+        (1, 100.0, 110.0, pytest.approx(10.0)),
+        (2, 55.0, 55.0, pytest.approx(0.0)),
+    ]

@@ -4345,3 +4345,135 @@ def q231_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ctx_len")
     )
+
+
+# --------------------------------------------------------------------------
+# q233 — sample-ratio-mismatch (SRM) guardrail
+# --------------------------------------------------------------------------
+@query(
+    "q233_srm_check",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    -- df=1 goodness-of-fit against 50/50 collapses to (nA-nB)^2/total
+    s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               ROUND(
+                   CAST(SUM(CASE WHEN arm = 'A' THEN n ELSE -n END) AS DOUBLE)
+                   * SUM(CASE WHEN arm = 'A' THEN n ELSE -n END) / SUM(n),
+                   6
+               ) AS chi2
+        FROM a
+    )
+    SELECT a.arm, a.n,
+           ROUND(CAST(a.n AS DOUBLE) / s.total, 6) AS share,
+           s.chi2,
+           CAST(s.chi2 > 3.841459 AS INT) AS srm_flag
+    FROM a, s
+    ORDER BY a.arm
+    """,
+)
+def q233_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi-squared goodness-of-fit of
+    the realized arm sizes against the designed 50/50 split (df=1,
+    flag at the 0.05 critical value 3.841459) — the sanity gate run
+    BEFORE reading q208's z-test or q230's DiD, because a broken
+    randomizer invalidates both. For two cells vs an equal split the
+    statistic collapses to (nA − nB)²/total, computed in one pass.
+
+    Scale shape: one per-user distinct + 2-row arm rollup; the
+    chi2/flag scalar attaches to those 2 rows (BNLJ_ALLOWED)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    a = (
+        ev.distinct()
+        .select(F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds the chi2 scalar AND the output
+    )
+    signed = F.sum(
+        F.when(F.col("arm") == "A", F.col("n")).otherwise(-F.col("n"))
+    )
+    s = a.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.round(signed.cast("double") * signed / F.sum("n"), 6).alias("chi2"),
+    ).select(
+        "total",
+        "chi2",
+        (F.col("chi2") > 3.841459).cast("int").alias("srm_flag"),
+    )
+    return (
+        a.crossJoin(F.broadcast(s))
+        .select(
+            "arm",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            "chi2",
+            "srm_flag",
+        )
+        .orderBy("arm")
+    )
+
+
+# --------------------------------------------------------------------------
+# q234 — cross-table total reconciliation audit
+# --------------------------------------------------------------------------
+@query(
+    "q234_reconciliation",
+    oracle="""
+    WITH derived AS (
+        SELECT l_orderkey AS ok,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS calc
+        FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderkey,
+           ROUND(CAST(o.o_totalprice AS DOUBLE), 6) AS stated,
+           ROUND(CAST(d.calc AS DOUBLE), 6) AS derived,
+           ROUND(CAST(d.calc AS DOUBLE) - o.o_totalprice, 6) + 0 AS delta
+    FROM orders o JOIN derived d ON d.ok = o.o_orderkey
+    ORDER BY ABS(ROUND(CAST(d.calc AS DOUBLE) - o.o_totalprice, 6)) DESC,
+             o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q234_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: recompute each order's total from
+    its line items (extendedprice·(1−disc)·(1+tax), summed in EXACT
+    DECIMAL so partial-agg order can't drift) and report the 20 worst
+    |stated − derived| discrepancies — the financial-close /
+    invariant-violation audit that q202's referential checks (keys
+    exist) and q75's column rules (values in range) don't cover:
+    whether two tables AGREE.
+
+    Scale shape: one map-side-combinable orderkey rollup of lineitem,
+    one orderkey equi-join, and a TakeOrdered(20) — no global sort
+    materializes; ties on |delta| break on orderkey so top-k is
+    engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+    derived = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            * (1 + F.col("l_tax").cast("decimal(18,2)"))
+        ).alias("calc")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    delta = F.round(F.col("calc").cast("double") - F.col("o_totalprice"), 6)
+    return (
+        orders.join(derived, orders.o_orderkey == F.col("ok"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("double"), 6).alias("stated"),
+            F.round(F.col("calc").cast("double"), 6).alias("derived"),
+            (delta + 0).alias("delta"),
+        )
+        .orderBy(F.abs(F.col("delta")).desc(), "o_orderkey")
+        .limit(20)
+    )
