@@ -91,29 +91,43 @@ def merge_shard_topk(
 # depth × width counters regardless of corpus size).
 # ---------------------------------------------------------------------------
 def cms_bucket(col: F.Column, row: int, width: int) -> F.Column:
-    """Row-``row`` CMS bucket for a key: engine-portable md5 hash of
-    ``row:key`` (first 8 hex chars -> long -> mod width) — the same
-    md5 trick as selection.hash_bucket, so DuckDB reproduces every
-    counter placement exactly (xxhash64 has no DuckDB twin)."""
-    msg = F.concat(F.lit(f"{row}:"), col)
-    return F.conv(F.substring(F.md5(msg), 1, 8), 16, 10).cast("long") % F.lit(width)
+    """Row-``row`` CMS bucket for a key: chunk ``row`` of the key's
+    engine-portable md5 digest (hex chars [8r+1, 8r+8] -> long -> mod
+    width) — ONE digest yields all four row placements (32 hex chars /
+    8), so the hot build path hashes each occurrence once instead of
+    ``depth`` times, and DuckDB reproduces every counter placement
+    exactly (xxhash64 has no DuckDB twin). Supports depth <= 4."""
+    return _digest_bucket(F.md5(col), row, width)
+
+
+def _digest_bucket(digest: F.Column, row: int, width: int) -> F.Column:
+    return (
+        F.conv(F.substring(digest, row * 8 + 1, 8), 16, 10).cast("long")
+        % F.lit(width)
+    )
 
 
 def cms_build(
     keyed: DataFrame, key: str = "key", depth: int = 4, width: int = 256
 ) -> DataFrame:
     """Fold a key stream into a count-min sketch relation
-    ``(row, bucket, c)`` of ≤ depth × width rows. One explode of each
-    input row into its ``depth`` counter placements, then one map-side-
-    combined aggregate — the sketch is REAGGREGABLE partial state:
-    shard/day sketches union and re-sum into the corpus sketch without
-    rescanning raw data, the property the whole sketch family shares."""
-    placed = keyed.select(
+    ``(row, bucket, c)`` of ≤ depth × width rows. ONE md5 per input
+    row (the four placements are disjoint digest chunks — see
+    cms_bucket), one explode into the ``depth`` placements, then one
+    map-side-combined aggregate — the sketch is REAGGREGABLE partial
+    state: shard/day sketches union and re-sum into the corpus sketch
+    without rescanning raw data, the property the whole sketch family
+    shares."""
+    if depth > 4:
+        raise ValueError("cms_build: depth > 4 exceeds the md5 chunk supply")
+    digested = keyed.select(F.md5(F.col(key)).alias("__d"))
+    placed = digested.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(r).alias("row"), cms_bucket(F.col(key), r, width).alias("bucket")
+                        F.lit(r).alias("row"),
+                        _digest_bucket(F.col("__d"), r, width).alias("bucket"),
                     )
                     for r in range(depth)
                 ]

@@ -83,7 +83,7 @@ def _cms_oracle() -> str:
         SELECT unnest(string_split(text, ' ')) AS token FROM documents
     ),
     placed AS (
-        SELECT r, CAST(('0x' || substr(md5(r || ':' || token), 1, 8)) AS BIGINT)
+        SELECT r, CAST(('0x' || substr(md5(token), r * 8 + 1, 8)) AS BIGINT)
                   % {_CMS_WIDTH} AS bucket
         FROM toks, UNNEST(range(0, {_CMS_DEPTH})) AS t(r)
         WHERE token <> ''
@@ -92,7 +92,7 @@ def _cms_oracle() -> str:
     probes(token) AS (VALUES {probes}),
     pb AS (
         SELECT token, r,
-               CAST(('0x' || substr(md5(r || ':' || token), 1, 8)) AS BIGINT)
+               CAST(('0x' || substr(md5(token), r * 8 + 1, 8)) AS BIGINT)
                % {_CMS_WIDTH} AS bucket
         FROM probes, UNNEST(range(0, {_CMS_DEPTH})) AS t(r)
     ),
@@ -122,12 +122,17 @@ def q165_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — REAGGREGABLE partial state (shard sketches re-sum into the
     corpus sketch), which is the whole point at 100 TB: point
     frequencies without keeping the unbounded key dictionary. Counter
-    placement uses the engine-portable md5 bucket hash
-    (operators/sketches.cms_bucket), so the oracle reproduces every
-    collision exactly.""".format(d=_CMS_DEPTH, w=_CMS_WIDTH)
+    placement chunks ONE engine-portable md5 digest per occurrence
+    into the depth row-hashes (operators/sketches.cms_bucket — 4x
+    fewer hashes on the hot path than per-row salting, r7), so the
+    oracle reproduces every collision exactly.""".format(
+        d=_CMS_DEPTH, w=_CMS_WIDTH
+    )
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
-        F.col("token") != ""
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=False)  # feeds the sketch AND the truth branch
     )
     sketch = cms_build(toks, "token", _CMS_DEPTH, _CMS_WIDTH)
     probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string")
