@@ -153,6 +153,8 @@ HEADLINE = [
     "q232_stream_session_window",
     "q233_srm_check",
     "q234_reconciliation",
+    "q235_stream_tumbling_append",
+    "q236_stream_sliding_append",
 ]
 
 

@@ -1629,3 +1629,42 @@ def test_reconciliation_ranks_worst_mismatch_first(spark, tmp_path):
         (1, 100.0, 110.0, pytest.approx(10.0)),
         (2, 55.0, 55.0, pytest.approx(0.0)),
     ]
+
+
+# --------------------------------------------------------------------------
+# q235/q236 append-mode streaming windows
+# --------------------------------------------------------------------------
+def test_stream_tumbling_append_emits_tail_window(spark, tmp_path):
+    """Two 15-min windows, the second containing the global max ts —
+    append mode must emit BOTH (sentinel flush), with exact counts."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01T00:01", 1, "view"),
+            (2, "2024-01-01T00:05", 2, "view"),
+            (3, "2024-01-01T00:20", 1, "click"),
+        ],
+    )
+    rows = QUERIES["q235_stream_tumbling_append"](spark, str(tmp_path)).collect()
+    got = {(r.win_start.isoformat(), r.event_type): r.n for r in rows}
+    assert got == {
+        ("2024-01-01T00:00:00", "view"): 2,
+        ("2024-01-01T00:15:00", "click"): 1,
+    }
+
+
+def test_stream_sliding_append_two_windows_per_event(spark, tmp_path):
+    """One event at 00:20 lands in the 00:15 and 00:00+15-hop 30-min
+    windows — both emitted by append mode after the flush."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_events(spark, tmp_path, [(1, "2024-01-01T00:20", 1, "view")])
+    rows = QUERIES["q236_stream_sliding_append"](spark, str(tmp_path)).collect()
+    got = sorted((r.win_start.isoformat(), r.event_type, r.n) for r in rows)
+    assert got == [
+        ("2024-01-01T00:00:00", "view", 1),
+        ("2024-01-01T00:15:00", "view", 1),
+    ]

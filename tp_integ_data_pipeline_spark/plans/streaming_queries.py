@@ -356,6 +356,63 @@ def q143_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("c_mktsegment", "event_type")
 
 
+
+def _flushed_events_stream(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Events file stream whose final windows FLUSH: the fixture is
+    staged as ONE top-level file followed by TWO far-future sentinel
+    events (user_id −1, event_type '__flush', +1/+2 days past the real
+    max), each its own mtime-ordered file with maxFilesPerTrigger=1.
+    Sentinel 1 advances the watermark a day past the real data at its
+    batch end; sentinel 2's batch then runs WITH that watermark and
+    emits every real window — no reliance on a trailing no-data batch,
+    which an availableNow drain does not get. Gotchas baked in: the
+    file source neither recurses into Spark write DIRECTORIES (part
+    files are promoted to plain top-level files) nor orders equal-mtime
+    files (the real data is coalesced to ONE staged file so an
+    out-of-order first batch can't mark the rest late). Callers exclude
+    the sentinels (user_id < 0 / event_type '__flush') from output."""
+    import glob as _glob
+    import time
+
+    staging = scratch_dir(prefix="events_flush_")
+    src = f"{sf_dir}/events.parquet"
+    now = time.time()
+    src_raw = spark.read.parquet(src)
+    tmp0 = scratch_dir(prefix="flush_real_")
+    src_raw.coalesce(1).write.mode("overwrite").parquet(tmp0)
+    real = os.path.join(staging, "aa_events.parquet")
+    shutil.move(_glob.glob(os.path.join(tmp0, "*.parquet"))[0], real)
+    os.utime(real, (now - 100, now - 100))
+    raw = spark.read.parquet(staging)
+    ts_type = dict(raw.dtypes)["ts"]  # TIMESTAMP(NANOS): ns-long or NTZ
+    mx = raw.agg(F.max("ts").alias("ts"))
+    for i in (1, 2):
+        shifted = (
+            F.col("ts") + F.lit(i * 86_400_000_000_000)
+            if ts_type == "bigint"
+            else F.expr(f"ts + INTERVAL {i} DAY")
+        )
+        sentinel = mx.select(
+            F.lit(-i).cast("long").alias("event_id"),
+            shifted.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        tmp = scratch_dir(prefix=f"flush_sent{i}_")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        flush = os.path.join(staging, f"zz_flush{i}.parquet")
+        shutil.move(part, flush)
+        os.utime(flush, (now + i, now + i))
+    return _normalize_ts(
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+
+
 @query(
     "q232_stream_session_window",
     oracle="""
@@ -394,56 +451,7 @@ def q232_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the batch-native session_window (q63) and to the oracle's
     gap-island SQL — streaming session semantics inside the
     hash-checked gate, not just a rows-only smoke."""
-    import time
-
-    import glob as _glob
-
-    staging = scratch_dir(prefix="events_sess_")
-    src = f"{sf_dir}/events.parquet"
-    now = time.time()
-    # Consolidate the real data into ONE top-level staged file: with
-    # maxFilesPerTrigger=1, multiple equal-mtime real files would
-    # process in arbitrary order, and the watermark from an
-    # out-of-order first batch would drop earlier events as late.
-    src_raw = spark.read.parquet(src)
-    tmp0 = scratch_dir(prefix="sess_real_")
-    src_raw.coalesce(1).write.mode("overwrite").parquet(tmp0)
-    real = os.path.join(staging, "aa_events.parquet")
-    shutil.move(_glob.glob(os.path.join(tmp0, "*.parquet"))[0], real)
-    os.utime(real, (now - 100, now - 100))
-    raw = spark.read.parquet(staging)
-    ts_type = dict(raw.dtypes)["ts"]  # TIMESTAMP(NANOS): ns-long or NTZ
-    mx = raw.agg(F.max("ts").alias("ts"))
-    for i in (1, 2):
-        shifted = (
-            F.col("ts") + F.lit(i * 86_400_000_000_000)
-            if ts_type == "bigint"
-            else F.expr(f"ts + INTERVAL {i} DAY")
-        )
-        sentinel = mx.select(
-            F.lit(-i).cast("long").alias("event_id"),
-            shifted.alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("__flush").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("{}").alias("props"),
-        )
-        # the file source neither recurses into write directories nor
-        # orders by directory mtime — promote the part file to a plain
-        # top-level file and stamp ITS mtime for the processing order
-        import glob as _glob
-
-        tmp = scratch_dir(prefix=f"sess_flush{i}_")
-        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
-        flush = os.path.join(staging, f"zz_flush{i}.parquet")
-        shutil.move(part, flush)
-        os.utime(flush, (now + i, now + i))
-    stream = _normalize_ts(
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staging)
-    )
+    stream = _flushed_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 second")
         .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
@@ -452,3 +460,79 @@ def q232_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_memory(agg, f"q232_out_{uuid.uuid4().hex[:8]}", "append")
     return out.where(F.col("user_id") >= 0).orderBy("user_id", "session_start")
+
+
+@query(
+    "q235_stream_tumbling_append",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value', 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q235_stream_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T4 in the PRODUCTION output mode: watermarked tumbling
+    windows with APPEND output — unlike q60's complete mode (which
+    re-emits the whole result and keeps all state forever), append
+    emits each window exactly once when the watermark closes it and
+    EVICTS its state, the only shape that survives an unbounded
+    stream. The sentinel flush (_flushed_events_stream) closes the
+    tail windows, so the drained append output equals the batch
+    aggregation byte-for-byte; the sentinel's own '__flush' window is
+    excluded from the result."""
+    stream = _flushed_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+    out = run_stream_to_memory(agg, f"q235_out_{uuid.uuid4().hex[:8]}", "append")
+    return out.where(F.col("event_type") != "__flush").orderBy(
+        "win_start", "event_type"
+    )
+
+
+@query(
+    "q236_stream_sliding_append",
+    oracle=f"""
+    SELECT win_start, event_type, COUNT(*) AS n,
+           {dsum_sql('value', 2)} AS total_value
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL '15 minutes', ts),
+                       time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'])
+                   AS win_start,
+               event_type, value
+        FROM events
+    )
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q236_stream_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: watermarked SLIDING windows (30 min / 15 min hop, each
+    event in two windows) with append output + state eviction — the
+    overlapping-window complement to q235; the oracle expands each
+    event into its two window starts. Sentinel flush closes the tail
+    windows; '__flush' windows excluded."""
+    stream = _flushed_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+    out = run_stream_to_memory(agg, f"q236_out_{uuid.uuid4().hex[:8]}", "append")
+    return out.where(F.col("event_type") != "__flush").orderBy(
+        "win_start", "event_type"
+    )
