@@ -46,14 +46,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #   evidence four rounds old): q06–q22 q30–q35 q40 q41 q44 q50 q51
 #   q55–q61 q64–q68 q70 q71. After this round no grade is older
 #   than r4.
-# NEXT ROUND (8): round-7 produced 52 never-driver-graded newcomers
-# (q183–q234 — every one hash-green locally at sf0.001 AND sf0.01 via
+# NEXT ROUND (8): round-7 produced 54 never-driver-graded newcomers
+# (q183–q236 — every one hash-green locally at sf0.001 AND sf0.01 via
 # scripts/check_oracle.py; q225 rows-only by nature). They outrank
-# stale-but-graded keys: front 50 of them (q183–q232), push q233/q234
-# plus any round-8 changes/newcomers to the ROUND-9 front together
-# with the r4 cohort (q87 q100 q102–q111 q114–q117 q119–q121
-# q123–q125 q128 q129 q131 q132 q134–q138 q140 q141 q143–q149 q151
-# q152), then r5.
+# stale-but-graded keys: front 50 of them (q183–q232), push
+# q233–q236 plus any round-8 changes/newcomers to the ROUND-9 front
+# together with the r4 cohort (q87 q100 q102–q111 q114–q117
+# q119–q121 q123–q125 q128 q129 q131 q132 q134–q138 q140 q141
+# q143–q149 q151 q152), then r5.
 _ROTATE_FRONT = (
     "q127 q153 q170 q175 q176 q180 q181 q182 "
     "q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 q16 q17 q18 q19 q20 q21 q22 "
