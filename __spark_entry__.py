@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q183–q236 — every one hash-green locally at sf0.001 AND sf0.01 via
 # scripts/check_oracle.py; q225 rows-only by nature). They outrank
 # stale-but-graded keys: front 50 of them (q183–q232), push
-# q233–q236 plus any round-8 changes/newcomers to the ROUND-9 front
+# q233–q238 plus any round-8 changes/newcomers to the ROUND-9 front
 # together with the r4 cohort (q87 q100 q102–q111 q114–q117
 # q119–q121 q123–q125 q128 q129 q131 q132 q134–q138 q140 q141
 # q143–q149 q151 q152), then r5.

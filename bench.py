@@ -155,6 +155,8 @@ HEADLINE = [
     "q234_reconciliation",
     "q235_stream_tumbling_append",
     "q236_stream_sliding_append",
+    "q237_rouge_pairs",
+    "q238_dataset_card",
 ]
 
 

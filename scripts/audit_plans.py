@@ -139,6 +139,8 @@ BNLJ_ALLOWED = {
     "q230_diff_in_diff": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row chi2/flag scalar onto the 2-row arm rollup
     "q233_srm_check": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row line-dedup summary onto the 1-row corpus summary
+    "q238_dataset_card": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

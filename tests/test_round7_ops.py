@@ -1668,3 +1668,51 @@ def test_stream_sliding_append_two_windows_per_event(spark, tmp_path):
         ("2024-01-01T00:00:00", "view", 1),
         ("2024-01-01T00:15:00", "view", 1),
     ]
+
+
+# --------------------------------------------------------------------------
+# q237 ROUGE pairs / q238 dataset card
+# --------------------------------------------------------------------------
+def test_rouge_pairs_clipped_overlap_hand_computed(spark, tmp_path):
+    """Docs 'a b c d e f a' (len 7) and 'a b c d e f f' (len 7) share
+    shingles (J >= 0.5) and clip to overlap 6 (min counts: a:1 b:1 c:1
+    d:1 e:1 f:1) → P = R = F = 6/7."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c d e f a", "en", "s", 13),
+            (2, "a b c d e f f", "en", "s", 13),
+            (3, "z1 z2 z3 z4 z5", "en", "s", 14),
+        ],
+    )
+    rows = QUERIES["q237_rouge_pairs"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b, r.overlap) == (1, 2, 6)
+    assert r.rouge_p == pytest.approx(6 / 7, abs=1e-6)
+    assert r.rouge_r == pytest.approx(6 / 7, abs=1e-6)
+    assert r.rouge_f == pytest.approx(6 / 7, abs=1e-6)
+
+
+def test_dataset_card_profile(spark, tmp_path):
+    """3 docs / 2 langs / 2 sources; 18 tokens; docs 1 and 2 are the
+    same 6-word line (3 lines total, 2 distinct → dup share 1/3)."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    shared = "a b c d e f"
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, shared, "en", "s1", 11),
+            (2, shared, "fr", "s2", 11),
+            (3, "g h i j k l", "en", "s1", 11),
+        ],
+    )
+    r = QUERIES["q238_dataset_card"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.total_tokens, r.n_langs, r.n_sources) == (3, 18, 2, 2)
+    assert r.mean_chars == pytest.approx(11.0)
+    assert r.dup_line_share == pytest.approx(1 - 2 / 3, abs=1e-6)

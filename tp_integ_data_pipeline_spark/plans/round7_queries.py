@@ -4477,3 +4477,179 @@ def q234_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("delta")).desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q237 — ROUGE-1 scores for near-duplicate candidate pairs
+# --------------------------------------------------------------------------
+_RG_T = 0.5
+_RG_DOCS = 300
+
+
+def _rouge_oracle() -> str:
+    from tp_integ_data_pipeline_spark.operators.dedup import shingle_sql
+
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < {_RG_DOCS}),
+    {shingle_sql("base", "doc_id", "text", 3)},
+    n AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+    i AS (
+        SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a, b FROM i JOIN n na ON na.id = i.a JOIN n nb ON nb.id = i.b
+        WHERE inter * 1.0 / (na.n + nb.n - inter) >= {_RG_T}
+    ),
+    tok AS (
+        SELECT doc_id AS id, t AS token, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM base)
+        WHERE t <> '' GROUP BY 1, 2
+    ),
+    tl AS (SELECT id, SUM(c) AS len FROM tok GROUP BY 1),
+    ov AS (
+        SELECT p.a, p.b, SUM(LEAST(x.c, y.c)) AS overlap
+        FROM pairs p
+        JOIN tok x ON x.id = p.a
+        JOIN tok y ON y.id = p.b AND y.token = x.token
+        GROUP BY 1, 2
+    )
+    SELECT p.a, p.b,
+           CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+           ROUND(COALESCE(ov.overlap, 0) * 1.0 / la.len, 6) AS rouge_p,
+           ROUND(COALESCE(ov.overlap, 0) * 1.0 / lb.len, 6) AS rouge_r,
+           ROUND(2.0 * COALESCE(ov.overlap, 0)
+                 / (la.len + lb.len), 6) AS rouge_f
+    FROM pairs p
+    LEFT JOIN ov ON ov.a = p.a AND ov.b = p.b
+    JOIN tl la ON la.id = p.a
+    JOIN tl lb ON lb.id = p.b
+    ORDER BY p.a, p.b
+    """
+
+
+@query("q237_rouge_pairs", oracle=_rouge_oracle())
+def q237_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 (unigram multiset overlap: precision / recall / F1)
+    for every high-similarity candidate pair — the eval-metric verb an
+    LLM data pipeline runs to QUANTIFY near-duplication (and to score
+    summaries/paraphrases at corpus scale): Jaccard (q175) says
+    "similar", ROUGE says "how much of A's content B reproduces".
+    Clipped overlap = Σ_token min(count_a, count_b).
+
+    Scale shape: candidate pairs come from the bounded exact-Jaccard
+    path (inverted index, threshold prune — never all-pairs); token
+    multisets are (id, token)-keyed rollups; the overlap join is
+    pair×shared-token bounded. ROUGE denominators are per-doc token
+    totals attached by equi-join."""
+    from tp_integ_data_pipeline_spark.operators.dedup import pair_jaccard, shingles
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _RG_DOCS)
+    sh = shingles(docs, "doc_id", "text", 3)
+    pairs = (
+        pair_jaccard(sh)
+        .where(F.col("jaccard") >= _RG_T)
+        .select("a", "b")
+        .localCheckpoint(eager=False)  # feeds the overlap join AND the output
+    )
+    tok = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds both pair sides AND lengths
+    )
+    tl = tok.groupBy("id").agg(F.sum("c").alias("len"))
+    ov = (
+        pairs.join(tok.select(F.col("id").alias("a"), "token", F.col("c").alias("ca")), "a")
+        .join(
+            tok.select(F.col("id").alias("b"), "token", F.col("c").alias("cb")),
+            ["b", "token"],
+        )
+        .groupBy("a", "b")
+        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+    )
+    out = (
+        pairs.join(ov, ["a", "b"], "left")
+        .join(tl.select(F.col("id").alias("a"), F.col("len").alias("la")), "a")
+        .join(tl.select(F.col("id").alias("b"), F.col("len").alias("lb")), "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+            F.round(F.coalesce("overlap", F.lit(0)) / F.col("la"), 6).alias("rouge_p"),
+            F.round(F.coalesce("overlap", F.lit(0)) / F.col("lb"), 6).alias("rouge_r"),
+            F.round(
+                2.0 * F.coalesce("overlap", F.lit(0)) / (F.col("la") + F.col("lb")), 6
+            ).alias("rouge_f"),
+        )
+    )
+    return out.orderBy("a", "b")
+
+
+# --------------------------------------------------------------------------
+# q238 — one-row dataset card (corpus profile capstone)
+# --------------------------------------------------------------------------
+@query(
+    "q238_dataset_card",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, (i - 1) // {_LINE_W} AS pos,
+               array_to_string(w[i:i+{_LINE_W - 1}], ' ') AS line
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, greatest(len(w), 1) + 1, {_LINE_W})) AS t(i)
+    ),
+    lines AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_lines,
+               CAST(COUNT(DISTINCT line) AS DOUBLE) AS n_uniq
+        FROM b
+    ),
+    d AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars
+        FROM documents
+    )
+    SELECT d.n_docs, d.total_tokens, d.n_langs, d.n_sources, d.mean_chars,
+           ROUND(1.0 - lines.n_uniq / lines.n_lines, 6) AS dup_line_share
+    FROM d, lines
+    """,
+)
+def q238_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD: the corpus profile a data release ships
+    with — doc/token/language/source counts, mean length, and the
+    duplicate-line share (1 − distinct/total over q180's 6-word line
+    unit, the Falcon-style dedup headroom number). Composes the
+    engine's existing segmentation into the single summary artifact.
+
+    Scale shape: one scan feeds a global rollup (count-distincts are
+    the only shuffles, each key-bounded); the line relation is the
+    row-local segment_blocks explode with one distinct rollup; the
+    two 1-row summaries cross-join (BNLJ_ALLOWED)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
+    )
+    blocks = segment_blocks(docs.select("doc_id", "text"), _LINE_W)
+    lines = blocks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+        F.countDistinct("line").cast("double").alias("n_uniq"),
+    )
+    return d.crossJoin(F.broadcast(lines)).select(
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "n_sources",
+        "mean_chars",
+        F.round(1.0 - F.col("n_uniq") / F.col("n_lines"), 6).alias("dup_line_share"),
+    )
