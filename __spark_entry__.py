@@ -46,8 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   evidence four rounds old): q06–q22 q30–q35 q40 q41 q44 q50 q51
 #   q55–q61 q64–q68 q70 q71. After this round no grade is older
 #   than r4.
-# NEXT ROUND (8): round-7 produced 54 never-driver-graded newcomers
-# (q183–q236 — every one hash-green locally at sf0.001 AND sf0.01 via
+# NEXT ROUND (8): round-7 produced 56 never-driver-graded newcomers
+# (q183–q238 — every one hash-green locally at sf0.001 AND sf0.01 via
 # scripts/check_oracle.py; q225 rows-only by nature). They outrank
 # stale-but-graded keys: front 50 of them (q183–q232), push
 # q233–q238 plus any round-8 changes/newcomers to the ROUND-9 front
