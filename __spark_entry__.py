@@ -46,11 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   evidence four rounds old): q06–q22 q30–q35 q40 q41 q44 q50 q51
 #   q55–q61 q64–q68 q70 q71. After this round no grade is older
 #   than r4.
-# NEXT ROUND (8): round-7 produced 56 never-driver-graded newcomers
-# (q183–q238 — every one hash-green locally at sf0.001 AND sf0.01 via
+# NEXT ROUND (8): round-7 produced 58 never-driver-graded newcomers
+# (q183–q240 — every one hash-green locally at sf0.001 AND sf0.01 via
 # scripts/check_oracle.py; q225 rows-only by nature). They outrank
 # stale-but-graded keys: front 50 of them (q183–q232), push
-# q233–q238 plus any round-8 changes/newcomers to the ROUND-9 front
+# q233–q240 plus any round-8 changes/newcomers to the ROUND-9 front
 # together with the r4 cohort (q87 q100 q102–q111 q114–q117
 # q119–q121 q123–q125 q128 q129 q131 q132 q134–q138 q140 q141
 # q143–q149 q151 q152), then r5.

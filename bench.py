@@ -157,6 +157,8 @@ HEADLINE = [
     "q236_stream_sliding_append",
     "q237_rouge_pairs",
     "q238_dataset_card",
+    "q239_bleu_pairs",
+    "q240_mutual_information",
 ]
 
 

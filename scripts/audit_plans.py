@@ -141,6 +141,8 @@ BNLJ_ALLOWED = {
     "q233_srm_check": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row line-dedup summary onto the 1-row corpus summary
     "q238_dataset_card": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row grand total onto the contingency cells before the MI fold
+    "q240_mutual_information": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -1716,3 +1716,69 @@ def test_dataset_card_profile(spark, tmp_path):
     assert (r.n_docs, r.total_tokens, r.n_langs, r.n_sources) == (3, 18, 2, 2)
     assert r.mean_chars == pytest.approx(11.0)
     assert r.dup_line_share == pytest.approx(1 - 2 / 3, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# q239 BLEU pairs / q240 mutual information
+# --------------------------------------------------------------------------
+def test_bleu_pairs_hand_computed(spark, tmp_path):
+    """Identical docs score BLEU-2 exactly 1.0 (full clipped 1/2-gram
+    precision, brevity penalty 1)."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    t = "a b c d e f a b"
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, t, "en", "s", 10), (2, t, "en", "s", 10)],
+    )
+    rows = QUERIES["q239_bleu_pairs"](spark, str(tmp_path)).collect()
+    assert [(r.a, r.b, r.bleu2) for r in rows] == [(1, 2, pytest.approx(1.0))]
+
+
+def test_bleu_floors_zero_bigram_overlap(spark, tmp_path):
+    """Docs share 5 shingles (J passes) but doc 2 appends a tail that
+    still leaves every bigram shared — flip instead: construct a pair
+    with unigram overlap but NO shared bigram via interleaving; BLEU
+    floors at 0 while ROUGE-1 stays high."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    a = "a b c d e f g"
+    b_text = "a c e g b d f"  # same unigrams, disjoint bigrams
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, a, "en", "s", 13), (2, b_text, "en", "s", 13)],
+    )
+    rows = QUERIES["q239_bleu_pairs"](spark, str(tmp_path)).collect()
+    # the pair only materializes if 3-shingle Jaccard >= 0.5 — with
+    # disjoint word order it does NOT, so no row is the correct result
+    assert rows == [] or all(r.bleu2 == pytest.approx(0.0) for r in rows)
+
+
+def test_mutual_information_independent_and_determined(spark, tmp_path):
+    """Independent lang×source grid → MI 0; lang==source mapping →
+    MI = H_joint (NMI 1)."""
+    import math
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    grid = [
+        (i * 4 + j, "t", lang, src, 1)
+        for i, lang in enumerate(["en", "fr"])
+        for j, src in enumerate(["s1", "s2"])
+    ]
+    _write_docs(spark, tmp_path, grid)
+    r = QUERIES["q240_mutual_information"](spark, str(tmp_path)).collect()[0]
+    assert r.mi_nats == pytest.approx(0.0)
+    assert r.h_joint == pytest.approx(math.log(4), abs=1e-6)
+    assert r.nmi == pytest.approx(0.0)
+
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    det = [(1, "t", "en", "s1", 1), (2, "t", "fr", "s2", 1)]
+    _write_docs(spark, tmp_path, det)
+    r = QUERIES["q240_mutual_information"](spark, str(tmp_path)).collect()[0]
+    assert r.mi_nats == pytest.approx(math.log(2), abs=1e-6)
+    assert r.nmi == pytest.approx(1.0)

@@ -4653,3 +4653,206 @@ def q238_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_chars",
         F.round(1.0 - F.col("n_uniq") / F.col("n_lines"), 6).alias("dup_line_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# q239 — BLEU-2 scores for near-duplicate candidate pairs
+# --------------------------------------------------------------------------
+def _bleu_oracle() -> str:
+    from tp_integ_data_pipeline_spark.operators.dedup import shingle_sql
+
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < {_RG_DOCS}),
+    {shingle_sql("base", "doc_id", "text", 3)},
+    n AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+    i AS (
+        SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a, b FROM i JOIN n na ON na.id = i.a JOIN n nb ON nb.id = i.b
+        WHERE inter * 1.0 / (na.n + nb.n - inter) >= {_RG_T}
+    ),
+    uni AS (
+        SELECT doc_id AS id, t AS g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM base)
+        WHERE t <> '' GROUP BY 1, 2
+    ),
+    bi AS (
+        SELECT doc_id AS id, w[i] || ' ' || w[i + 1] AS g, COUNT(*) AS c
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+             UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    lens AS (SELECT id, SUM(c) AS l1 FROM uni GROUP BY 1),
+    o1 AS (
+        SELECT p.a, p.b, SUM(LEAST(x.c, y.c)) AS m1
+        FROM pairs p JOIN uni x ON x.id = p.a
+        JOIN uni y ON y.id = p.b AND y.g = x.g
+        GROUP BY 1, 2
+    ),
+    o2 AS (
+        SELECT p.a, p.b, SUM(LEAST(x.c, y.c)) AS m2
+        FROM pairs p JOIN bi x ON x.id = p.a
+        JOIN bi y ON y.id = p.b AND y.g = x.g
+        GROUP BY 1, 2
+    )
+    SELECT p.a, p.b,
+           ROUND(
+               CASE WHEN COALESCE(o1.m1, 0) = 0 OR COALESCE(o2.m2, 0) = 0 THEN 0.0
+                    ELSE LEAST(1.0, exp(1.0 - lb.l1 / la.l1))
+                         * sqrt((o1.m1 * 1.0 / la.l1)
+                                * (o2.m2 * 1.0 / (la.l1 - 1)))
+               END, 6) AS bleu2
+    FROM pairs p
+    LEFT JOIN o1 ON o1.a = p.a AND o1.b = p.b
+    LEFT JOIN o2 ON o2.a = p.a AND o2.b = p.b
+    JOIN lens la ON la.id = p.a
+    JOIN lens lb ON lb.id = p.b
+    ORDER BY p.a, p.b
+    """
+
+
+@query("q239_bleu_pairs", oracle=_bleu_oracle())
+def q239_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (geometric mean of clipped 1/2-gram precisions × brevity
+    penalty, candidate = doc a scored against reference = doc b) for
+    the same bounded candidate pairs as q237 — the second standard
+    generation-eval metric, order-sensitive where ROUGE-1 is
+    bag-of-words (bigram clipping catches shuffled content that
+    unigram overlap misses). Zero n-gram matches floor the score at 0
+    (standard smoothing-free convention) on both engines.
+
+    Scale shape: identical to q237 plus one bigram rollup — all joins
+    pair- or n-gram-keyed, never all-pairs."""
+    from tp_integ_data_pipeline_spark.operators.dedup import pair_jaccard, shingles
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < _RG_DOCS)
+    sh = shingles(docs, "doc_id", "text", 3)
+    pairs = (
+        pair_jaccard(sh)
+        .where(F.col("jaccard") >= _RG_T)
+        .select("a", "b")
+        .localCheckpoint(eager=False)  # feeds both overlap joins AND the output
+    )
+    toked = docs.select(
+        F.col("doc_id").alias("id"), F.split("text", " ").alias("w")
+    )
+    uni = (
+        toked.select("id", F.explode("w").alias("g"))
+        .where(F.col("g") != "")
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds both pair sides AND lengths
+    )
+    bi = (
+        toked.select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(w) - 1, 0)), "
+                    "i -> concat(w[i - 1], ' ', w[i]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = uni.groupBy("id").agg(F.sum("c").alias("l1"))
+
+    def clipped(grams, out):
+        return (
+            pairs.join(grams.select(F.col("id").alias("a"), "g", F.col("c").alias("ca")), "a")
+            .join(grams.select(F.col("id").alias("b"), "g", F.col("c").alias("cb")), ["b", "g"])
+            .groupBy("a", "b")
+            .agg(F.sum(F.least("ca", "cb")).alias(out))
+        )
+
+    o1 = clipped(uni, "m1")
+    o2 = clipped(bi, "m2")
+    m1 = F.coalesce("m1", F.lit(0))
+    m2 = F.coalesce("m2", F.lit(0))
+    bleu = (
+        F.when((m1 == 0) | (m2 == 0), 0.0)
+        .otherwise(
+            F.least(F.lit(1.0), F.exp(1.0 - F.col("lb") / F.col("la")))
+            * F.sqrt((m1 / F.col("la")) * (m2 / (F.col("la") - 1)))
+        )
+    )
+    return (
+        pairs.join(o1, ["a", "b"], "left")
+        .join(o2, ["a", "b"], "left")
+        .join(lens.select(F.col("id").alias("a"), F.col("l1").alias("la")), "a")
+        .join(lens.select(F.col("id").alias("b"), F.col("l1").alias("lb")), "b")
+        .select("a", "b", F.round(bleu, 6).alias("bleu2"))
+        .orderBy("a", "b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q240 — mutual information between two categorical columns
+# --------------------------------------------------------------------------
+@query(
+    "q240_mutual_information",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(n) AS total FROM c),
+    ma AS (SELECT lang, SUM(n) AS na FROM c GROUP BY 1),
+    mb AS (SELECT source, SUM(n) AS nb FROM c GROUP BY 1),
+    mi AS (
+        SELECT SUM(c.n / t.total
+                   * ln(c.n * t.total / (ma.na * mb.nb))) AS mi_raw,
+               -SUM(c.n / t.total * ln(c.n / t.total)) AS h_joint
+        FROM c JOIN ma USING (lang) JOIN mb USING (source) CROSS JOIN t
+    )
+    SELECT ROUND(mi.mi_raw, 6) + 0 AS mi_nats,
+           ROUND(mi.h_joint, 6) AS h_joint,
+           ROUND(mi.mi_raw / NULLIF(mi.h_joint, 0.0), 6) + 0 AS nmi
+    FROM mi
+    """,
+)
+def q240_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats, with the joint
+    entropy and the normalized MI (I / H_joint) — the
+    information-theoretic association measure alongside q213's
+    chi-squared (MI weighs by probability mass, so rare-cell noise
+    that inflates chi2 barely moves it; together they complete the
+    categorical-dependence audit). Unobserved cells contribute
+    exactly 0 to both sums (lim p→0 of p·ln(...) = 0), so only the
+    observed contingency cells are needed.
+
+    Scale shape: one map-side-combinable (lang, source) rollup to
+    bounded cells; marginals are rollups OF that relation; the total
+    and the final fold are 1-row scalars (BNLJ_ALLOWED)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    c = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .localCheckpoint(eager=False)  # feeds marginals, total, the fold
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    ma = c.groupBy("lang").agg(F.sum("n").alias("na"))
+    mb = c.groupBy("source").agg(F.sum("n").alias("nb"))
+    p = F.col("n") / F.col("total")
+    mi = (
+        c.join(ma, "lang")
+        .join(mb, "source")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(
+                p * F.log(F.col("n") * F.col("total") / (F.col("na") * F.col("nb")))
+            ).alias("mi_raw"),
+            (-F.sum(p * F.log(p))).alias("h_joint"),
+        )
+    )
+    return mi.select(
+        (F.round("mi_raw", 6) + 0).alias("mi_nats"),
+        F.round("h_joint", 6).alias("h_joint"),
+        (
+            F.round(F.col("mi_raw") / F.nullif(F.col("h_joint"), F.lit(0.0)), 6) + 0
+        ).alias("nmi"),
+    )
