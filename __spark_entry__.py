@@ -35,33 +35,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
-# Round-7 front (exactly 50):
-# - changed THIS round, must re-earn a green driver row: q127 (PCA
-#   rows-only → hash-checked invariant output), q153/q170 (round-6
-#   ADVICE fixes: BPE oracle boundary padding, PSI empty-half
-#   left-join), q175 (AllPairs length filter), q176 (identical-name
-#   pre-grouping in edit_distance_join);
-# - round-7-new, never driver-graded: q180 q181 q182;
-# - the ENTIRE remaining r3-graded cohort (42 keys — newest driver
-#   evidence four rounds old): q06–q22 q30–q35 q40 q41 q44 q50 q51
-#   q55–q61 q64–q68 q70 q71. After this round no grade is older
-#   than r4.
-# NEXT ROUND (8): round-7 produced 58 never-driver-graded newcomers
-# (q183–q240 — every one hash-green locally at sf0.001 AND sf0.01 via
-# scripts/check_oracle.py; q225 rows-only by nature). They outrank
-# stale-but-graded keys: front 50 of them (q183–q232), push
-# q233–q240 plus any round-8 changes/newcomers to the ROUND-9 front
-# together with the r4 cohort (q87 q100 q102–q111 q114–q117
-# q119–q121 q123–q125 q128 q129 q131 q132 q134–q138 q140 q141
-# q143–q149 q151 q152), then r5.
+# Round-8 front (exactly 50): the 50 OLDEST never-driver-graded
+# round-7 newcomers q183–q232 (each hash-green locally at sf0.001 AND
+# sf0.01 via scripts/check_oracle.py; the 20 cheapest of q201–q240
+# additionally verified at sf0.1 this round — see
+# scripts/oracle_run_sf0.1_r8.log). Expected grades: 49 hash-green +
+# q225 (audio VAD) rows-only by nature.
+# ROUND-9 front plan (committed per the r7 verdict; keeps every
+# newest grade ≥ r5): q233–q240 (8, incl. the q239 ADVICE re-grade)
+# + round-8 newcomers q241–q245 (5, quality classifier family)
+# + 37 of the 42-key r4-stale cohort (q87 q100 q102–q111 q114–q117
+#   q119–q121 q123–q125 q128 q129 q131 q132 q134–q138 q140 q141
+#   q143 q144) = 50 exactly.
+# ROUND-10 front then leads with the r4 remainder (q145–q149 q151
+# q152) + the r5 cohort.
 _ROTATE_FRONT = (
-    "q127 q153 q170 q175 q176 q180 q181 q182 "
-    "q06 q07 q08 q09 q10 q11 q12 q13 q14 q15 q16 q17 q18 q19 q20 q21 q22 "
-    "q30 q31 q32 q33 q34 q35 "
-    "q40 q41 q44 q50 q51 "
-    "q55 q56 q57 q58 q59 q60 q61 "
-    "q64 q65 q66 q67 q68 "
-    "q70 q71"
+    "q183 q184 q185 q186 q187 q188 q189 q190 q191 q192 "
+    "q193 q194 q195 q196 q197 q198 q199 q200 q201 q202 "
+    "q203 q204 q205 q206 q207 q208 q209 q210 q211 q212 "
+    "q213 q214 q215 q216 q217 q218 q219 q220 q221 q222 "
+    "q223 q224 q225 q226 q227 q228 q229 q230 q231 q232"
 ).split()
 
 

@@ -159,6 +159,11 @@ HEADLINE = [
     "q238_dataset_card",
     "q239_bleu_pairs",
     "q240_mutual_information",
+    "q241_hashed_features",
+    "q242_classifier_train",
+    "q243_quality_score_frozen",
+    "q244_quality_filter_stats",
+    "q245_quality_calibration",
 ]
 
 

@@ -1782,3 +1782,50 @@ def test_mutual_information_independent_and_determined(spark, tmp_path):
     r = QUERIES["q240_mutual_information"](spark, str(tmp_path)).collect()[0]
     assert r.mi_nats == pytest.approx(math.log(2), abs=1e-6)
     assert r.nmi == pytest.approx(1.0)
+
+
+# --------------------------------------------------------------------------
+# r7 ADVICE regressions
+# --------------------------------------------------------------------------
+def test_bigrams_expr_guard(spark):
+    """Single-token and empty word arrays yield ZERO bigrams — the
+    unguarded form descended sequence(1, 0) = [1, 0] and emitted two
+    NULL bigrams per single-token doc (r7 ADVICE, round7_queries
+    _bigrams_expr)."""
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.plans.round7_queries import _bigrams_expr
+
+    df = spark.createDataFrame(
+        [(1, ["a"]), (2, []), (3, ["a", "b", "c"])], "id int, w array<string>"
+    )
+    rows = (
+        df.select("id", F.explode(_bigrams_expr("w")).alias("g"))
+        .orderBy("id", "g")
+        .collect()
+    )
+    assert [(r.id, r.g) for r in rows] == [(3, "a b"), (3, "b c")]
+    assert all(r.g is not None for r in rows)
+
+
+def test_rank_summaries_nonstring_key(spark):
+    """rank_summaries derives the output key type from the input
+    schema — an integer key must round-trip as an integer, not a
+    silently-coerced string (r7 ADVICE, rank_sketch.py)."""
+    from tp_integ_data_pipeline_spark.operators.rank_sketch import (
+        rank_summaries,
+        summary_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(k, float(v), k * 1000 + v) for k in (1, 2) for v in range(50)],
+        "k int, v double, id long",
+    )
+    summ = rank_summaries(df, "k", "v", "id", k=64)
+    assert dict(summ.dtypes)["key"] == "int"
+    est = summary_quantiles(summ, [0.5])
+    got = {r.key: r.est for r in est.collect()}
+    assert set(got) == {1, 2}
+    # k=64 >= n=50 per key: the summary is exact, so the median is the
+    # ceil(0.5*50) = 25th value (0-indexed 24) = 24.0
+    assert got[1] == pytest.approx(24.0)

@@ -98,3 +98,17 @@ def test_exactly_c_distinct_is_still_exact(spark):
     assert [(r["tok"], r["lower"], r["upper"]) for r in got] == [
         ("a", 9, 9), ("b", 3, 3), ("c", 2, 2)
     ]
+
+
+def test_cms_estimate_depth_guard(spark):
+    """cms_estimate rejects depth > 4 like cms_build does — without the
+    guard, row 4+ reads past the 32-hex md5 digest and the left join +
+    coalesce(0) silently min-reduces every estimate to 0 (r7 ADVICE)."""
+    from tp_integ_data_pipeline_spark.operators.sketches import cms_build, cms_estimate
+
+    keyed = spark.createDataFrame([("a",), ("a",), ("b",)], "key string")
+    sketch = cms_build(keyed, depth=4)
+    with pytest.raises(ValueError, match="depth > 4"):
+        cms_estimate(sketch, keyed.distinct(), depth=5)
+    with pytest.raises(ValueError, match="depth > 4"):
+        cms_build(keyed, depth=5)

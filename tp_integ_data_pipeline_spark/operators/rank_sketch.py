@@ -78,7 +78,11 @@ def rank_summaries(
         cv, cw = _compact(v, np.ones(len(v)), k)
         return pd.DataFrame({"key": pdf["key"].iloc[0], "v": cv, "w": cw})
 
-    schema = "key string, v double, w double"
+    # derive the key field's type from the input (the API takes any
+    # atomic key_col; hard-coding `string` silently coerced non-string
+    # keys — r7 ADVICE)
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = f"key {key_type}, v double, w double"
     partials = salted.groupBy("key", "__salt").applyInPandas(
         lambda _, pdf: compact_group(pdf), schema=schema
     )

@@ -256,6 +256,12 @@ def canonicalize_url(url_col: F.Column | str) -> F.Column:
 
     Query-param SORTING is deliberately out of scope (needs a
     tokenizer, and reordering can change semantics on some origins).
+    Known limitation: step 2 lowercases the ENTIRE scheme://authority
+    span including any RFC 3986 userinfo ("user:PW@host"), which is
+    case-sensitive — distinct credentialed URLs can collapse.
+    Accepted: crawl-dedup corpora don't carry credentialed URLs, and
+    the pass is deterministic on both engines so oracle hashes are
+    unaffected.
     Every step is a regexp the DuckDB oracle replays (RE2-compatible:
     no lookaround, no backrefs in patterns), so canonical equality is
     engine-portable. Row-local, codegen-friendly — no UDF."""

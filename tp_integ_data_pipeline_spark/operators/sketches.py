@@ -147,6 +147,11 @@ def cms_estimate(
     The probe relation re-derives its buckets with the same portable
     hash and joins the ≤ depth × width sketch — broadcast-sized by
     construction."""
+    if depth > 4:
+        # mirror cms_build's guard: row 4+ would substring past the
+        # 32-hex md5 digest, conv('') -> NULL buckets, and the left
+        # join + coalesce(0) would silently min every estimate to 0
+        raise ValueError("cms_estimate: depth > 4 exceeds the md5 chunk supply")
     placed = probes.select(
         key,
         F.explode(

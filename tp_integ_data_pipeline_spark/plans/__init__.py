@@ -29,3 +29,4 @@ from tp_integ_data_pipeline_spark.plans import linkage_queries  # noqa: E402,F40
 from tp_integ_data_pipeline_spark.plans import round5_queries  # noqa: E402,F401
 from tp_integ_data_pipeline_spark.plans import round6_queries  # noqa: E402,F401
 from tp_integ_data_pipeline_spark.plans import round7_queries  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import round8_queries  # noqa: E402,F401

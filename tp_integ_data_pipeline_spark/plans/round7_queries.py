@@ -4714,6 +4714,22 @@ def _bleu_oracle() -> str:
     """
 
 
+def _bigrams_expr(words_col: str) -> F.Column:
+    """Adjacent-word bigram array ("w1 w2" strings) from a word array.
+
+    Guarded so single-token (or empty) docs yield an EMPTY array: an
+    unguarded sequence(1, size(w) - 1) DESCENDS ([1, 0]) when
+    size(w) = 1 — Spark's sequence counts down when start > stop — and
+    emits two NULL bigrams from out-of-range element reads (r7 ADVICE;
+    regression: tests/test_round7_ops.py::test_bigrams_expr_guard)."""
+    return F.expr(
+        f"CASE WHEN size({words_col}) >= 2 THEN "
+        f"transform(sequence(1, size({words_col}) - 1), "
+        f"i -> concat({words_col}[i - 1], ' ', {words_col}[i])) "
+        "ELSE array() END"
+    )
+
+
 @query("q239_bleu_pairs", oracle=_bleu_oracle())
 def q239_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLEU-2 (geometric mean of clipped 1/2-gram precisions × brevity
@@ -4749,12 +4765,7 @@ def q239_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = (
         toked.select(
             "id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(w) - 1, 0)), "
-                    "i -> concat(w[i - 1], ' ', w[i]))"
-                )
-            ).alias("g"),
+            F.explode(_bigrams_expr("w")).alias("g"),
         )
         .groupBy("id", "g")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -1,0 +1,312 @@
+"""Round-8 operator family: distributed quality classifier — hashed
+word features + IRLS-trained logistic regression + frozen-weight
+relational inference (q241–q245). The fastText-style learned quality
+filter that the curation suite previously approximated with hand
+rules (q94 quality rules, q113 surprisal, q193 backoff-LM score).
+No reference-repo counterpart (reference main.py:46-454 carries no ML
+surface) — SURVEY.md §2.10 extension, round-7 VERDICT item 7.
+
+Oracle strategy: the FEATURIZE and SCORE paths are pure relational
+plans over an engine-portable md5 bucket hash, so DuckDB replays them
+exactly (full hash check). TRAINING is iterative linear algebra no
+SQL engine replays float-for-float — so q242 grades the model by its
+STATIONARITY INVARIANT instead: at the L2-logistic optimum the score
+equation g_j = Σ_i x_ij (y_i − p_i) − λβ_j is exactly 0 for every
+bucket, a value both engines agree on after round-6 normalization
+(the q127 whitened-covariance-identity trick)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.operators.classifier import (
+    hashed_word_features,
+    logreg_irls_train,
+    score_frozen,
+    stationarity_residuals,
+    _weights_df,
+)
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+# Feature space: 256 hashed buckets + bias. At d = 256 the fixture
+# vocabulary's two label-rule words ("spark" → 122, "vector" → 77)
+# are collision-free, so the weak rule is linearly expressible and
+# the trained model's accuracy gates mean something (~0.99 train,
+# ~0.97 at sf0.1 with frozen weights — tests/test_classifier.py).
+_D = 256
+_L2 = 1.0
+_IRLS_ITERS = 10
+
+# Weak label the classifier is distilled from (the production pattern:
+# distill an expensive rule/teacher into a cheap linear scorer):
+# y = 1 iff the doc mentions {spark, vector} at least 3 times total.
+# (Lazy: building a Column requires an active SparkContext.)
+def _rule_label() -> F.Column:
+    return (
+        F.size(F.filter(F.split("text", " "), lambda w: w.isin("spark", "vector")))
+        >= 3
+    ).cast("double")
+_RULE_SQL = (
+    "(len(list_filter(string_split(text, ' '), w -> w IN ('spark', 'vector'))) >= 3)"
+)
+
+# Frozen production weights: logreg_irls_train at sf0.01 (full 500-doc
+# corpus, d=256, λ=1.0, 12 Newton iters), rounded to 4 decimals and
+# SHIPPED as constants — the inference path is a model artifact, not a
+# per-run fit, exactly like the IVF/PQ codebooks (similarity.py).
+_BIAS = -5.8864
+_FROZEN = {
+    27: -0.0402, 49: -0.1747, 55: -0.1697, 56: -0.2763, 76: 0.1864,
+    77: 2.6679, 87: 0.1083, 95: -0.2694, 96: 0.1099, 105: 0.0757,
+    109: 0.0192, 122: 2.5835, 125: 0.0066, 129: -0.1185, 133: 0.3117,
+    138: 0.1425, 141: 0.164, 142: -0.1713, 147: -0.1095, 153: 0.0145,
+    177: 0.0831, 185: 0.1505, 192: -0.1933, 214: -0.0595, 222: -0.1725,
+    228: 0.101, 231: -0.1885, 240: -0.0246, 250: -0.0665,
+}
+
+_BUCKET_SQL = "CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 256"
+_W_VALUES = ", ".join(f"({j}, {v})" for j, v in sorted(_FROZEN.items()))
+_TOKENS_SQL = f"""
+    tok AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> ''
+    ),
+    feat AS (
+        SELECT doc_id, {_BUCKET_SQL} AS j, COUNT(*) AS x
+        FROM tok GROUP BY doc_id, {_BUCKET_SQL}
+    )
+"""
+_SCORE_SQL = f"""
+    wt(j, beta) AS (VALUES {_W_VALUES}),
+    z AS (
+        SELECT f.doc_id, SUM(f.x * wt.beta) AS zs
+        FROM feat f JOIN wt ON wt.j = f.j GROUP BY f.doc_id
+    ),
+    sc AS (
+        SELECT d.doc_id,
+               ROUND(1.0 / (1.0 + exp(-(COALESCE(z.zs, 0.0) + ({_BIAS})))), 6)
+                   AS score
+        FROM documents d LEFT JOIN z USING (doc_id)
+    )
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared frozen-weight scoring: (id, score) with score already
+    round-6 normalized so downstream thresholds/bins are decided on
+    IDENTICAL doubles in both engines (pred flips at z≈0 otherwise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frozen = [0.0] * _D
+    for j, v in _FROZEN.items():
+        frozen[j] = v
+    raw = score_frozen(docs, frozen, _BIAS)
+    return raw.select("id", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# q241 — hashed-feature profile (the featurizer itself, hash-checked)
+# --------------------------------------------------------------------------
+@query(
+    "q241_hashed_features",
+    oracle=f"""
+    WITH {_TOKENS_SQL}
+    SELECT CAST(j AS INTEGER) AS j, COUNT(*) AS df_docs,
+           CAST(SUM(x) AS BIGINT) AS total_tf
+    FROM feat GROUP BY j ORDER BY j
+    """,
+)
+def q241_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile of the hashing-trick feature space (Weinberger
+    et al. 2009): per 256-way md5 bucket, document frequency and total
+    term frequency. The fixed-d bucket hash is what keeps classifier
+    state O(d) — independent of vocabulary growth — at 100 TB; this
+    query hash-checks the featurizer every other family member builds
+    on. One row-local explode + two keyed map-side-combinable rollups;
+    output ≤ d rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_word_features(docs, n_buckets=_D, bias=False)
+    return (
+        feats.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("df_docs"),
+            F.sum("x").cast("long").alias("total_tf"),
+        )
+        .orderBy("j")
+    )
+
+
+# --------------------------------------------------------------------------
+# q242 — IRLS training, graded by the stationarity invariant
+# --------------------------------------------------------------------------
+@query(
+    "q242_classifier_train",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    tok AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s
+        ) WHERE w <> ''
+    ),
+    feat AS (
+        SELECT doc_id, {_BUCKET_SQL} AS j
+        FROM tok GROUP BY doc_id, {_BUCKET_SQL}
+    ),
+    fb AS (
+        SELECT doc_id, j FROM feat
+        UNION ALL SELECT doc_id, {_D} AS j FROM s
+    ),
+    cnt AS (SELECT j, COUNT(*) AS n_docs FROM fb GROUP BY j)
+    SELECT CAST(g.j AS INTEGER) AS j,
+           CAST(COALESCE(cnt.n_docs, 0) AS BIGINT) AS n_docs,
+           0.0 AS grad_res
+    FROM range({_D + 1}) AS g(j) LEFT JOIN cnt USING (j)
+    ORDER BY g.j
+    """,
+)
+def q242_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the L2-logistic quality classifier with distributed IRLS
+    on the deterministic doc_id % 7 == 0 sample (train-on-sample,
+    score-everything — the production split), labels from the weak
+    rule being distilled. Per Newton iteration the cluster reduces the
+    training relation to MODEL-SIZED partials only (gradient d rows,
+    Hessian ≤ d² sparse rows via an id-keyed self equi-join bounded by
+    per-doc distinct features); the d×d solve is driver-side, the same
+    model-as-broadcast-data shape as PCA/IVF (embed_stats.py,
+    similarity.py). Graded by the stationarity invariant: at the
+    strictly-convex optimum every per-bucket score-equation residual
+    is exactly 0 (round-6) — engine-reproducible where raw trained
+    floats are not (the q127 trick) — plus the per-bucket training
+    support counts, which DuckDB recomputes relationally."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    labels = docs.select(F.col("doc_id").alias("id"), _rule_label().alias("y"))
+    feats = hashed_word_features(docs, n_buckets=_D, bias=True)
+    beta = logreg_irls_train(
+        spark, feats, labels, d=_D + 1, n_iters=_IRLS_ITERS, l2=_L2
+    )
+    w_df = _weights_df(spark, beta)
+    res = stationarity_residuals(feats, labels, w_df, l2=_L2)
+    n_docs = feats.groupBy("j").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        res.join(n_docs, "j", "left")
+        .select(
+            "j",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            "grad_res",
+        )
+        .orderBy("j")
+    )
+
+
+# --------------------------------------------------------------------------
+# q243 — frozen-weight inference (the production scoring path)
+# --------------------------------------------------------------------------
+@query(
+    "q243_quality_score_frozen",
+    oracle=f"""
+    WITH {_TOKENS_SQL}, {_SCORE_SQL}
+    SELECT doc_id, score,
+           CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS pred
+    FROM sc ORDER BY doc_id
+    """,
+)
+def q243_quality_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the SHIPPED weight vector: featurize
+    → broadcast-join the ≤ d-row weight table → id-keyed rollup →
+    sigmoid. Zero Python, zero iteration — the plan a 1000-executor
+    inference pass would run, and the whole path hash-checks against
+    DuckDB (portable md5 buckets, round-6 sigmoid). The predicted
+    label thresholds the ROUNDED score so both engines decide borderline
+    docs on identical doubles."""
+    sc = _scored(spark, sf_dir)
+    return sc.select(
+        F.col("id").alias("doc_id"),
+        "score",
+        (F.col("score") >= 0.5).cast("int").alias("pred"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q244 — classifier-gated corpus filter, per-source yield
+# --------------------------------------------------------------------------
+@query(
+    "q244_quality_filter_stats",
+    oracle=f"""
+    WITH {_TOKENS_SQL}, {_SCORE_SQL}
+    SELECT d.source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN sc.score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           ROUND(AVG(sc.score), 6) + 0 AS mean_score
+    FROM documents d JOIN sc USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q244_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation verb the classifier exists for: gate the corpus on
+    the frozen model score and report per-source yield (kept/total)
+    and mean score — what a 100 TB filtering pass publishes per shard
+    before the kept set is written. Scoring join is bucket-keyed +
+    broadcast; the rollup is source-keyed, map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = _scored(spark, sf_dir)
+    return (
+        docs.select(F.col("doc_id").alias("id"), "source")
+        .join(sc, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("score") >= 0.5).cast("int")).cast("long").alias("n_kept"),
+            (F.round(F.avg("score"), 6) + F.lit(0.0)).alias("mean_score"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q245 — calibration of the frozen scorer against the teacher rule
+# --------------------------------------------------------------------------
+@query(
+    "q245_quality_calibration",
+    oracle=f"""
+    WITH {_TOKENS_SQL}, {_SCORE_SQL}
+    SELECT CAST(LEAST(CAST(FLOOR(sc.score * 10) AS INTEGER), 9) AS INTEGER)
+               AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(CASE WHEN {_RULE_SQL} THEN 1.0 ELSE 0.0 END), 6) + 0
+               AS frac_pos,
+           ROUND(AVG(sc.score), 6) + 0 AS mean_score
+    FROM documents d JOIN sc USING (doc_id)
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def q245_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the frozen scorer vs the teacher rule it
+    distills: decile bins of the round-6 score × (empirical positive
+    rate, mean score) — the q212-style ECE evidence, here for a
+    LEARNED scorer. A well-calibrated distillation has frac_pos ≈
+    mean_score per bin. Bounded output (≤ 10 rows) from one keyed
+    rollup; binning happens on the already-normalized score so bin
+    edges agree across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = _scored(spark, sf_dir)
+    rule = docs.select(
+        F.col("doc_id").alias("id"), _rule_label().alias("y")
+    )
+    return (
+        sc.join(rule, "id")
+        .select(
+            F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("bin"),
+            "score",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("y"), 6) + F.lit(0.0)).alias("frac_pos"),
+            (F.round(F.avg("score"), 6) + F.lit(0.0)).alias("mean_score"),
+        )
+        .orderBy("bin")
+    )
