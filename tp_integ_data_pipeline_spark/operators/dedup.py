@@ -701,9 +701,34 @@ def cluster_canonicals(
 # exactly every pair with Jaccard >= t (hash-checkable against a
 # naive all-pairs oracle, no recall caveat).
 # --------------------------------------------------------------------------
+def ordered_token_sets(toks: DataFrame) -> DataFrame:
+    """Per-set element arrays in (global frequency asc, token) order —
+    the THRESHOLD-INDEPENDENT prework of every prefix-filtered
+    similarity join (rarest-first maximizes prefix selectivity;
+    Bayardo et al. 2007). (id, toks, n), lazily checkpointed because
+    every consumer reads it at least twice (prefix explode + both
+    verify attaches) — and because it is the natural unit to CACHE
+    when several queries join the same corpus at different thresholds
+    (q175 at 0.6, q185 at 0.5 — plans/round6_queries._ordered_sets)."""
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__f"), F.col("tok")))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .select("id", "toks", F.size("toks").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def set_similarity_join(
     toks: DataFrame,
     threshold: float = 0.6,
+    ordered: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs of documents whose element SETS have Jaccard >=
     ``threshold`` — EXACT, via prefix filtering. ``toks`` is a
@@ -731,22 +756,14 @@ def set_similarity_join(
     Returns (a, b, jaccard) with jaccard rounded to 6 dp BEFORE the
     threshold filter (both engines cut on the same value; ratio of
     non-negative ints — no -0.0 trap).
+
+    ``ordered`` optionally supplies a precomputed/cached
+    :func:`ordered_token_sets` relation (it is threshold-independent,
+    so queries joining the SAME corpus at different thresholds share
+    the dominant prework).
     """
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
-    # per-doc token array in (global freq asc, token) order: rarest
-    # first maximizes prefix selectivity (the classic AllPairs trick)
-    ordered = (
-        toks.join(freq, "tok")
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("__f"), F.col("tok")))),
-                lambda s: s["tok"],
-            ).alias("toks")
-        )
-        .select("id", "toks", F.size("toks").alias("n"))
-        .localCheckpoint(eager=False)  # feeds prefix explode AND both verify attaches
-    )
+    if ordered is None:
+        ordered = ordered_token_sets(toks)
     # epsilon-guarded ceil: t*n lands a few ULPs ABOVE the exact
     # integer at boundaries (0.6*5 = 3.0000000000000004), which would
     # overshoot the ceil and SHORTEN the prefix by one — a false-

@@ -745,6 +745,31 @@ def q174_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SSJ_T = 0.6
 
+# The ordered-sets relation (shingle → global-frequency order → per-doc
+# arrays) is THRESHOLD-INDEPENDENT and dominates both q175's (t=0.6)
+# and q185's (t=0.5) wall time — share one lazily-checkpointed copy
+# per (session, corpus), the r7-VERDICT item-5 fix. Keyed by
+# applicationId so a cached DataFrame can never leak across sessions
+# (same discipline as streaming_queries' staging cache).
+_ORDERED_SETS_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _ordered_sets(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    from tp_integ_data_pipeline_spark.operators.dedup import (
+        ordered_token_sets,
+        shingles,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ORDERED_SETS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", k=3).select("id", F.col("sh").alias("tok"))
+    ordered = ordered_token_sets(sh)
+    _ORDERED_SETS_CACHE[key] = ordered
+    return ordered
+
 
 def _ssj_oracle() -> str:
     from tp_integ_data_pipeline_spark.operators.dedup import shingle_sql
@@ -776,15 +801,12 @@ def q175_prefix_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic), verification is row-local array_intersect. The
     oracle is the naive all-pairs shingle self-join — fine at check
     scale, the prefix bound is what survives 100 TB
-    (operators/dedup.set_similarity_join)."""
-    from tp_integ_data_pipeline_spark.operators.dedup import (
-        set_similarity_join,
-        shingles,
-    )
+    (operators/dedup.set_similarity_join). The threshold-independent
+    ordered-sets prework is shared with q185 via _ordered_sets."""
+    from tp_integ_data_pipeline_spark.operators.dedup import set_similarity_join
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", k=3).select("id", F.col("sh").alias("tok"))
-    return set_similarity_join(sh, _SSJ_T).orderBy("a", "b")
+    ordered = _ordered_sets(spark, sf_dir)
+    return set_similarity_join(None, _SSJ_T, ordered=ordered).orderBy("a", "b")
 
 
 # --------------------------------------------------------------------------

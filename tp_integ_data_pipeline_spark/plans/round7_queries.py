@@ -472,15 +472,14 @@ def q185_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     where leakage between corpus slices comes from. The pair relation
     is the scale-bounded part (prefix + length + positional filters);
     the rollup adds two broadcast-able doc->source attaches and one
-    tiny matrix groupBy."""
-    from tp_integ_data_pipeline_spark.operators.dedup import (
-        set_similarity_join,
-        shingles,
-    )
+    tiny matrix groupBy. The threshold-independent ordered-sets
+    prework is shared with q175 (round6_queries._ordered_sets) — the
+    r7-VERDICT item-5 work-sharing fix."""
+    from tp_integ_data_pipeline_spark.operators.dedup import set_similarity_join
+    from tp_integ_data_pipeline_spark.plans.round6_queries import _ordered_sets
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", k=3).select("id", F.col("sh").alias("tok"))
-    pairs = set_similarity_join(sh, _XSRC_T)
+    pairs = set_similarity_join(None, _XSRC_T, ordered=_ordered_sets(spark, sf_dir))
     src = docs.select("doc_id", "source")
     lab = (
         pairs.join(src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")), "a")
