@@ -760,10 +760,15 @@ def _ordered_sets(spark: SparkSession, sf_dir: str) -> "DataFrame":
         shingles,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     cached = _ORDERED_SETS_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict entries from dead sessions so a long-lived process never
+    # accumulates unreachable checkpointed RDD references
+    for k in [k for k in _ORDERED_SETS_CACHE if k[0] != app]:
+        del _ORDERED_SETS_CACHE[k]
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs, "doc_id", "text", k=3).select("id", F.col("sh").alias("tok"))
     ordered = ordered_token_sets(sh)
