@@ -174,3 +174,35 @@ def test_q245_calibration_is_monotone_enough(spark, sf_dir):
     lo, hi = min(by_bin), max(by_bin)
     assert by_bin[lo].frac_pos <= 0.1
     assert by_bin[hi].frac_pos >= 0.9
+
+
+def test_irls_all_one_class(spark):
+    """Degenerate all-positive sample: strictly-convex L2 objective
+    still has a finite optimum (bias-dominated), stationarity still
+    holds, and every prediction is > 0.5."""
+    df = spark.createDataFrame(
+        [(i, "a b", 1.0) for i in range(12)], "doc_id long, text string, y double"
+    )
+    feats = hashed_word_features(df, n_buckets=8, bias=True)
+    labels = df.select(F.col("doc_id").alias("id"), "y")
+    beta = logreg_irls_train(spark, feats, labels, d=9, n_iters=8, l2=1.0)
+    assert np.all(np.isfinite(beta))
+    res = stationarity_residuals(feats, labels, _weights_df(spark, beta), l2=1.0)
+    assert res.agg(F.max(F.abs("grad_res"))).collect()[0][0] == 0.0
+    m = margins(feats, _weights_df(spark, beta))
+    assert all(r.p > 0.5 for r in m.collect())
+
+
+def test_q242_empty_sample_is_graceful(spark, tmp_path):
+    """A corpus whose doc_id % 7 sample is EMPTY must still return the
+    full 257-row invariant relation (β stays 0, residuals −λ·0 = 0,
+    n_docs all 0) instead of erroring — the boundary a tiny shard of a
+    100 TB corpus can hit."""
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s", 3), (8, "b c", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["q242_classifier_train"](spark, str(tmp_path)).collect()
+    assert len(out) == _D + 1
+    assert all(r.grad_res == 0.0 and r.n_docs == 0 for r in out)
