@@ -542,6 +542,55 @@ def scale_probe(spark, sf_dir: str) -> dict:
     probe["linededup_ratio"] = round(
         probe["linededup_10x_sec"] / probe["linededup_1x_sec"], 2
     )
+
+    # Quality-classifier probes (round-8 q241–q245), two halves with
+    # different yardsticks:
+    # - TRAIN (IRLS, fixed 4 Newton steps): 10 doc-id-offset REPLICAS
+    #   (the BPE discipline — identical text keeps the feature space,
+    #   the optimum, and convergence identical while the training
+    #   relation scales 10×). Each step is one model-sized reduce, so
+    #   healthy wall is FLAT-to-linear: at bench scale per-job
+    #   scheduling dominates and the ratio sits well under 10;
+    #   superlinear flags the pair relation or the checkpoint leaking.
+    # - SCORE (frozen weights): disjoint-tagged 10× corpus (tag moves
+    #   tokens to other buckets — same work shape), one explode + one
+    #   broadcast join + one rollup; near-linear is healthy.
+    from tp_integ_data_pipeline_spark.operators.classifier import (
+        hashed_word_features,
+        logreg_irls_train,
+        score_frozen,
+    )
+    from tp_integ_data_pipeline_spark.plans.round8_queries import _BIAS, _D, _FROZEN
+
+    lab_expr = (
+        F.size(F.filter(F.split("text", " "), lambda w: w.isin("spark", "vector")))
+        >= 3
+    ).cast("double")
+    train1 = docs.filter(F.col("doc_id") % 7 == 0)
+    train10 = docs10_rep.filter(F.col("doc_id") % 7 == 0)
+
+    def train(dset, iters=4):
+        feats = hashed_word_features(dset, n_buckets=_D, bias=True)
+        labels = dset.select(F.col("doc_id").alias("id"), lab_expr.alias("y"))
+        logreg_irls_train(spark, feats, labels, d=_D + 1, n_iters=iters, l2=1.0)
+
+    probe["clf_train_1x_sec"] = timed(lambda: train(train1))
+    probe["clf_train_10x_sec"] = timed(lambda: train(train10))
+    probe["clf_train_ratio"] = round(
+        probe["clf_train_10x_sec"] / probe["clf_train_1x_sec"], 2
+    )
+    frozen_vec = [0.0] * _D
+    for _j, _v in _FROZEN.items():
+        frozen_vec[_j] = _v
+    probe["clf_score_1x_sec"] = timed(
+        lambda: materialize(score_frozen(docs, frozen_vec, _BIAS))
+    )
+    probe["clf_score_10x_sec"] = timed(
+        lambda: materialize(score_frozen(docs10, frozen_vec, _BIAS))
+    )
+    probe["clf_score_ratio"] = round(
+        probe["clf_score_10x_sec"] / probe["clf_score_1x_sec"], 2
+    )
     return probe
 
 
