@@ -609,6 +609,15 @@ def main() -> None:
     import gc
 
     for _pass in range(2):
+        # Session-scoped relation caches (plans/session_cache.py: shared
+        # MinHash pairs/clusters, prefix-join ordered sets) reset at
+        # PASS granularity: within a pass, shared prework is computed
+        # once — real pipeline semantics, each row = marginal cost given
+        # the pass's earlier queries — while min-of-2 never degenerates
+        # to timing a cache hit for the query that built the relation.
+        from tp_integ_data_pipeline_spark.plans.session_cache import _CACHES
+
+        _CACHES.clear()
         for name in HEADLINE:
             # Untimed inter-query GC: drops the previous query's Python
             # DataFrame refs so the ContextCleaner can unpersist its

@@ -748,32 +748,23 @@ _SSJ_T = 0.6
 # The ordered-sets relation (shingle → global-frequency order → per-doc
 # arrays) is THRESHOLD-INDEPENDENT and dominates both q175's (t=0.6)
 # and q185's (t=0.5) wall time — share one lazily-checkpointed copy
-# per (session, corpus), the r7-VERDICT item-5 fix. Keyed by
-# applicationId so a cached DataFrame can never leak across sessions
-# (same discipline as streaming_queries' staging cache).
-_ORDERED_SETS_CACHE: dict[tuple[str, str], "DataFrame"] = {}
-
-
+# per (session, corpus), the r7-VERDICT item-5 fix
+# (plans/session_cache.py carries the eviction discipline).
 def _ordered_sets(spark: SparkSession, sf_dir: str) -> "DataFrame":
     from tp_integ_data_pipeline_spark.operators.dedup import (
         ordered_token_sets,
         shingles,
     )
+    from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
 
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    cached = _ORDERED_SETS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    # evict entries from dead sessions so a long-lived process never
-    # accumulates unreachable checkpointed RDD references
-    for k in [k for k in _ORDERED_SETS_CACHE if k[0] != app]:
-        del _ORDERED_SETS_CACHE[k]
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", k=3).select("id", F.col("sh").alias("tok"))
-    ordered = ordered_token_sets(sh)
-    _ORDERED_SETS_CACHE[key] = ordered
-    return ordered
+    def build() -> "DataFrame":
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingles(docs, "doc_id", "text", k=3).select(
+            "id", F.col("sh").alias("tok")
+        )
+        return ordered_token_sets(sh)
+
+    return session_cached(spark, "ordered_sets", (sf_dir,), build)
 
 
 def _ssj_oracle() -> str:
