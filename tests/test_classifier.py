@@ -206,3 +206,16 @@ def test_q242_empty_sample_is_graceful(spark, tmp_path):
     out = QUERIES["q242_classifier_train"](spark, str(tmp_path)).collect()
     assert len(out) == _D + 1
     assert all(r.grad_res == 0.0 and r.n_docs == 0 for r in out)
+
+
+def test_irls_missing_bias_fails_loudly(spark):
+    """Features built without the bias row would silently train to
+    β = 0 (the gradient rides on k = bias pair rows) — the trainer
+    must raise instead."""
+    df = spark.createDataFrame(
+        [(1, "a b", 1.0), (2, "b", 0.0)], "doc_id long, text string, y double"
+    )
+    feats = hashed_word_features(df, n_buckets=8, bias=False)
+    labels = df.select(F.col("doc_id").alias("id"), "y")
+    with pytest.raises(ValueError, match="bias row"):
+        logreg_irls_train(spark, feats, labels, d=9, n_iters=2, l2=1.0)

@@ -455,3 +455,14 @@ def test_psi_keeps_types_confined_to_one_half(spark, tmp_path):
     for t, r in oracle.items():
         assert (r[1], r[2]) == (got[t]["n_a"], got[t]["n_b"]), t
         assert abs(r[3] - got[t]["psi"]) < 1e-9, t
+
+
+def test_set_similarity_join_requires_input(spark):
+    """Neither toks nor a precomputed ordered relation -> clear error,
+    not an AttributeError deep in the plan builder."""
+    import pytest as _pytest
+
+    from tp_integ_data_pipeline_spark.operators.dedup import set_similarity_join
+
+    with _pytest.raises(ValueError, match="ordered_token_sets"):
+        set_similarity_join(None, 0.6)

@@ -168,6 +168,15 @@ def logreg_irls_train(
             )
             .collect()
         )
+        # the gradient rides exclusively on k = bias rows: features
+        # built WITHOUT the bias row would silently train to β = 0
+        # (g ≡ −λβ = 0 from the start) — fail loudly instead
+        if rows and not any(r["k"] == bias_j for r in rows):
+            raise ValueError(
+                "logreg_irls_train: features carry no bias row "
+                f"(j = {bias_j}); build them with "
+                "hashed_word_features(..., bias=True) and d = n_buckets + 1"
+            )
         g = -l2 * beta
         H = l2 * np.eye(d)
         for r in rows:

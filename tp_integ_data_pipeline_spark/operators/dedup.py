@@ -763,6 +763,11 @@ def set_similarity_join(
     the dominant prework).
     """
     if ordered is None:
+        if toks is None:
+            raise ValueError(
+                "set_similarity_join: pass a (id, tok) relation or a "
+                "precomputed ordered_token_sets relation via ordered="
+            )
         ordered = ordered_token_sets(toks)
     # epsilon-guarded ceil: t*n lands a few ULPs ABOVE the exact
     # integer at boundaries (0.6*5 = 3.0000000000000004), which would
