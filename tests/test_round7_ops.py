@@ -1829,3 +1829,28 @@ def test_rank_summaries_nonstring_key(spark):
     # k=64 >= n=50 per key: the summary is exact, so the median is the
     # ceil(0.5*50) = 25th value (0-indexed 24) = 24.0
     assert got[1] == pytest.approx(24.0)
+
+
+def test_merge_summaries_nonstring_key(spark):
+    """merge_summaries derives the key type from its inputs like
+    rank_summaries does (completes the r7 ADVICE fix on the merge
+    path)."""
+    from tp_integ_data_pipeline_spark.operators.rank_sketch import (
+        merge_summaries,
+        rank_summaries,
+        summary_quantiles,
+    )
+
+    def mk(offset):
+        return spark.createDataFrame(
+            [(k, float(v + offset), k * 1000 + v) for k in (1, 2) for v in range(30)],
+            "k int, v double, id long",
+        )
+
+    sa = rank_summaries(mk(0), "k", "v", "id", k=64)
+    sb = rank_summaries(mk(30), "k", "v", "id", k=64)
+    merged = merge_summaries(sa, sb, k=64)
+    assert dict(merged.dtypes)["key"] == "int"
+    got = {r.key: r.est for r in summary_quantiles(merged, [0.5]).collect()}
+    # exact regime (60 values per key, k=64): median = 30th value = 29.0
+    assert got[1] == pytest.approx(29.0)

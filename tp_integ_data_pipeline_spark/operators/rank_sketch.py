@@ -142,6 +142,10 @@ def merge_summaries(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
         cv, cw = _compact(v, w, k)
         return pd.DataFrame({"key": pdf["key"].iloc[0], "v": cv, "w": cw})
 
+    # derive the key type from the input summaries (same r7-ADVICE fix
+    # as rank_summaries — a hard-coded string key silently coerced or
+    # failed non-string keys)
+    key_type = a.schema["key"].dataType.simpleString()
     return both.groupBy("key").applyInPandas(
-        lambda _, pdf: merge_group(pdf), schema="key string, v double, w double"
+        lambda _, pdf: merge_group(pdf), schema=f"key {key_type}, v double, w double"
     )
