@@ -36,11 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
 # Round-8 front (exactly 50): the 50 OLDEST never-driver-graded
-# round-7 newcomers q183–q232 (each hash-green locally at sf0.001 AND
-# sf0.01 via scripts/check_oracle.py; the 20 cheapest of q201–q240
-# additionally verified at sf0.1 this round — see
-# scripts/oracle_run_sf0.1_r8.log). Expected grades: 49 hash-green +
-# q225 (audio VAD) rows-only by nature.
+# round-7 newcomers q183–q232 — each verified against its DuckDB
+# oracle at ALL THREE scales (sf0.001, sf0.01 via the full
+# differential scripts/oracle_full_run_sf0.01_r8.log, and sf0.1 via
+# scripts/oracle_run_sf0.1_r8.log, which also covers q233–q245).
+# Expected grades: 49 hash-green + q225 (audio VAD) rows-only by
+# nature.
 # ROUND-9 front plan (committed per the r7 verdict): q233–q240 (8,
 # incl. the q239 ADVICE re-grade) + round-8 newcomers q241–q245 (5,
 # quality classifier family) + the 37 OLDEST of the 42-key r4-stale
