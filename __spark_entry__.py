@@ -43,11 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Expected grades: 49 hash-green + q225 (audio VAD) rows-only by
 # nature.
 # ROUND-9 front plan (committed per the r7 verdict): q233–q240 (8,
-# incl. the q239 ADVICE re-grade) + round-8 newcomers q241–q245 (5,
-# quality classifier family) + the 37 OLDEST of the 42-key r4-stale
-# cohort (q87 q100 q102–q111 q114–q117 q119–q121 q123–q125 q128 q129
-# q131 q132 q134–q138 q140 q141 q143–q146) = 50 exactly.
-# ROUND-10 front then leads with the r4 remainder (q147–q149 q151
+# incl. the q239 ADVICE re-grade) + round-8 newcomers q241–q247 (7,
+# quality classifier family — within the verdict's "~5-7" budget)
+# + the 35 OLDEST of the 42-key r4-stale cohort (q87 q100 q102–q111
+# q114–q117 q119–q121 q123–q125 q128 q129 q131 q132 q134–q138 q140
+# q141 q143 q144) = 50 exactly.
+# ROUND-10 front then leads with the r4 remainder (q145–q149 q151
 # q152) + the r5 cohort. NOTE: the entire r4 cohort was re-validated
 # on CURRENT code this round by the full 241-query sf0.01
 # differential (ALL OK — scripts/oracle_full_run_sf0.01_r8.log), so

@@ -164,6 +164,8 @@ HEADLINE = [
     "q243_quality_score_frozen",
     "q244_quality_filter_stats",
     "q245_quality_calibration",
+    "q246_classifier_eval",
+    "q247_feature_importance",
 ]
 
 

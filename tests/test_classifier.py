@@ -219,3 +219,51 @@ def test_irls_missing_bias_fails_loudly(spark):
     labels = df.select(F.col("doc_id").alias("id"), "y")
     with pytest.raises(ValueError, match="bias row"):
         logreg_irls_train(spark, feats, labels, d=9, n_iters=2, l2=1.0)
+
+
+def test_q246_eval_confusion_counts(spark, sf_dir):
+    """Confusion identities per slice: tp+fp = predicted positives,
+    tp+fn = rule positives, accuracy = (n − fp − fn)/n; global counts
+    match an independent recomputation."""
+    rows = QUERIES["q246_classifier_eval"](spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frozen = [0.0] * _D
+    for j, v in _FROZEN.items():
+        frozen[j] = v
+    sc = score_frozen(docs, frozen, _BIAS).select(
+        "id", (F.round("score", 6) >= 0.5).cast("int").alias("pred")
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda w: w.isin("spark", "vector")))
+            >= 3
+        ).cast("int").alias("y"),
+    )
+    j = truth.join(sc, "id")
+    for r in rows:
+        sl = j.where(F.col("lang") == r.lang)
+        tp = sl.where((F.col("pred") == 1) & (F.col("y") == 1)).count()
+        fp = sl.where((F.col("pred") == 1) & (F.col("y") == 0)).count()
+        fn = sl.where((F.col("pred") == 0) & (F.col("y") == 1)).count()
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn)
+        assert r.accuracy == pytest.approx((r.n - fp - fn) / r.n, abs=1e-6)
+
+
+def test_q247_importance_inverts_buckets(spark, sf_dir):
+    """The report must place 'vector' (bucket 77) and 'spark' (bucket
+    122) on the two highest-|weight| rows, and every row's words list
+    exactly the corpus words hashing to that bucket (collision rows
+    list them all, space-joined sorted)."""
+    rows = QUERIES["q247_feature_importance"](spark, sf_dir).collect()
+    assert len(rows) == len(_FROZEN)
+    top2 = rows[:2]
+    assert {r.j for r in top2} == {77, 122}
+    by_j = {r.j: r for r in rows}
+    assert by_j[77].words == "vector"
+    assert by_j[122].words == "spark"
+    # bucket 250 carries the order/stream collision at d=256
+    assert by_j[250].words == "order stream"
+    assert all(r.total_df > 0 for r in rows)

@@ -310,3 +310,144 @@ def q245_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# q246 — per-language evaluation report of the frozen scorer
+# --------------------------------------------------------------------------
+@query(
+    "q246_classifier_eval",
+    oracle=f"""
+    WITH {_TOKENS_SQL}, {_SCORE_SQL}
+    SELECT d.lang,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN sc.score >= 0.5 AND {_RULE_SQL} THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN sc.score >= 0.5 AND NOT {_RULE_SQL} THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN sc.score < 0.5 AND {_RULE_SQL} THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+           ROUND(AVG(CASE WHEN (sc.score >= 0.5) = {_RULE_SQL}
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           ROUND(COALESCE(
+               SUM(CASE WHEN sc.score >= 0.5 AND {_RULE_SQL} THEN 1.0 ELSE 0.0 END)
+               / NULLIF(SUM(CASE WHEN sc.score >= 0.5 THEN 1.0 ELSE 0.0 END), 0),
+               0.0), 6) AS precision_,
+           ROUND(COALESCE(
+               SUM(CASE WHEN sc.score >= 0.5 AND {_RULE_SQL} THEN 1.0 ELSE 0.0 END)
+               / NULLIF(SUM(CASE WHEN {_RULE_SQL} THEN 1.0 ELSE 0.0 END), 0),
+               0.0), 6) AS recall_
+    FROM documents d JOIN sc USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q246_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality report of the frozen scorer against the
+    teacher rule: confusion counts + accuracy/precision/recall at the
+    0.5 threshold — the sliced regression dashboard a shipped filter
+    model is monitored with (a slice whose recall collapses flags a
+    distribution the hashed features stopped separating). One
+    bucket-keyed scoring join + one bounded lang-keyed rollup; empty
+    slices' undefined ratios are pinned to 0.0 on both engines
+    (NULLIF + coalesce — the ANSI divide-by-zero rule). Threshold
+    decisions reuse the round-6-normalized score (q243 discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = _scored(spark, sf_dir)
+    pred = (F.col("score") >= 0.5).cast("int")
+    y = F.col("y").cast("int")
+    joined = (
+        docs.select(F.col("doc_id").alias("id"), "lang", _rule_label().alias("y"))
+        .join(sc, "id")
+        .select("lang", "score", y.alias("y"), pred.alias("pred"))
+    )
+    tp = F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("int")).cast("long")
+    fp = F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("int")).cast("long")
+    fn = F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("int")).cast("long")
+    n_pred_pos = F.sum((F.col("pred") == 1).cast("double"))
+    n_pos = F.sum(F.col("y").cast("double"))
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+            fn.alias("fn"),
+            F.round(F.avg((F.col("pred") == F.col("y")).cast("double")), 6).alias(
+                "accuracy"
+            ),
+            F.round(
+                F.coalesce(
+                    F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("double"))
+                    / F.nullif(n_pred_pos, F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("precision_"),
+            F.round(
+                F.coalesce(
+                    F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("double"))
+                    / F.nullif(n_pos, F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("recall_"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q247 — feature-importance report (explain the frozen model)
+# --------------------------------------------------------------------------
+@query(
+    "q247_feature_importance",
+    oracle=f"""
+    WITH {_TOKENS_SQL},
+    wt(j, beta) AS (VALUES {_W_VALUES}),
+    vocab AS (
+        SELECT {_BUCKET_SQL} AS j, w,
+               COUNT(DISTINCT doc_id) AS df
+        FROM tok GROUP BY {_BUCKET_SQL}, w
+    )
+    SELECT wt.j, wt.beta,
+           string_agg(v.w, ' ' ORDER BY v.w) AS words,
+           CAST(COALESCE(SUM(v.df), 0) AS BIGINT) AS total_df
+    FROM wt LEFT JOIN vocab v ON v.j = wt.j
+    GROUP BY wt.j, wt.beta
+    ORDER BY abs(wt.beta) DESC, wt.j
+    """,
+)
+def q247_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explain the frozen model: for every nonzero-weight bucket, the
+    actual corpus words hashing into it (the hashing trick makes
+    buckets opaque — this inverts them against the live vocabulary)
+    plus their summed document frequency, ordered by |weight|. The
+    interpretability artifact a quality-filter audit wants ("WHY is
+    this doc downweighted") and the collision report in the same
+    breath (multi-word rows show exactly which terms share a bucket).
+    Vocabulary rollup is token-keyed and map-side combinable; the
+    ≤ d-row weight table drives a broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    from tp_integ_data_pipeline_spark.operators.classifier import feature_bucket
+
+    w_df = spark.createDataFrame(
+        [(j, float(v)) for j, v in sorted(_FROZEN.items())], "j int, beta double"
+    )
+    toks = (
+        docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    vocab = (
+        toks.groupBy(feature_bucket(F.col("w"), _D).alias("j"), "w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        F.broadcast(w_df)
+        .join(vocab, "j", "left")
+        .groupBy("j", "beta")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("w")), " ").alias("words"),
+            F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("total_df"),
+        )
+        .orderBy(F.abs("beta").desc(), "j")
+    )
