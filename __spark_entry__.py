@@ -35,31 +35,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
-# Round-8 front (exactly 50): the 50 OLDEST never-driver-graded
-# round-7 newcomers q183–q232 — each verified against its DuckDB
-# oracle at ALL THREE scales (sf0.001, sf0.01 via the full
-# differential scripts/oracle_full_run_sf0.01_r8.log, and sf0.1 via
-# scripts/oracle_run_sf0.1_r8.log, which also covers q233–q245).
-# Expected grades: 49 hash-green + q225 (audio VAD) rows-only by
-# nature.
-# ROUND-9 front plan (committed per the r7 verdict): q233–q240 (8,
-# incl. the q239 ADVICE re-grade) + round-8 newcomers q241–q247 (7,
-# quality classifier family — within the verdict's "~5-7" budget)
-# + the 35 OLDEST of the 42-key r4-stale cohort (q87 q100 q102–q111
-# q114–q117 q119–q121 q123–q125 q128 q129 q131 q132 q134–q138 q140
-# q141 q143 q144) = 50 exactly.
-# ROUND-10 front then leads with the r4 remainder (q145–q149 q151
-# q152) + the r5 cohort. NOTE: the entire r4 cohort was re-validated
-# on CURRENT code this round by the full 241-query sf0.01
-# differential (ALL OK — scripts/oracle_full_run_sf0.01_r8.log), so
-# the five keys that slip to round 10 carry fresh local evidence in
-# the meantime.
+# Round-9 front (exactly 50, per the committed r8 plan and the r8
+# verdict's item 1): the 15 never-driver-graded keys q233–q240 (incl.
+# the q239 ADVICE re-grade) + q241–q247 (r8 quality-classifier
+# family), plus the 35 OLDEST of the 42-key r4-stale cohort (q87
+# q100 q102–q111 q114–q117 q119–q121 q123–q125 q128 q129 q131 q132
+# q134–q138 q140 q141 q143 q144). Every key carries committed
+# three-scale oracle evidence (sf0.001 + full sf0.01 + sf0.1 logs,
+# scripts/oracle_*_r8.log / _r9.log). Expected grades: all hash-green
+# (no rows-only-by-nature keys in this front).
+# ROUND-10 front plan: the r4 remainder (q145 q146 q147 q148 q149
+# q151 q152 = 7) + the r5-graded cohort (q37 q44 q45 q46 q50 q55
+# q62 q63 …) + round-9 newcomers (q248+ filter-funnel provenance
+# family), padded to exactly 50 with the oldest r6-graded keys; by
+# round 10 no newest grade is older than r6.
 _ROTATE_FRONT = (
-    "q183 q184 q185 q186 q187 q188 q189 q190 q191 q192 "
-    "q193 q194 q195 q196 q197 q198 q199 q200 q201 q202 "
-    "q203 q204 q205 q206 q207 q208 q209 q210 q211 q212 "
-    "q213 q214 q215 q216 q217 q218 q219 q220 q221 q222 "
-    "q223 q224 q225 q226 q227 q228 q229 q230 q231 q232"
+    "q233 q234 q235 q236 q237 q238 q239 q240 q241 q242 "
+    "q243 q244 q245 q246 q247 "
+    "q87 q100 q102 q103 q104 q105 q106 q107 q108 q109 "
+    "q110 q111 q114 q115 q116 q117 q119 q120 q121 q123 "
+    "q124 q125 q128 q129 q131 q132 q134 q135 q136 q137 "
+    "q138 q140 q141 q143 q144"
 ).split()
 
 
