@@ -208,6 +208,53 @@ def test_q242_empty_sample_is_graceful(spark, tmp_path):
     assert all(r.grad_res == 0.0 and r.n_docs == 0 for r in out)
 
 
+def test_q242_nonconvergence_raises_explicitly(spark, sf_dir, monkeypatch):
+    """r8 ADVICE regression: the oracle hardcodes grad_res ≡ 0, so an
+    UNCONVERGED model must surface as an explicit ValueError from the
+    query, never a silent hash mismatch. Forcing 0 Newton iterations
+    leaves β = 0, whose residual g_j = Σ x(y − 0.5) is nonzero."""
+    from tp_integ_data_pipeline_spark.plans import round8_queries as r8
+
+    monkeypatch.setattr(r8, "_IRLS_ITERS", 0)
+    with pytest.raises(ValueError, match="did not converge"):
+        QUERIES["q242_classifier_train"](spark, sf_dir)
+
+
+def test_q247_empty_bucket_matches_oracle(spark, tmp_path):
+    """r8 ADVICE regression: a frozen-weight bucket with NO vocabulary
+    support must yield words = '' on BOTH engines (Spark array_join of
+    an empty collect_list vs DuckDB COALESCE(string_agg, '')). A
+    two-word corpus leaves 27 of the 29 frozen buckets empty — the
+    exact case the previous oracle returned NULL for."""
+    import duckdb
+
+    from tp_integ_data_pipeline_spark.plans.registry import ORACLES
+
+    docs = spark.createDataFrame(
+        [(1, "spark vector", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.toPandas().to_parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.j: (r.words, r.total_df)
+        for r in QUERIES["q247_feature_importance"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    exp = {
+        j: (w, df)
+        for j, _beta, w, df in con.execute(
+            ORACLES["q247_feature_importance"]
+        ).fetchall()
+    }
+    assert got == exp
+    assert got[77] == ("vector", 1) and got[122] == ("spark", 1)
+    empties = [j for j, (w, _) in got.items() if w == ""]
+    assert len(empties) == len(_FROZEN) - 2  # all unsupported buckets are ''
+
+
 def test_irls_missing_bias_fails_loudly(spark):
     """Features built without the bias row would silently train to
     β = 0 (the gradient rides on k = bias pair rows) — the trainer

@@ -466,3 +466,15 @@ def test_set_similarity_join_requires_input(spark):
 
     with _pytest.raises(ValueError, match="ordered_token_sets"):
         set_similarity_join(None, 0.6)
+
+
+def test_set_similarity_join_ordered_is_keyword_only(spark):
+    """r8 ADVICE regression: ``ordered`` is the preferred alternate
+    input and must be keyword-only — a positional third argument (an
+    accidental threshold/ordered swap) fails fast as a TypeError."""
+    import pytest as _pytest
+
+    from tp_integ_data_pipeline_spark.operators.dedup import set_similarity_join
+
+    with _pytest.raises(TypeError):
+        set_similarity_join(None, 0.6, spark.range(1))  # noqa: B026

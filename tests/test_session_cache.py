@@ -33,3 +33,18 @@ def test_dead_session_eviction(spark):
     sc.session_cached(spark, "t_evict", ("k",), lambda: spark.range(2))
     app = spark.sparkContext.applicationId
     assert list(cache) == [(app, "k")]  # stale entry evicted on insert
+
+
+def test_dead_session_eviction_sweeps_all_cache_names(spark):
+    """r8 ADVICE regression: inserting under ONE cache name must evict
+    dead-session entries under EVERY cache name, or checkpointed
+    relations keyed elsewhere pin memory for the process lifetime."""
+    app = spark.sparkContext.applicationId
+    sc._CACHES.pop("t_sweep_a", None)
+    sc._CACHES.pop("t_sweep_b", None)
+    other = sc._CACHES.setdefault("t_sweep_b", {})
+    other[("dead-app-id", "k")] = spark.range(1)
+    other[(app, "live")] = spark.range(1)
+    sc.session_cached(spark, "t_sweep_a", ("k",), lambda: spark.range(2))
+    # dead entry under the OTHER name is gone; the live session's stays
+    assert list(other) == [(app, "live")]

@@ -726,8 +726,9 @@ def ordered_token_sets(toks: DataFrame) -> DataFrame:
 
 
 def set_similarity_join(
-    toks: DataFrame,
+    toks: DataFrame | None,
     threshold: float = 0.6,
+    *,
     ordered: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs of documents whose element SETS have Jaccard >=

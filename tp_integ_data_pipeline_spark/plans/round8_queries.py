@@ -187,7 +187,20 @@ def q242_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, feats, labels, d=_D + 1, n_iters=_IRLS_ITERS, l2=_L2
     )
     w_df = _weights_df(spark, beta)
-    res = stationarity_residuals(feats, labels, w_df, l2=_L2)
+    res = stationarity_residuals(feats, labels, w_df, l2=_L2).localCheckpoint(
+        eager=True
+    )
+    # The oracle hardcodes grad_res ≡ 0.0, which is only valid at the
+    # optimum. Surface non-convergence (larger/less-separable corpora,
+    # too few Newton iters) as an EXPLICIT error here instead of a
+    # silent hash mismatch (r8 ADVICE): the residual relation is
+    # model-sized (d+1 rows), so the check is O(d).
+    worst = res.agg(F.max(F.abs("grad_res"))).first()[0]
+    if worst is not None and worst != 0.0:
+        raise ValueError(
+            f"q242: IRLS did not converge — max |grad_res| = {worst} "
+            f"after {_IRLS_ITERS} iterations (round-6 residual must be 0)"
+        )
     n_docs = feats.groupBy("j").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         res.join(n_docs, "j", "left")
@@ -410,7 +423,7 @@ def q246_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok GROUP BY {_BUCKET_SQL}, w
     )
     SELECT wt.j, wt.beta,
-           string_agg(v.w, ' ' ORDER BY v.w) AS words,
+           COALESCE(string_agg(v.w, ' ' ORDER BY v.w), '') AS words,
            CAST(COALESCE(SUM(v.df), 0) AS BIGINT) AS total_df
     FROM wt LEFT JOIN vocab v ON v.j = wt.j
     GROUP BY wt.j, wt.beta

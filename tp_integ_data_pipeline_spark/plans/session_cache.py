@@ -32,8 +32,12 @@ def session_cached(
     cached = cache.get(full)
     if cached is not None:
         return cached
-    for stale in [k for k in cache if k[0] != app]:
-        del cache[stale]
+    # sweep EVERY cache name for dead-session entries, not just the one
+    # being inserted into — otherwise checkpointed DataFrames keyed
+    # under other names pin memory for the process lifetime (r8 ADVICE)
+    for c in _CACHES.values():
+        for stale in [k for k in c if k[0] != app]:
+            del c[stale]
     val = build()
     cache[full] = val
     return val
