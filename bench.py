@@ -166,6 +166,12 @@ HEADLINE = [
     "q245_quality_calibration",
     "q246_classifier_eval",
     "q247_feature_importance",
+    "q248_filter_funnel",
+    "q249_drop_attribution",
+    "q250_source_loss_waterfall",
+    "q251_stage_overlap",
+    "q252_marginal_attribution",
+    "q253_threshold_sensitivity",
 ]
 
 

@@ -143,6 +143,8 @@ BNLJ_ALLOWED = {
     "q238_dataset_card": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row grand total onto the contingency cells before the MI fold
     "q240_mutual_information": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row corpus-input scalar onto the <=6-row funnel stage summary
+    "q248_filter_funnel": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column
@@ -180,6 +182,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "q223_km_survival": "risk/ln-S folds over per-day rows, span-bounded",
     # centered 7-day moving average over the per-DAY summary
     "q229_seasonal_decompose": "centered MA over per-day rows, span-bounded",
+    # running remainder over the funnel stage summary: <= 6 rows (the
+    # stage count is a code constant, plans/round9_queries._STAGES)
+    "q248_filter_funnel": "waterfall remainder over the <=6-row stage summary",
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

@@ -1,0 +1,137 @@
+"""Round-9 filter-funnel provenance family (q248–q253): conservation
+laws of the waterfall, first-fail attribution, overlap/marginal
+identities, threshold monotonicity, and cross-operator consistency
+with the components each stage reuses (q93 decontam, q94 quality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+from tp_integ_data_pipeline_spark.plans.round9_queries import _KEPT_IDX, _STAGES
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+_PRIORITY = [("f_dup", 2), ("f_short", 3), ("f_quality", 4), ("f_contam", 5)]
+
+
+def _input_count(spark, sf_dir) -> int:
+    return load_table(spark, sf_dir, "documents").count()
+
+
+def test_q248_waterfall_conservation(spark, sf_dir):
+    rows = QUERIES["q248_filter_funnel"](spark, sf_dir).collect()
+    total = _input_count(spark, sf_dir)
+    assert sum(r.n_docs for r in rows) == total
+    by_idx = {r.stage_idx: r for r in rows}
+    # stage names resolve from the shared constant list
+    assert all(r.stage == _STAGES[r.stage_idx - 1] for r in rows)
+    # remainder telescopes: each stage's n_remaining = previous - drop
+    prev = total
+    for r in sorted(rows, key=lambda r: r.stage_idx):
+        if r.stage_idx < _KEPT_IDX:
+            assert r.n_remaining == prev - r.n_docs
+            prev = r.n_remaining
+        else:
+            assert r.n_remaining == r.n_docs == prev
+    # bench holdout is exactly the doc_id % 97 == 0 slice
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 == 0)
+        .count()
+    )
+    assert by_idx.get(1) is None and bench == 0 or by_idx[1].n_docs == bench
+
+
+def test_q249_first_fail_attribution(spark, sf_dir):
+    rows = QUERIES["q249_drop_attribution"](spark, sf_dir).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)  # one verdict per doc
+    for r in rows:
+        flags = {c: getattr(r, c) for c, _ in _PRIORITY}
+        assert r.n_fail == sum(flags.values()) >= 1
+        first = next(idx for c, idx in _PRIORITY if flags[c] == 1)
+        assert r.stage_idx == first
+        assert r.stage == _STAGES[r.stage_idx - 1]
+
+
+def test_q251_overlap_partitions_corpus(spark, sf_dir):
+    rows = QUERIES["q251_stage_overlap"](spark, sf_dir).collect()
+    n_corpus = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 != 0)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_corpus
+    for r in rows:
+        assert r.fail_mask == (
+            r.f_dup * 8 + r.f_short * 4 + r.f_quality * 2 + r.f_contam
+        )
+    masks = [r.fail_mask for r in rows]
+    assert len(set(masks)) == len(masks)
+
+
+def test_q252_attribution_identities(spark, sf_dir):
+    rows = QUERIES["q252_marginal_attribution"](spark, sf_dir).collect()
+    assert [r.stage_idx for r in rows] == [2, 3, 4, 5]
+    for r in rows:
+        # every flagged doc is attributed here or upstream — never lost
+        assert r.n_flagged == r.n_attributed + r.n_shadowed
+        assert r.n_unique <= r.n_attributed
+    # attributed kills across stages = total dropped non-bench docs
+    dropped = {
+        r.stage_idx: r.n_docs
+        for r in QUERIES["q248_filter_funnel"](spark, sf_dir).collect()
+        if 2 <= r.stage_idx <= 5
+    }
+    assert {r.stage_idx: r.n_attributed for r in rows if r.n_attributed} == dropped
+
+
+def test_q253_monotone_and_consistent_with_funnel(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q253_threshold_sensitivity"](spark, sf_dir).collect(),
+        key=lambda r: r.min_words,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_too_short <= b.n_too_short
+        assert a.n_kept >= b.n_kept
+    # at the pipeline's own threshold (10) the sweep reproduces the
+    # funnel's kept count exactly
+    kept = next(
+        r.n_docs
+        for r in QUERIES["q248_filter_funnel"](spark, sf_dir).collect()
+        if r.stage_idx == _KEPT_IDX
+    )
+    assert next(r.n_kept for r in rows if r.min_words == 10) == kept
+
+
+def test_contaminated_total_matches_q93(spark, sf_dir):
+    """The funnel's contamination verdict is q93's, doc for doc."""
+    funnel_contam = (
+        QUERIES["q251_stage_overlap"](spark, sf_dir)
+        .where(F.col("f_contam") == 1)
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+        or 0
+    )
+    q93_contam = (
+        QUERIES["q93_decontam"](spark, sf_dir)
+        .agg(F.sum("n_contaminated"))
+        .collect()[0][0]
+        or 0
+    )
+    assert funnel_contam == q93_contam
+
+
+def test_q250_source_waterfall_slices_q248(spark, sf_dir):
+    """Summing the per-source waterfall over sources reproduces the
+    global waterfall's doc and char mass per stage."""
+    per_source = (
+        QUERIES["q250_source_loss_waterfall"](spark, sf_dir)
+        .groupBy("stage_idx")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .collect()
+    )
+    global_rows = {
+        r.stage_idx: (r.n_docs, r.n_chars)
+        for r in QUERIES["q248_filter_funnel"](spark, sf_dir).collect()
+    }
+    assert {r.stage_idx: (r.n_docs, r.n_chars) for r in per_source} == global_rows
