@@ -49,6 +49,51 @@ def test_minhash_equals_exact_on_fixture(spark, sf_dir):
     assert lsh == exact
 
 
+def test_minhash_precomputed_sig_path_identical(spark, sf_dir):
+    """The sig= prework-sharing seam (r9: q103 rides the session-cached
+    corpus signatures) must be value-invisible: precomputed vs
+    internally-computed signatures give the identical verified pair
+    set, and the index probe path agrees with the batch path on the
+    same split."""
+    from tp_integ_data_pipeline_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", 3)
+    sig = minhash_signatures(sh, with_sizes=True).localCheckpoint(eager=False)
+    a = {(r.a, r.b) for r in minhash_near_dup_pairs(docs, "doc_id", "text").collect()}
+    b = {
+        (r.a, r.b)
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", sig=sig).collect()
+    }
+    assert a == b
+
+
+def test_neardup_index_precomputed_sig_matches(spark, sf_dir, tmp_path):
+    """add/probe with sig= slices of a shared corpus signature relation
+    produce the same candidate set as the self-computed path."""
+    from tp_integ_data_pipeline_spark.operators.dedup import minhash_signatures
+    from tp_integ_data_pipeline_spark.operators.neardup_index import NearDupIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    sig = minhash_signatures(
+        shingles(docs, "doc_id", "text", 3), with_sizes=True
+    ).localCheckpoint(eager=False)
+
+    i1 = NearDupIndex(spark, str(tmp_path / "self"))
+    i1.add(old)
+    base = {(r.probe_id, r.index_id, r.est_jaccard) for r in i1.probe(new).collect()}
+
+    i2 = NearDupIndex(spark, str(tmp_path / "shared"))
+    i2.add(old, sig=sig.filter(F.col("id") < 250))
+    shared = {
+        (r.probe_id, r.index_id, r.est_jaccard)
+        for r in i2.probe(new, sig=sig.filter(F.col("id") >= 250)).collect()
+    }
+    assert base == shared and len(base) > 0
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = spark.createDataFrame(
         [(1, "spark table join " * 10), (2, "spark table join " * 10), (3, "totally different words here now")],

@@ -349,6 +349,8 @@ def minhash_near_dup_pairs(
     k: int = 3,
     threshold: float = 0.6,
     est_sigmas: float | None = 4.5,
+    *,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs at `jaccard >= threshold`: LSH candidate
     generation + signature-estimate pre-filter + exact Jaccard
@@ -366,6 +368,14 @@ def minhash_near_dup_pairs(
     definition makes the bound perm-count-invariant)
     (borderline pairs; higher-j pairs are exponentially safer).
     ``None`` disables the pre-filter for exact-recall-certain runs.
+
+    ``sig`` optionally supplies a precomputed ``minhash_signatures(
+    shingles(df, ..., k), NUM_PERM, with_sizes=True)`` relation for the
+    SAME rows — the threshold-independent prework several queries over
+    one corpus share (the ordered_token_sets/ordered= discipline); the
+    caller guarantees it was built with this module's constants. The
+    shingle relation is still scanned here for exact verification — it
+    deliberately stays unmaterialized (see below).
     """
     # One aggregation produces signatures AND shingle-set sizes (the
     # sizes ride along into the LSH band join), so the expensive
@@ -384,9 +394,10 @@ def minhash_near_dup_pairs(
     # via pinned-copy GC pressure; the lazy localCheckpoint ties block
     # lifetime to this plan's RDD, the pattern dup_clusters uses.
     sh = shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, num_perm=NUM_PERM, with_sizes=True).localCheckpoint(
-        eager=False
-    )
+    if sig is None:
+        sig = minhash_signatures(sh, num_perm=NUM_PERM, with_sizes=True).localCheckpoint(
+            eager=False
+        )
     cand = lsh_candidate_pairs(sig)
     if est_sigmas is not None:
         sigma = (threshold * (1 - threshold) / NUM_PERM) ** 0.5

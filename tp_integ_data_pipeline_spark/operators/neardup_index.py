@@ -66,10 +66,20 @@ class NearDupIndex:
 
     # -- feature pipeline (shared by add and probe) ---------------------
 
-    def _sigs(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def _sigs(
+        self, df: DataFrame, id_col: str, text_col: str, sig: DataFrame | None
+    ) -> DataFrame:
         """(id, sig, n) — one row per doc with ≥ k tokens. Lazily
         checkpointed: every caller fans it into ≥ 2 plan branches
-        (sig store + band explode, or probe buckets + psig)."""
+        (sig store + band explode, or probe buckets + psig).
+
+        ``sig`` optionally supplies the precomputed relation for the
+        SAME rows (built with this index's k/num_perm — the caller
+        guarantees the match, the ordered=/sig= prework-sharing
+        discipline); several queries over one corpus then pay the
+        feature pipeline once (plans/session_cache.py)."""
+        if sig is not None:
+            return sig
         sh = shingles(df, id_col, text_col, self.k)
         return minhash_signatures(
             sh, num_perm=self.num_perm, with_sizes=True
@@ -157,7 +167,14 @@ class NearDupIndex:
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(self._table_path("tombstones"), ignore_errors=True)
 
-    def add(self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+    def add(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        sig: DataFrame | None = None,
+    ) -> None:
         """Index a batch: append its band and signature rows, skipping
         ids already indexed (re-delivery safe — same anti-join policy
         as the lake writers). Documents shorter than k tokens have no
@@ -171,8 +188,9 @@ class NearDupIndex:
         width guard). The reverse order would mark ids as indexed while
         their band rows are permanently missing: silent probe misses.
         The checkpointed `_sigs` relation feeds both writes, so the
-        feature pipeline still runs once."""
-        sig = self._sigs(df, id_col, text_col)
+        feature pipeline still runs once; ``sig`` optionally supplies
+        it precomputed (see :meth:`_sigs`)."""
+        sig = self._sigs(df, id_col, text_col, sig)
         existing = self._read("sigs")
         if existing is not None:
             sig = sig.join(existing.select("id"), "id", "left_anti")
@@ -182,6 +200,7 @@ class NearDupIndex:
     def probe(
         self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         max_bucket: int = 1000, hot_bucket: str = "salt",
+        *, sig: DataFrame | None = None,
     ) -> DataFrame:
         """Candidate near-dups of the batch against the INDEX (not
         within the batch — run minhash_near_dup_pairs on the batch for
@@ -221,7 +240,7 @@ class NearDupIndex:
         # guard and both candidate paths — lazy localCheckpoint caps
         # each at one evaluation, the same pattern dup_clusters uses
         # for its per-round edge set.
-        sig = self._sigs(df, id_col, text_col)
+        sig = self._sigs(df, id_col, text_col, sig)
         feats = self._band_rows(sig)
         touched = existing.join(
             F.broadcast(feats.select("band", "bucket").distinct()),

@@ -11,9 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tp_integ_data_pipeline_spark.operators.dedup import (
+    NUM_PERM,
     dup_clusters,
     dup_stats,
     minhash_near_dup_pairs,
+    minhash_signatures,
     pair_jaccard,
     shingles,
     simhash_near_dup_pairs,
@@ -29,13 +31,34 @@ from tp_integ_data_pipeline_spark.sources.fixtures import load_table, scratch_di
 # connected-components labeling built on it (the q175/q185 ordered-sets
 # discipline, plans/session_cache.py). Each consumer still expresses
 # the full logical plan; the oracle differential is unaffected.
+def _corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (id, sig, n) MinHash signatures of the FULL
+    documents table (k=3, NUM_PERM) — the threshold- AND split-
+    independent feature prework under every MinHash consumer: the
+    batch pair relation (_minhash_pairs → q42/q87/q90/q110/q111) and
+    the incremental index (q103's add takes the id < mid slice, its
+    probe the rest). Fixed-width rows (NUM_PERM longs + n per doc), so
+    the lazy checkpoint is index-sized, never corpus-text-sized."""
+    from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingles(docs, "doc_id", "text", k=3)
+        return minhash_signatures(
+            sh, num_perm=NUM_PERM, with_sizes=True
+        ).localCheckpoint(eager=False)
+
+    return session_cached(spark, "minhash_sigs", (sf_dir,), build)
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return minhash_near_dup_pairs(
-            docs, "doc_id", "text", k=3, threshold=0.6
+            docs, "doc_id", "text", k=3, threshold=0.6,
+            sig=_corpus_sigs(spark, sf_dir),
         ).localCheckpoint(eager=False)
 
     return session_cached(spark, "minhash_pairs", (sf_dir,), build)
@@ -677,10 +700,15 @@ def q103_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") < mid)
     new = docs.filter(F.col("doc_id") >= mid)
     idx = NearDupIndex(spark, scratch_dir(prefix="neardup_idx_"))
-    idx.add(old)
+    # the signature prework is the shared session-cached corpus
+    # relation (same k/NUM_PERM as the index): add takes the indexed
+    # slice, probe the batch slice — the feature pipeline runs once
+    # per (session, corpus) across the whole MinHash family
+    sigs = _corpus_sigs(spark, sf_dir)
+    idx.add(old, sig=sigs.filter(F.col("id") < mid))
     sigma = (0.6 * 0.4 / idx.num_perm) ** 0.5
     cand = (
-        idx.probe(new)
+        idx.probe(new, sig=sigs.filter(F.col("id") >= mid))
         .filter(F.col("est_jaccard") >= 0.6 - 4.5 * sigma)
         .select(F.col("index_id").alias("a"), F.col("probe_id").alias("b"))
     )
