@@ -599,6 +599,42 @@ def scale_probe(spark, sf_dir: str) -> dict:
     probe["clf_score_ratio"] = round(
         probe["clf_score_10x_sec"] / probe["clf_score_1x_sec"], 2
     )
+
+    # Filter-funnel verdict probe (round-9 family): disjoint-tagged 10×
+    # corpus — per copy, the text-dup structure, quality stats, and the
+    # 8-gram universes replicate exactly (tags keep copies' grams
+    # disjoint), and each copy contributes its own ~1/97 bench slice,
+    # so every verdict's work scales 10× with identical per-copy
+    # output. The plan is one text-keyed window + one broadcast
+    # semi-join + row-local expressions; healthy wall is near-linear.
+    # Superlinear flags the bench-gram broadcast or the dup window
+    # degenerating.
+    from tp_integ_data_pipeline_spark.plans.round9_queries import funnel_verdicts
+
+    full = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    tagged_full = []
+    for i in range(10):
+        tagged_full.append(
+            full.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "source",
+                "lang",
+                "n_chars",
+                F.concat_ws(
+                    " ", F.expr(f"transform(split(text, ' '), t -> concat(t, '_{i}'))")
+                ).alias("text"),
+            )
+        )
+    full10 = tagged_full[0]
+    for t in tagged_full[1:]:
+        full10 = full10.unionByName(t)
+    probe["funnel_1x_sec"] = timed(lambda: materialize(funnel_verdicts(full)))
+    probe["funnel_10x_sec"] = timed(lambda: materialize(funnel_verdicts(full10)))
+    probe["funnel_ratio"] = round(
+        probe["funnel_10x_sec"] / probe["funnel_1x_sec"], 2
+    )
     return probe
 
 

@@ -121,6 +121,44 @@ def test_contaminated_total_matches_q93(spark, sf_dir):
     assert funnel_contam == q93_contam
 
 
+def test_funnel_no_bench_slice(spark, tmp_path):
+    """A corpus with NO doc_id % 97 == 0 docs has an empty benchmark:
+    the gram broadcast is empty, nothing is contaminated, and the
+    waterfall simply has no bench_holdout row — not an error. The
+    boundary a small shard of a 100 TB corpus hits routinely."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s1", 50),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s1", 50),
+            (3, "one two three", "en", "s2", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.toPandas().to_parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.stage_idx: r for r in QUERIES["q248_filter_funnel"](spark, str(tmp_path)).collect()}
+    assert 1 not in rows  # no bench stage
+    assert rows[2].n_docs == 1  # doc 2 is the exact dup of doc 1
+    assert rows[3].n_docs == 1  # doc 3 too short
+    assert rows[_KEPT_IDX].n_docs == 1
+    overlap = QUERIES["q251_stage_overlap"](spark, str(tmp_path)).collect()
+    assert all(r.f_contam == 0 for r in overlap)
+
+
+def test_funnel_all_bench_corpus(spark, tmp_path):
+    """Every doc in the eval suite: the corpus-side verdict relation is
+    empty, the waterfall is the single bench_holdout row, and the
+    doc-level attribution report is empty."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l", "en", "s", 23), (97, "m n o p q r s t u v w x", "en", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.toPandas().to_parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q248_filter_funnel"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0].stage_idx == 1 and rows[0].n_docs == 2
+    assert rows[0].n_remaining == 0
+    assert QUERIES["q249_drop_attribution"](spark, str(tmp_path)).count() == 0
+
+
 def test_q250_source_waterfall_slices_q248(spark, sf_dir):
     """Summing the per-source waterfall over sources reproduces the
     global waterfall's doc and char mass per stage."""

@@ -120,91 +120,100 @@ def _stage_name(idx_col: F.Column) -> F.Column:
     return F.element_at(F.array(*[F.lit(s) for s in _STAGES]), idx_col)
 
 
-def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared per-doc verdict relation: (doc_id, source, lang, n_chars,
-    n_words, is_bench, is_dup, too_short, low_quality, contaminated,
-    stage_idx). Computed once per (session, corpus) and lazily
-    checkpointed — all six funnel reports consume it."""
-    from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
-
-    def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        base = docs.select(
-            "doc_id",
-            "source",
-            "lang",
-            "n_chars",
-            "text",
-            F.split("text", " ").alias("w"),
-            (F.col("doc_id") % 97 == 0).alias("is_bench"),
+def funnel_verdicts(docs: DataFrame) -> DataFrame:
+    """Per-doc verdict relation of the curation funnel: (doc_id,
+    source, lang, n_chars, n_words, is_bench, is_dup, too_short,
+    low_quality, contaminated, stage_idx) — one text-keyed shuffle
+    (canonical pick), one bounded benchmark-gram broadcast semi-join
+    (contamination), everything else row-local. ``docs`` must carry
+    (doc_id, source, lang, n_chars, text); exposed standalone so the
+    10× scale probe (bench.py) can drive it on a synthetic corpus."""
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.split("text", " ").alias("w"),
+        (F.col("doc_id") % 97 == 0).alias("is_bench"),
+    )
+    grams = F.array_distinct(word_ngrams(F.col("w"), 8))
+    bench_grams = (
+        base.filter("is_bench")
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    corpus = base.filter(~F.col("is_bench"))
+    hits = (
+        corpus.select("doc_id", F.explode(grams).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    n_words = F.size("w")
+    sum_len = F.aggregate(
+        F.transform("w", lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = sum_len * F.lit(1.0) / n_words
+    distinct_ratio = F.size(F.array_distinct("w")) * F.lit(1.0) / n_words
+    verd = (
+        corpus.withColumn(
+            "rn", F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
         )
-        grams = F.array_distinct(word_ngrams(F.col("w"), 8))
-        bench_grams = (
-            base.filter("is_bench")
-            .select(F.explode(grams).alias("gram"))
-            .distinct()
-        )
-        corpus = base.filter(~F.col("is_bench"))
-        hits = (
-            corpus.select("doc_id", F.explode(grams).alias("gram"))
-            .join(F.broadcast(bench_grams), "gram", "left_semi")
-            .select("doc_id")
-            .distinct()
-            .withColumn("__hit", F.lit(1))
-        )
-        n_words = F.size("w")
-        sum_len = F.aggregate(
-            F.transform("w", lambda x: F.length(x)),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        mean_wl = sum_len * F.lit(1.0) / n_words
-        distinct_ratio = F.size(F.array_distinct("w")) * F.lit(1.0) / n_words
-        verd = (
-            corpus.withColumn(
-                "rn", F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
-            )
-            .join(hits, "doc_id", "left")
-            .select(
-                "doc_id",
-                "source",
-                "lang",
-                "n_chars",
-                n_words.alias("n_words"),
-                F.lit(False).alias("is_bench"),
-                (F.col("rn") > 1).alias("is_dup"),
-                (n_words < _MIN_WORDS).alias("too_short"),
-                (
-                    ~(mean_wl.between(3.0, 10.0) & (distinct_ratio >= 0.3))
-                ).alias("low_quality"),
-                F.col("__hit").isNotNull().alias("contaminated"),
-            )
-        )
-        bench_rows = base.filter("is_bench").select(
+        .join(hits, "doc_id", "left")
+        .select(
             "doc_id",
             "source",
             "lang",
             "n_chars",
             n_words.alias("n_words"),
-            F.lit(True).alias("is_bench"),
-            F.lit(False).alias("is_dup"),
-            F.lit(False).alias("too_short"),
-            F.lit(False).alias("low_quality"),
-            F.lit(False).alias("contaminated"),
+            F.lit(False).alias("is_bench"),
+            (F.col("rn") > 1).alias("is_dup"),
+            (n_words < _MIN_WORDS).alias("too_short"),
+            (
+                ~(mean_wl.between(3.0, 10.0) & (distinct_ratio >= 0.3))
+            ).alias("low_quality"),
+            F.col("__hit").isNotNull().alias("contaminated"),
         )
-        stage_idx = (
-            F.when(F.col("is_bench"), 1)
-            .when(F.col("is_dup"), 2)
-            .when(F.col("too_short"), 3)
-            .when(F.col("low_quality"), 4)
-            .when(F.col("contaminated"), 5)
-            .otherwise(_KEPT_IDX)
-        )
-        return (
-            verd.unionByName(bench_rows)
-            .withColumn("stage_idx", stage_idx.cast("int"))
-            .localCheckpoint(eager=False)
-        )
+    )
+    bench_rows = base.filter("is_bench").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.lit(True).alias("is_bench"),
+        F.lit(False).alias("is_dup"),
+        F.lit(False).alias("too_short"),
+        F.lit(False).alias("low_quality"),
+        F.lit(False).alias("contaminated"),
+    )
+    stage_idx = (
+        F.when(F.col("is_bench"), 1)
+        .when(F.col("is_dup"), 2)
+        .when(F.col("too_short"), 3)
+        .when(F.col("low_quality"), 4)
+        .when(F.col("contaminated"), 5)
+        .otherwise(_KEPT_IDX)
+    )
+    return verd.unionByName(bench_rows).withColumn(
+        "stage_idx", stage_idx.cast("int")
+    )
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached, lazily-checkpointed funnel_verdicts over the
+    corpus — computed once per (session, corpus), consumed by all six
+    funnel reports."""
+    from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
+
+    def build() -> DataFrame:
+        return funnel_verdicts(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=False)
 
     return session_cached(spark, "funnel_verdicts", (sf_dir,), build)
 
