@@ -208,6 +208,31 @@ def test_q242_empty_sample_is_graceful(spark, tmp_path):
     assert all(r.grad_res == 0.0 and r.n_docs == 0 for r in out)
 
 
+def test_irls_early_stop_matches_fixed_schedule(spark, sf_dir):
+    """tol= early stopping (r9) must land on the same optimum as the
+    fixed schedule — the L2-logistic problem is strictly convex, so
+    both converge to the unique β*; the tol run just stops paying for
+    iterations once ‖g‖∞ < tol."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 7 == 0
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda w: w.isin("spark", "vector")))
+            >= 3
+        ).cast("double").alias("y"),
+    )
+    feats = hashed_word_features(docs, n_buckets=_D, bias=True)
+    fixed = logreg_irls_train(spark, feats, labels, d=_D + 1, n_iters=12, l2=1.0)
+    tol = logreg_irls_train(
+        spark, feats, labels, d=_D + 1, n_iters=25, l2=1.0, tol=5e-7
+    )
+    assert np.abs(fixed - tol).max() < 1e-6
+    res = stationarity_residuals(feats, labels, _weights_df(spark, tol), l2=1.0)
+    assert res.agg(F.max(F.abs("grad_res"))).collect()[0][0] == 0.0
+
+
 def test_q242_nonconvergence_raises_explicitly(spark, sf_dir, monkeypatch):
     """r8 ADVICE regression: the oracle hardcodes grad_res ≡ 0, so an
     UNCONVERGED model must surface as an explicit ValueError from the

@@ -95,6 +95,7 @@ def logreg_irls_train(
     n_iters: int = 10,
     l2: float = 1.0,
     train_partitions: int = 4,
+    tol: float | None = None,
 ) -> np.ndarray:
     """IRLS / Newton for L2-regularized logistic regression.
 
@@ -127,7 +128,15 @@ def logreg_irls_train(
       join run exchange-free; only the final ≤ d² (j, k) rollup
       shuffles. The SAMPLE is bounded by design (train-on-sample,
       score-everything), so P is small; raise ``train_partitions``
-      for genuinely large training sets."""
+      for genuinely large training sets.
+
+    ``tol`` enables early stopping: the gradient needed for the check
+    is already in the per-iteration collected partials, so when
+    ‖g(β)‖∞ < tol the loop returns the CURRENT β without the update —
+    zero extra cluster actions, and ``n_iters`` becomes a cap rather
+    than a fixed bill (Newton converges quadratically here, so the
+    last iterations of a fixed schedule are usually pure overhead,
+    while a harder corpus iterates as long as the cap allows)."""
     feats = (
         features.repartition(train_partitions, "id").localCheckpoint(eager=True)
     )
@@ -183,6 +192,8 @@ def logreg_irls_train(
             H[r["j"], r["k"]] += r["h"]
             if r["k"] == bias_j and r["g"] is not None:
                 g[r["j"]] += r["g"]
+        if tol is not None and np.abs(g).max() < tol:
+            break
         beta = beta + np.linalg.solve(H, g)
     return beta
 

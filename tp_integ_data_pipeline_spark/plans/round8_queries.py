@@ -37,7 +37,12 @@ from tp_integ_data_pipeline_spark.sources.fixtures import load_table
 # ~0.97 at sf0.1 with frozen weights — tests/test_classifier.py).
 _D = 256
 _L2 = 1.0
-_IRLS_ITERS = 10
+# cap, not a fixed bill: training early-stops on the SAME tolerance
+# the stationarity grading needs (round-6 residual ≡ 0 ⇔ |g| < 5e-7),
+# so an easy corpus pays ~9 iterations and a hard one iterates to the
+# cap before the explicit non-convergence error fires (r8 ADVICE)
+_IRLS_ITERS = 25
+_IRLS_TOL = 5e-7
 
 # Weak label the classifier is distilled from (the production pattern:
 # distill an expensive rule/teacher into a cheap linear scorer):
@@ -184,7 +189,7 @@ def q242_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(F.col("doc_id").alias("id"), _rule_label().alias("y"))
     feats = hashed_word_features(docs, n_buckets=_D, bias=True)
     beta = logreg_irls_train(
-        spark, feats, labels, d=_D + 1, n_iters=_IRLS_ITERS, l2=_L2
+        spark, feats, labels, d=_D + 1, n_iters=_IRLS_ITERS, l2=_L2, tol=_IRLS_TOL
     )
     w_df = _weights_df(spark, beta)
     res = stationarity_residuals(feats, labels, w_df, l2=_L2).localCheckpoint(
@@ -199,7 +204,7 @@ def q242_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     if worst is not None and worst != 0.0:
         raise ValueError(
             f"q242: IRLS did not converge — max |grad_res| = {worst} "
-            f"after {_IRLS_ITERS} iterations (round-6 residual must be 0)"
+            f"within the {_IRLS_ITERS}-iteration cap (round-6 residual must be 0)"
         )
     n_docs = feats.groupBy("j").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
