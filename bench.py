@@ -172,6 +172,7 @@ HEADLINE = [
     "q251_stage_overlap",
     "q252_marginal_attribution",
     "q253_threshold_sensitivity",
+    "q254_funnel_drift",
 ]
 
 

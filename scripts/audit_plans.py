@@ -145,6 +145,8 @@ BNLJ_ALLOWED = {
     "q240_mutual_information": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row corpus-input scalar onto the <=6-row funnel stage summary
     "q248_filter_funnel": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row (t_old, t_new) half-totals scalar onto the <=6-row drift rollup
+    "q254_funnel_drift": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -121,6 +121,21 @@ def test_contaminated_total_matches_q93(spark, sf_dir):
     assert funnel_contam == q93_contam
 
 
+def test_q254_drift_consistent_with_waterfall(spark, sf_dir):
+    """Per-stage n_old + n_new must reproduce q248's stage totals;
+    rates are per-half fractions summing to ~1 across stages."""
+    drift = QUERIES["q254_funnel_drift"](spark, sf_dir).collect()
+    stage_totals = {
+        r.stage_idx: r.n_docs
+        for r in QUERIES["q248_filter_funnel"](spark, sf_dir).collect()
+    }
+    assert {r.stage_idx: r.n_old + r.n_new for r in drift} == stage_totals
+    assert abs(sum(r.rate_old for r in drift) - 1.0) < 1e-4
+    assert abs(sum(r.rate_new for r in drift) - 1.0) < 1e-4
+    for r in drift:
+        assert abs(r.rate_delta - round(r.rate_new - r.rate_old, 6)) < 1e-9
+
+
 def test_funnel_no_bench_slice(spark, tmp_path):
     """A corpus with NO doc_id % 97 == 0 docs has an empty benchmark:
     the gram broadcast is empty, nothing is contaminated, and the

@@ -1,4 +1,4 @@
-"""Round-9 operator family: filter-funnel provenance (q248–q253) —
+"""Round-9 operator family: filter-funnel provenance (q248–q254) —
 per-document attribution of WHICH curation stage dropped it, rolled up
 into the loss waterfalls / overlap / sensitivity reports a 100 TB
 curation run publishes alongside the kept corpus.
@@ -31,14 +31,14 @@ forever), everything else row-local expressions — then every report is
 a map-side-combinable rollup whose output is stages × groups bounded
 (≤ 6 rows global, ≤ 6·|sources| per source, ≤ 16 masks, 4 stages,
 5 thresholds). The verdict relation is computed once per (session,
-corpus) and shared by all six consumers (plans/session_cache.py, the
-q87/q90/q175 discipline). The only partition-less window is the
+corpus) and shared by all seven consumers (plans/session_cache.py,
+the q87/q90/q175 discipline). The only partition-less window is the
 waterfall's running remainder over the ≤ 6-row stage summary (stage
 count is a code constant — GLOBAL_WINDOW_ALLOWED).
 
 Oracle strategy: every verdict is deterministic relational logic over
 exact integers/strings, so DuckDB replays the whole funnel from the
-same shared CTE text — all six queries are full hash checks.
+same shared CTE text — all seven queries are full hash checks.
 """
 
 from __future__ import annotations
@@ -206,7 +206,7 @@ def funnel_verdicts(docs: DataFrame) -> DataFrame:
 
 def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached, lazily-checkpointed funnel_verdicts over the
-    corpus — computed once per (session, corpus), consumed by all six
+    corpus — computed once per (session, corpus), consumed by all the
     funnel reports."""
     from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
 
@@ -587,4 +587,75 @@ def q253_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("min_words")
+    )
+
+
+# --------------------------------------------------------------------------
+# q254 — funnel drift between corpus halves (pipeline monitoring)
+# --------------------------------------------------------------------------
+@query(
+    "q254_funnel_drift",
+    oracle=f"""
+    WITH {_FUNNEL_SQL},
+    mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
+    s AS (
+        SELECT stage_idx,
+               CAST(SUM(CASE WHEN f.doc_id < mid.m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_old,
+               CAST(SUM(CASE WHEN f.doc_id >= mid.m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new
+        FROM funnel f, mid GROUP BY stage_idx
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN f.doc_id < mid.m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_old,
+               CAST(SUM(CASE WHEN f.doc_id >= mid.m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_new
+        FROM funnel f, mid
+    )
+    SELECT stage_idx, ({_STAGE_LIST_SQL})[stage_idx] AS stage, n_old, n_new,
+           ROUND(n_old * 1.0 / t_old, 6) AS rate_old,
+           ROUND(n_new * 1.0 / t_new, 6) AS rate_new,
+           ROUND(n_new * 1.0 / t_new - n_old * 1.0 / t_old, 6) + 0 AS rate_delta
+    FROM s, tot
+    ORDER BY stage_idx
+    """,
+)
+def q254_funnel_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-drift monitor: per funnel stage, the drop RATE in the
+    already-ingested corpus half (doc_id < mid, the q103 split
+    convention) vs the newly-arrived half, and the delta — the
+    regression alarm a standing 100 TB curation run watches (a new
+    crawl whose low_quality rate doubles, or whose contamination rate
+    jumps, is flagged here before it pollutes the kept set). One
+    conditional-sum rollup of the shared verdict relation to ≤ 6 rows
+    + a 1-row half-totals scalar (BNLJ_ALLOWED); the delta is
+    negative-capable, so both engines normalize it ROUND+0."""
+    fun = _funnel(spark, sf_dir)
+    mid = (
+        load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0] // 2
+    )
+    is_old = F.col("doc_id") < mid
+    s = fun.groupBy("stage_idx").agg(
+        F.sum(is_old.cast("int")).cast("long").alias("n_old"),
+        F.sum((~is_old).cast("int")).cast("long").alias("n_new"),
+    )
+    tot = fun.agg(
+        F.sum(is_old.cast("int")).cast("long").alias("t_old"),
+        F.sum((~is_old).cast("int")).cast("long").alias("t_new"),
+    )
+    rate_old = F.col("n_old") * F.lit(1.0) / F.col("t_old")
+    rate_new = F.col("n_new") * F.lit(1.0) / F.col("t_new")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "stage_idx",
+            _stage_name(F.col("stage_idx")).alias("stage"),
+            "n_old",
+            "n_new",
+            F.round(rate_old, 6).alias("rate_old"),
+            F.round(rate_new, 6).alias("rate_new"),
+            (F.round(rate_new - rate_old, 6) + F.lit(0.0)).alias("rate_delta"),
+        )
+        .orderBy("stage_idx")
     )
