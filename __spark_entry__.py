@@ -44,11 +44,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # three-scale oracle evidence (sf0.001 + full sf0.01 + sf0.1 logs,
 # scripts/oracle_*_r8.log / _r9.log). Expected grades: all hash-green
 # (no rows-only-by-nature keys in this front).
-# ROUND-10 front plan: the r4 remainder (q145 q146 q147 q148 q149
-# q151 q152 = 7) + the r5-graded cohort (q37 q44 q45 q46 q50 q55
-# q62 q63 …) + round-9 newcomers (q248+ filter-funnel provenance
-# family), padded to exactly 50 with the oldest r6-graded keys; by
-# round 10 no newest grade is older than r6.
+# ROUND-10 front plan (exactly 50, arithmetic checkable against the
+# CORRECTNESS_r01–r09 newest-grade matrix): the 7 round-9 newcomers
+# (q248–q254 filter-funnel provenance, never driver-graded — they
+# outrank stale keys) + the r4 remainder (q145 q146 q147 q148 q149
+# q151 q152 = 7) + the 36 OLDEST r5-graded keys (q04 q101 q122 q139
+# q142 q150 q154 q155 q156 q157 q158 q159 q160 q161 q162 q23 q24 q25
+# q26 q27 q28 q29 q36 q37 q38 q39 q42 q45 q46 q47 q48 q49 q52 q53
+# q54 q62) = 50. After round 10 the newest-grade floor is r5 (9 r5
+# keys remain: q63 q69 q72–q77 q79) — round 11 leads with those + the
+# 46-key r6 cohort.
 _ROTATE_FRONT = (
     "q233 q234 q235 q236 q237 q238 q239 q240 q241 q242 "
     "q243 q244 q245 q246 q247 "
