@@ -136,6 +136,38 @@ def test_q254_drift_consistent_with_waterfall(spark, sf_dir):
         assert abs(r.rate_delta - round(r.rate_new - r.rate_old, 6)) < 1e-9
 
 
+def test_q254_empty_half_matches_oracle(spark, tmp_path):
+    """A shard whose ids all land in one half of the split (here
+    max(doc_id)=1 → mid=0 → old half EMPTY) must pin the empty half's
+    rates to 0.0 on BOTH engines instead of Spark throwing ANSI
+    DIVIDE_BY_ZERO where DuckDB returns NULL."""
+    import duckdb
+
+    from tp_integ_data_pipeline_spark.plans.registry import ORACLES
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l", "en", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.toPandas().to_parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r.stage_idx, r.n_old, r.n_new, r.rate_old, r.rate_new, r.rate_delta)
+        for r in QUERIES["q254_funnel_drift"](spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    exp = [
+        (si, no, nn, ro, rn, rd)
+        for si, _stage, no, nn, ro, rn, rd in con.execute(
+            ORACLES["q254_funnel_drift"]
+        ).fetchall()
+    ]
+    assert got == exp
+    assert got[0][3] == 0.0  # empty old half pinned, not NULL/throw
+
+
 def test_funnel_no_bench_slice(spark, tmp_path):
     """A corpus with NO doc_id % 97 == 0 docs has an empty benchmark:
     the gram broadcast is empty, nothing is contaminated, and the

@@ -614,9 +614,11 @@ def q253_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM funnel f, mid
     )
     SELECT stage_idx, ({_STAGE_LIST_SQL})[stage_idx] AS stage, n_old, n_new,
-           ROUND(n_old * 1.0 / t_old, 6) AS rate_old,
-           ROUND(n_new * 1.0 / t_new, 6) AS rate_new,
-           ROUND(n_new * 1.0 / t_new - n_old * 1.0 / t_old, 6) + 0 AS rate_delta
+           ROUND(COALESCE(n_old * 1.0 / NULLIF(t_old, 0), 0.0), 6) AS rate_old,
+           ROUND(COALESCE(n_new * 1.0 / NULLIF(t_new, 0), 0.0), 6) AS rate_new,
+           ROUND(COALESCE(n_new * 1.0 / NULLIF(t_new, 0), 0.0)
+                 - COALESCE(n_old * 1.0 / NULLIF(t_old, 0), 0.0), 6) + 0
+               AS rate_delta
     FROM s, tot
     ORDER BY stage_idx
     """,
@@ -630,7 +632,11 @@ def q254_funnel_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     jumps, is flagged here before it pollutes the kept set). One
     conditional-sum rollup of the shared verdict relation to ≤ 6 rows
     + a 1-row half-totals scalar (BNLJ_ALLOWED); the delta is
-    negative-capable, so both engines normalize it ROUND+0."""
+    negative-capable, so both engines normalize it ROUND+0. An EMPTY
+    half (a shard whose ids all land one side of the split) pins that
+    half's rates to 0.0 on both engines — NULLIF + coalesce, the ANSI
+    divide-by-zero rule — instead of Spark throwing where DuckDB
+    returns NULL."""
     fun = _funnel(spark, sf_dir)
     mid = (
         load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0] // 2
@@ -644,8 +650,14 @@ def q254_funnel_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_old.cast("int")).cast("long").alias("t_old"),
         F.sum((~is_old).cast("int")).cast("long").alias("t_new"),
     )
-    rate_old = F.col("n_old") * F.lit(1.0) / F.col("t_old")
-    rate_new = F.col("n_new") * F.lit(1.0) / F.col("t_new")
+    rate_old = F.coalesce(
+        F.col("n_old") * F.lit(1.0) / F.nullif(F.col("t_old"), F.lit(0)),
+        F.lit(0.0),
+    )
+    rate_new = F.coalesce(
+        F.col("n_new") * F.lit(1.0) / F.nullif(F.col("t_new"), F.lit(0)),
+        F.lit(0.0),
+    )
     return (
         s.crossJoin(F.broadcast(tot))
         .select(
