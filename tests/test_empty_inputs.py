@@ -246,3 +246,20 @@ def test_round4_ops_on_empty(spark):
     assert len(first) == 1 and first[0]["is_current"]
 
     assert pseudonymize(empty_keys, ["key"], salt="s").count() == 0
+
+
+def test_funnel_verdicts_on_empty(spark):
+    """Empty corpus → empty verdict relation with the full schema (the
+    r9 family's builder; every report then returns 0 rows)."""
+    from tp_integ_data_pipeline_spark.plans.round9_queries import funnel_verdicts
+
+    docs = spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = funnel_verdicts(docs)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "source", "lang", "n_chars", "n_words", "is_bench",
+        "is_dup", "too_short", "low_quality", "contaminated", "stage_idx",
+    }
