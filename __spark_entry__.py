@@ -35,32 +35,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
-# Round-9 front (exactly 50, per the committed r8 plan and the r8
-# verdict's item 1): the 15 never-driver-graded keys q233–q240 (incl.
-# the q239 ADVICE re-grade) + q241–q247 (r8 quality-classifier
-# family), plus the 35 OLDEST of the 42-key r4-stale cohort (q87
-# q100 q102–q111 q114–q117 q119–q121 q123–q125 q128 q129 q131 q132
-# q134–q138 q140 q141 q143 q144). Every key carries committed
-# three-scale oracle evidence (sf0.001 + full sf0.01 + sf0.1 logs,
-# scripts/oracle_*_r8.log / _r9.log). Expected grades: all hash-green
-# (no rows-only-by-nature keys in this front).
-# ROUND-10 front plan (exactly 50, arithmetic checkable against the
+# Round-10 front (exactly 50, executing the committed r9 plan; the
+# r9 verdict independently verified the arithmetic against the
 # CORRECTNESS_r01–r09 newest-grade matrix): the 7 round-9 newcomers
 # (q248–q254 filter-funnel provenance, never driver-graded — they
 # outrank stale keys) + the r4 remainder (q145 q146 q147 q148 q149
 # q151 q152 = 7) + the 36 OLDEST r5-graded keys (q04 q101 q122 q139
-# q142 q150 q154 q155 q156 q157 q158 q159 q160 q161 q162 q23 q24 q25
-# q26 q27 q28 q29 q36 q37 q38 q39 q42 q45 q46 q47 q48 q49 q52 q53
-# q54 q62) = 50. After round 10 the newest-grade floor is r5 (9 r5
-# keys remain: q63 q69 q72–q77 q79) — round 11 leads with those + the
-# 46-key r6 cohort.
+# q142 q150 q154–q162 q23–q29 q36–q39 q42 q45–q49 q52–q54 q62) = 50.
+# Expected grades: all hash-green except the rows-only-by-nature keys
+# q26 (approx agg), q52 (ANN), q101/q122/q139 — graded `no_oracle`.
+# ROUND-11 front plan (exactly 50, checkable the same way): the
+# round-10 newcomers q255–q257 (incremental corpus-refresh capstone
+# family, never driver-graded — newcomers outrank stale keys) + the
+# 9 remaining r5 keys (q63 q69 q72 q73 q74 q75 q76 q77 q79) + the 38
+# OLDEST of the 46-key r6 cohort in ascending key order (q00 q01 q02
+# q03 q05 q112 q113 q118 q126 q130 q133 q163 q164 q165 q166 q167
+# q168 q169 q171 q172 q173 q174 q177 q178 q179 q43 q78 q80 q81 q82
+# q83 q84 q85 q86 q88 q89 q90 q91) = 50. After round 11 the
+# newest-grade floor is r6 (8 r6 keys remain: q92–q99) — round 12
+# fronts those and the floor becomes r7.
 _ROTATE_FRONT = (
-    "q233 q234 q235 q236 q237 q238 q239 q240 q241 q242 "
-    "q243 q244 q245 q246 q247 "
-    "q87 q100 q102 q103 q104 q105 q106 q107 q108 q109 "
-    "q110 q111 q114 q115 q116 q117 q119 q120 q121 q123 "
-    "q124 q125 q128 q129 q131 q132 q134 q135 q136 q137 "
-    "q138 q140 q141 q143 q144"
+    "q248 q249 q250 q251 q252 q253 q254 "
+    "q145 q146 q147 q148 q149 q151 q152 "
+    "q04 q101 q122 q139 q142 q150 q154 q155 q156 q157 "
+    "q158 q159 q160 q161 q162 q23 q24 q25 q26 q27 q28 "
+    "q29 q36 q37 q38 q39 q42 q45 q46 q47 q48 q49 q52 "
+    "q53 q54 q62"
 ).split()
 
 
