@@ -602,14 +602,20 @@ def scale_probe(spark, sf_dir: str) -> dict:
     )
 
     # Filter-funnel verdict probe (round-9 family): disjoint-tagged 10×
-    # corpus — per copy, the text-dup structure, quality stats, and the
-    # 8-gram universes replicate exactly (tags keep copies' grams
-    # disjoint), and each copy contributes its own ~1/97 bench slice,
-    # so every verdict's work scales 10× with identical per-copy
-    # output. The plan is one text-keyed window + one broadcast
-    # semi-join + row-local expressions; healthy wall is near-linear.
-    # Superlinear flags the bench-gram broadcast or the dup window
-    # degenerating.
+    # corpus — per copy, the text-dup STRUCTURE and the 8-gram
+    # universes replicate (tags keep copies' grams disjoint), and each
+    # copy contributes its own ~1/97 bench slice. The per-copy VERDICT
+    # VALUES are NOT exact replicas of the 1× baseline (r9 ADVICE): the
+    # '_{i}' token tag adds 2 chars to every word (shifting mean word
+    # length, which can flip low_quality near the band edge) and the
+    # +i*10_000_000 id offset reshuffles bench membership mod 97 per
+    # copy. The ratio stays valid regardless, because the heavy work —
+    # the text-keyed dup window, the gram explode/semi-join, the
+    # row-local stats — is outcome-independent: it scales with corpus
+    # size, not with which side of a threshold a doc lands on. The
+    # plan is one text-keyed window + one broadcast semi-join +
+    # row-local expressions; healthy wall is near-linear. Superlinear
+    # flags the bench-gram broadcast or the dup window degenerating.
     from tp_integ_data_pipeline_spark.plans.round9_queries import funnel_verdicts
 
     full = load_table(spark, sf_dir, "documents").select(

@@ -143,10 +143,13 @@ BNLJ_ALLOWED = {
     "q238_dataset_card": {"scalar_aggs": 1, "filtered_batches": []},
     # 1-row grand total onto the contingency cells before the MI fold
     "q240_mutual_information": {"scalar_aggs": 1, "filtered_batches": []},
-    # 1-row corpus-input scalar onto the <=6-row funnel stage summary
-    "q248_filter_funnel": {"scalar_aggs": 1, "filtered_batches": []},
-    # 1-row (t_old, t_new) half-totals scalar onto the <=6-row drift rollup
-    "q254_funnel_drift": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row split-point scalar (max doc_id div 2) attached LAZILY onto
+    # the verdict relation before the drift rollup (folded into the
+    # plan per the r9 verdict — no job at plan-construction time).
+    # Appears twice: the ≤6-row rollup subtree it feeds is referenced
+    # by both the half-totals fold and the stage-densify join, and is
+    # deliberately NOT checkpointed so the audit sees the full plan.
+    "q254_funnel_drift": {"scalar_aggs": 2, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -233,6 +233,51 @@ def test_irls_early_stop_matches_fixed_schedule(spark, sf_dir):
     assert res.agg(F.max(F.abs("grad_res"))).collect()[0][0] == 0.0
 
 
+def test_irls_tol_margin_below_grading_boundary(spark, sf_dir):
+    """r9 ADVICE regression: the early-stop tolerance must sit WELL
+    below the 5e-7 round-6 grading boundary — the training loop's
+    gradient and the graded residual come from DIFFERENT plans
+    (different float summation orders), so a stop at exactly the
+    boundary could recompute marginally above it and trip q242's
+    hard non-convergence error. Asserts the constant's headroom AND
+    that a model trained at the production tolerance recomputes a RAW
+    (pre-round) residual with at least 2× margin under the boundary."""
+    from tp_integ_data_pipeline_spark.plans.round8_queries import _IRLS_TOL
+
+    assert _IRLS_TOL <= 5e-7 / 4  # ≥4× headroom below the boundary
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 7 == 0
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda w: w.isin("spark", "vector")))
+            >= 3
+        ).cast("double").alias("y"),
+    )
+    feats = hashed_word_features(docs, n_buckets=_D, bias=True)
+    beta = logreg_irls_train(
+        spark, feats, labels, d=_D + 1, n_iters=25, l2=1.0, tol=_IRLS_TOL
+    )
+    w = _weights_df(spark, beta)
+    m = margins(feats, w)
+    gd = (
+        feats.join(labels, "id")
+        .join(m, "id")
+        .groupBy("j")
+        .agg(F.sum(F.col("x") * (F.col("y") - F.col("p"))).alias("gd"))
+    )
+    worst_raw = (
+        w.join(gd, "j", "left")
+        .select(
+            (F.coalesce(F.col("gd"), F.lit(0.0)) - F.col("beta")).alias("raw")
+        )
+        .agg(F.max(F.abs("raw")))
+        .collect()[0][0]
+    )
+    assert worst_raw < 5e-7 / 2  # recomputation stays inside with margin
+
+
 def test_q242_nonconvergence_raises_explicitly(spark, sf_dir, monkeypatch):
     """r8 ADVICE regression: the oracle hardcodes grad_res ≡ 0, so an
     UNCONVERGED model must surface as an explicit ValueError from the

@@ -22,6 +22,8 @@ def test_q248_waterfall_conservation(spark, sf_dir):
     rows = QUERIES["q248_filter_funnel"](spark, sf_dir).collect()
     total = _input_count(spark, sf_dir)
     assert sum(r.n_docs for r in rows) == total
+    # stage-stable output (r9 ADVICE): ALL stages present, every run
+    assert sorted(r.stage_idx for r in rows) == list(range(1, _KEPT_IDX + 1))
     by_idx = {r.stage_idx: r for r in rows}
     # stage names resolve from the shared constant list
     assert all(r.stage == _STAGES[r.stage_idx - 1] for r in rows)
@@ -39,7 +41,7 @@ def test_q248_waterfall_conservation(spark, sf_dir):
         .where(F.col("doc_id") % 97 == 0)
         .count()
     )
-    assert by_idx.get(1) is None and bench == 0 or by_idx[1].n_docs == bench
+    assert by_idx[1].n_docs == bench
 
 
 def test_q249_first_fail_attribution(spark, sf_dir):
@@ -77,12 +79,13 @@ def test_q252_attribution_identities(spark, sf_dir):
         assert r.n_flagged == r.n_attributed + r.n_shadowed
         assert r.n_unique <= r.n_attributed
     # attributed kills across stages = total dropped non-bench docs
+    # (q248 is stage-stable, so zero-drop stages compare as 0 == 0)
     dropped = {
         r.stage_idx: r.n_docs
         for r in QUERIES["q248_filter_funnel"](spark, sf_dir).collect()
         if 2 <= r.stage_idx <= 5
     }
-    assert {r.stage_idx: r.n_attributed for r in rows if r.n_attributed} == dropped
+    assert {r.stage_idx: r.n_attributed for r in rows} == dropped
 
 
 def test_q253_monotone_and_consistent_with_funnel(spark, sf_dir):
@@ -171,8 +174,10 @@ def test_q254_empty_half_matches_oracle(spark, tmp_path):
 def test_funnel_no_bench_slice(spark, tmp_path):
     """A corpus with NO doc_id % 97 == 0 docs has an empty benchmark:
     the gram broadcast is empty, nothing is contaminated, and the
-    waterfall simply has no bench_holdout row — not an error. The
-    boundary a small shard of a 100 TB corpus hits routinely."""
+    waterfall's bench_holdout row reads ZERO — present but empty, the
+    stage-stable contract (r9 ADVICE: a monitor diffing runs sees a
+    rate move through 0, not a row disappear). The boundary a small
+    shard of a 100 TB corpus hits routinely."""
     docs = spark.createDataFrame(
         [
             (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s1", 50),
@@ -183,7 +188,9 @@ def test_funnel_no_bench_slice(spark, tmp_path):
     )
     docs.toPandas().to_parquet(str(tmp_path / "documents.parquet"))
     rows = {r.stage_idx: r for r in QUERIES["q248_filter_funnel"](spark, str(tmp_path)).collect()}
-    assert 1 not in rows  # no bench stage
+    assert sorted(rows) == list(range(1, _KEPT_IDX + 1))  # stage-stable
+    assert rows[1].n_docs == 0 and rows[1].n_chars == 0  # empty, not absent
+    assert rows[1].n_remaining == 3  # zero-drop stage leaves the remainder flat
     assert rows[2].n_docs == 1  # doc 2 is the exact dup of doc 1
     assert rows[3].n_docs == 1  # doc 3 too short
     assert rows[_KEPT_IDX].n_docs == 1
@@ -193,17 +200,59 @@ def test_funnel_no_bench_slice(spark, tmp_path):
 
 def test_funnel_all_bench_corpus(spark, tmp_path):
     """Every doc in the eval suite: the corpus-side verdict relation is
-    empty, the waterfall is the single bench_holdout row, and the
-    doc-level attribution report is empty."""
+    empty, the waterfall is bench_holdout=2 plus five zero rows
+    (stage-stable), and the doc-level attribution report is empty."""
     docs = spark.createDataFrame(
         [(0, "a b c d e f g h i j k l", "en", "s", 23), (97, "m n o p q r s t u v w x", "en", "s", 23)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     docs.toPandas().to_parquet(str(tmp_path / "documents.parquet"))
-    rows = QUERIES["q248_filter_funnel"](spark, str(tmp_path)).collect()
-    assert len(rows) == 1 and rows[0].stage_idx == 1 and rows[0].n_docs == 2
-    assert rows[0].n_remaining == 0
+    rows = sorted(
+        QUERIES["q248_filter_funnel"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage_idx for r in rows] == list(range(1, _KEPT_IDX + 1))
+    assert rows[0].n_docs == 2 and rows[0].n_remaining == 0
+    assert all(r.n_docs == 0 and r.n_remaining == 0 for r in rows[1:])
     assert QUERIES["q249_drop_attribution"](spark, str(tmp_path)).count() == 0
+
+
+def test_stage_stable_reports(spark, sf_dir):
+    """r9 ADVICE regression: the three stage-keyed funnel reports are
+    schema- AND row-set-stable monitoring artifacts — q248/q254 emit
+    exactly one row per pipeline stage, q250 exactly 6·|sources|,
+    regardless of which stages actually dropped docs on this corpus."""
+    n_stages = _KEPT_IDX
+    assert sorted(
+        r.stage_idx for r in QUERIES["q248_filter_funnel"](spark, sf_dir).collect()
+    ) == list(range(1, n_stages + 1))
+    assert sorted(
+        r.stage_idx for r in QUERIES["q254_funnel_drift"](spark, sf_dir).collect()
+    ) == list(range(1, n_stages + 1))
+    per_source = QUERIES["q250_source_loss_waterfall"](spark, sf_dir).collect()
+    sources = {r.source for r in per_source}
+    assert len(per_source) == n_stages * len(sources)
+    for src in sources:
+        assert sorted(
+            r.stage_idx for r in per_source if r.source == src
+        ) == list(range(1, n_stages + 1))
+
+
+def test_q254_plan_construction_is_lazy(spark, sf_dir, monkeypatch):
+    """r9 verdict item 5 regression: building the q254 plan must not
+    run a Spark job — the split point is a lazy 1-row broadcast, not a
+    driver-side first() pull. Every DataFrame action raises during
+    construction; only materializing the returned plan may act."""
+    import pyspark.sql.classic.dataframe as D
+
+    def boom(self, *a, **k):
+        raise AssertionError("DataFrame action during q254 plan construction")
+
+    for name in ("collect", "first", "head", "take", "count", "toPandas"):
+        monkeypatch.setattr(D.DataFrame, name, boom)
+    df = QUERIES["q254_funnel_drift"](spark, sf_dir)
+    monkeypatch.undo()
+    assert df.count() == _KEPT_IDX
 
 
 def test_q250_source_waterfall_slices_q248(spark, sf_dir):

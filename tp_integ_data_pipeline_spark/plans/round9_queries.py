@@ -120,6 +120,19 @@ def _stage_name(idx_col: F.Column) -> F.Column:
     return F.element_at(F.array(*[F.lit(s) for s in _STAGES]), idx_col)
 
 
+# 1..6 as an exploded literal array (row-local — attaching it to the
+# totals row densifies a report WITHOUT a join node, so no BNLJ).
+# Lazy: building a Column requires an active SparkContext.
+def _stage_idx_arr() -> F.Column:
+    return F.array(*[F.lit(i) for i in range(1, _KEPT_IDX + 1)])
+
+# DuckDB twin of the constant stage dimension.
+_STAGE_DIM_SQL = (
+    "SELECT CAST(unnest(generate_series(1, "
+    f"{_KEPT_IDX})) AS INTEGER) AS stage_idx"
+)
+
+
 def funnel_verdicts(docs: DataFrame) -> DataFrame:
     """Per-doc verdict relation of the curation funnel: (doc_id,
     source, lang, n_chars, n_words, is_bench, is_dup, too_short,
@@ -238,15 +251,18 @@ _FLAG_INT = [
                CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM funnel GROUP BY stage_idx
     ),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_input FROM funnel)
-    SELECT stage_idx, ({_STAGE_LIST_SQL})[stage_idx] AS stage,
-           n_docs, n_chars,
-           CAST(n_input - SUM(CASE WHEN stage_idx < {_KEPT_IDX} THEN n_docs
-                                   ELSE 0 END)
-                    OVER (ORDER BY stage_idx) AS BIGINT) AS n_remaining,
-           ROUND(n_docs * 1.0 / n_input, 6) AS pct_of_input
-    FROM s, tot
-    ORDER BY stage_idx
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_input FROM funnel),
+    dim AS ({_STAGE_DIM_SQL})
+    SELECT d.stage_idx, ({_STAGE_LIST_SQL})[d.stage_idx] AS stage,
+           CAST(COALESCE(s.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(s.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(n_input
+                - SUM(CASE WHEN d.stage_idx < {_KEPT_IDX}
+                           THEN COALESCE(s.n_docs, 0) ELSE 0 END)
+                    OVER (ORDER BY d.stage_idx) AS BIGINT) AS n_remaining,
+           ROUND(COALESCE(s.n_docs, 0) * 1.0 / n_input, 6) AS pct_of_input
+    FROM dim d LEFT JOIN s ON s.stage_idx = d.stage_idx CROSS JOIN tot
+    ORDER BY d.stage_idx
     """,
 )
 def q248_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,29 +270,36 @@ def q248_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and chars) that stage dropped, the corpus remaining after it, and
     the share of input lost — the per-step progress the reference
     narrates imperatively (transf.py:29-34), as one auditable relation.
-    Scale shape: one keyed rollup of the shared verdict relation to
-    ≤ 6 rows; the running remainder is a window over that CODE-CONSTANT
-    summary (GLOBAL_WINDOW_ALLOWED) and the input total a 1-row scalar
-    attach (BNLJ_ALLOWED)."""
+    Output is STAGE-STABLE (r9 ADVICE): every stage appears even when
+    it drops zero docs, so a monitor diffing runs sees rates move
+    through 0 instead of rows appearing/disappearing — the 6-row
+    constant stage dimension is exploded off the totals row (row-local,
+    no join against data). Scale shape: one keyed rollup of the shared
+    verdict relation to ≤ 6 rows; the running remainder is a window
+    over that CODE-CONSTANT summary (GLOBAL_WINDOW_ALLOWED)."""
     fun = _funnel(spark, sf_dir)
     s = fun.groupBy("stage_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
     tot = fun.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+    dim = tot.select(
+        "n_input", F.explode(_stage_idx_arr()).alias("stage_idx")
+    )
+    n_docs = F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
     win = W.orderBy("stage_idx").rowsBetween(W.unboundedPreceding, 0)
     dropped = F.sum(
-        F.when(F.col("stage_idx") < _KEPT_IDX, F.col("n_docs")).otherwise(F.lit(0))
+        F.when(F.col("stage_idx") < _KEPT_IDX, n_docs).otherwise(F.lit(0))
     ).over(win)
     return (
-        s.crossJoin(F.broadcast(tot))
+        dim.join(s, "stage_idx", "left")
         .select(
             "stage_idx",
             _stage_name(F.col("stage_idx")).alias("stage"),
-            "n_docs",
-            "n_chars",
+            n_docs.alias("n_docs"),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
             (F.col("n_input") - dropped).cast("long").alias("n_remaining"),
-            F.round(F.col("n_docs") * F.lit(1.0) / F.col("n_input"), 6).alias(
+            F.round(n_docs * F.lit(1.0) / F.col("n_input"), 6).alias(
                 "pct_of_input"
             ),
         )
@@ -343,26 +366,35 @@ def q249_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
         FROM funnel GROUP BY source
+    ),
+    dim AS (
+        SELECT t.source, t.n_source, d.stage_idx
+        FROM tot t CROSS JOIN ({_STAGE_DIM_SQL}) d
     )
-    SELECT s.source, s.stage_idx, ({_STAGE_LIST_SQL})[s.stage_idx] AS stage,
-           s.n_docs, s.n_chars,
-           ROUND(s.n_docs * 1.0 / t.n_source, 6) AS pct_of_source,
-           CAST(t.n_source
-                - SUM(CASE WHEN s.stage_idx < {_KEPT_IDX} THEN s.n_docs ELSE 0 END)
-                      OVER (PARTITION BY s.source ORDER BY s.stage_idx)
+    SELECT d.source, d.stage_idx, ({_STAGE_LIST_SQL})[d.stage_idx] AS stage,
+           CAST(COALESCE(s.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(s.n_chars, 0) AS BIGINT) AS n_chars,
+           ROUND(COALESCE(s.n_docs, 0) * 1.0 / d.n_source, 6) AS pct_of_source,
+           CAST(d.n_source
+                - SUM(CASE WHEN d.stage_idx < {_KEPT_IDX}
+                           THEN COALESCE(s.n_docs, 0) ELSE 0 END)
+                      OVER (PARTITION BY d.source ORDER BY d.stage_idx)
                 AS BIGINT) AS n_remaining
-    FROM s JOIN tot t USING (source)
-    ORDER BY s.source, s.stage_idx
+    FROM dim d
+    LEFT JOIN s ON s.source = d.source AND s.stage_idx = d.stage_idx
+    ORDER BY d.source, d.stage_idx
     """,
 )
 def q250_source_loss_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The waterfall sliced per source: which feeds lose most, at which
     stage, and what survives of each — the per-shard report a mixture
     rebalance (q102/q187) consumes, since a source bleeding 80% at
-    dedup needs different treatment from one failing quality. Rollup to
-    ≤ 6·|sources| rows; the running remainder window is PARTITIONED BY
-    source (a data key — no global window), and the per-source total
-    joins back on the same bounded summary."""
+    dedup needs different treatment from one failing quality. Output is
+    STAGE-STABLE per source (r9 ADVICE): exactly 6·|sources| rows, the
+    stage dimension exploded row-locally off the per-source totals.
+    The running remainder window is PARTITIONED BY source (a data key —
+    no global window), and the per-source total joins back on the same
+    bounded summary."""
     fun = _funnel(spark, sf_dir)
     s = fun.groupBy("source", "stage_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -371,23 +403,27 @@ def q250_source_loss_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = fun.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_source")
     )
+    dim = tot.select(
+        "source", "n_source", F.explode(_stage_idx_arr()).alias("stage_idx")
+    )
+    n_docs = F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
     win = (
         W.partitionBy("source").orderBy("stage_idx").rowsBetween(
             W.unboundedPreceding, 0
         )
     )
     dropped = F.sum(
-        F.when(F.col("stage_idx") < _KEPT_IDX, F.col("n_docs")).otherwise(F.lit(0))
+        F.when(F.col("stage_idx") < _KEPT_IDX, n_docs).otherwise(F.lit(0))
     ).over(win)
     return (
-        s.join(F.broadcast(tot), "source")
+        dim.join(s, ["source", "stage_idx"], "left")
         .select(
             "source",
             "stage_idx",
             _stage_name(F.col("stage_idx")).alias("stage"),
-            "n_docs",
-            "n_chars",
-            F.round(F.col("n_docs") * F.lit(1.0) / F.col("n_source"), 6).alias(
+            n_docs.alias("n_docs"),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+            F.round(n_docs * F.lit(1.0) / F.col("n_source"), 6).alias(
                 "pct_of_source"
             ),
             (F.col("n_source") - dropped).cast("long").alias("n_remaining"),
@@ -612,15 +648,20 @@ def q253_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN f.doc_id >= mid.m THEN 1 ELSE 0 END) AS BIGINT)
                    AS t_new
         FROM funnel f, mid
-    )
-    SELECT stage_idx, ({_STAGE_LIST_SQL})[stage_idx] AS stage, n_old, n_new,
-           ROUND(COALESCE(n_old * 1.0 / NULLIF(t_old, 0), 0.0), 6) AS rate_old,
-           ROUND(COALESCE(n_new * 1.0 / NULLIF(t_new, 0), 0.0), 6) AS rate_new,
-           ROUND(COALESCE(n_new * 1.0 / NULLIF(t_new, 0), 0.0)
-                 - COALESCE(n_old * 1.0 / NULLIF(t_old, 0), 0.0), 6) + 0
-               AS rate_delta
-    FROM s, tot
-    ORDER BY stage_idx
+    ),
+    dim AS ({_STAGE_DIM_SQL})
+    SELECT d.stage_idx, ({_STAGE_LIST_SQL})[d.stage_idx] AS stage,
+           CAST(COALESCE(s.n_old, 0) AS BIGINT) AS n_old,
+           CAST(COALESCE(s.n_new, 0) AS BIGINT) AS n_new,
+           ROUND(COALESCE(COALESCE(s.n_old, 0) * 1.0 / NULLIF(t_old, 0), 0.0), 6)
+               AS rate_old,
+           ROUND(COALESCE(COALESCE(s.n_new, 0) * 1.0 / NULLIF(t_new, 0), 0.0), 6)
+               AS rate_new,
+           ROUND(COALESCE(COALESCE(s.n_new, 0) * 1.0 / NULLIF(t_new, 0), 0.0)
+                 - COALESCE(COALESCE(s.n_old, 0) * 1.0 / NULLIF(t_old, 0), 0.0), 6)
+               + 0 AS rate_delta
+    FROM dim d LEFT JOIN s ON s.stage_idx = d.stage_idx CROSS JOIN tot
+    ORDER BY d.stage_idx
     """,
 )
 def q254_funnel_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,42 +670,58 @@ def q254_funnel_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention) vs the newly-arrived half, and the delta — the
     regression alarm a standing 100 TB curation run watches (a new
     crawl whose low_quality rate doubles, or whose contamination rate
-    jumps, is flagged here before it pollutes the kept set). One
-    conditional-sum rollup of the shared verdict relation to ≤ 6 rows
-    + a 1-row half-totals scalar (BNLJ_ALLOWED); the delta is
-    negative-capable, so both engines normalize it ROUND+0. An EMPTY
-    half (a shard whose ids all land one side of the split) pins that
-    half's rates to 0.0 on both engines — NULLIF + coalesce, the ANSI
-    divide-by-zero rule — instead of Spark throwing where DuckDB
-    returns NULL."""
+    jumps, is flagged here before it pollutes the kept set). Output is
+    STAGE-STABLE (r9 ADVICE): all 6 stages always present, absent ones
+    at rate 0.0 — a monitor diffing runs sees rates move through 0,
+    never rows appear/disappear. One conditional-sum rollup of the
+    shared verdict relation to ≤ 6 rows; the split point (max doc_id
+    div 2, the q103 convention) is folded into the LAZY plan as a
+    1-row broadcast scalar attach (BNLJ_ALLOWED — the q102/q187
+    capacity pattern; no job runs at plan-construction time). The
+    delta is negative-capable, so both engines normalize it ROUND+0.
+    An EMPTY half (a shard whose ids all land one side of the split)
+    pins that half's rates to 0.0 on both engines — NULLIF + coalesce,
+    the ANSI divide-by-zero rule — instead of Spark throwing where
+    DuckDB returns NULL."""
     fun = _funnel(spark, sf_dir)
-    mid = (
-        load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0] // 2
-    )
-    is_old = F.col("doc_id") < mid
-    s = fun.groupBy("stage_idx").agg(
+    # fun partitions documents exactly (corpus ∪ bench rows), so its
+    # max doc_id equals the table's — no second documents scan.
+    mid = fun.agg(F.expr("max(doc_id) div 2").alias("m"))
+    is_old = F.col("doc_id") < F.col("m")
+    funm = fun.crossJoin(F.broadcast(mid))
+    s = funm.groupBy("stage_idx").agg(
         F.sum(is_old.cast("int")).cast("long").alias("n_old"),
         F.sum((~is_old).cast("int")).cast("long").alias("n_new"),
     )
-    tot = fun.agg(
-        F.sum(is_old.cast("int")).cast("long").alias("t_old"),
-        F.sum((~is_old).cast("int")).cast("long").alias("t_new"),
+    # Half totals fold from the ≤6-row stage summary (stages partition
+    # the corpus). The rollup subtree is referenced twice (tot + the
+    # densify join) — left UNcheckpointed deliberately so the audit
+    # sees the full plan; the duplicate pass is a ≤6-row rollup over
+    # the already-checkpointed verdict relation.
+    tot = s.agg(
+        F.sum("n_old").cast("long").alias("t_old"),
+        F.sum("n_new").cast("long").alias("t_new"),
     )
+    dim = tot.select(
+        "t_old", "t_new", F.explode(_stage_idx_arr()).alias("stage_idx")
+    )
+    n_old = F.coalesce(F.col("n_old"), F.lit(0)).cast("long")
+    n_new = F.coalesce(F.col("n_new"), F.lit(0)).cast("long")
     rate_old = F.coalesce(
-        F.col("n_old") * F.lit(1.0) / F.nullif(F.col("t_old"), F.lit(0)),
+        n_old * F.lit(1.0) / F.nullif(F.col("t_old"), F.lit(0)),
         F.lit(0.0),
     )
     rate_new = F.coalesce(
-        F.col("n_new") * F.lit(1.0) / F.nullif(F.col("t_new"), F.lit(0)),
+        n_new * F.lit(1.0) / F.nullif(F.col("t_new"), F.lit(0)),
         F.lit(0.0),
     )
     return (
-        s.crossJoin(F.broadcast(tot))
+        dim.join(s, "stage_idx", "left")
         .select(
             "stage_idx",
             _stage_name(F.col("stage_idx")).alias("stage"),
-            "n_old",
-            "n_new",
+            n_old.alias("n_old"),
+            n_new.alias("n_new"),
             F.round(rate_old, 6).alias("rate_old"),
             F.round(rate_new, 6).alias("rate_new"),
             (F.round(rate_new - rate_old, 6) + F.lit(0.0)).alias("rate_delta"),
