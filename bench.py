@@ -173,6 +173,9 @@ HEADLINE = [
     "q252_marginal_attribution",
     "q253_threshold_sensitivity",
     "q254_funnel_drift",
+    "q255_refresh_admission",
+    "q256_refresh_mixture",
+    "q257_refresh_packing",
 ]
 
 
@@ -641,6 +644,34 @@ def scale_probe(spark, sf_dir: str) -> dict:
     probe["funnel_10x_sec"] = timed(lambda: materialize(funnel_verdicts(full10)))
     probe["funnel_ratio"] = round(
         probe["funnel_10x_sec"] / probe["funnel_1x_sec"], 2
+    )
+
+    # Incremental corpus-refresh probe (round-10 family): the full
+    # refresh pass — curate the existing half (funnel_verdicts), then
+    # run the arriving half's admission funnel against it — on the same
+    # tagged corpora. NOTE the 10× corpus splits at its own global
+    # mid, so copies 0–4 form the standing corpus and 5–9 the batch;
+    # with per-copy-disjoint texts the cross-corpus dedup join then
+    # matches almost nothing, unlike the 1× corpus where real text
+    # overlap spans the split. The wall ratio stays valid because the
+    # heavy work — the batch text window, the kept-corpus equi-join
+    # shuffle (cost ∝ inputs, not matches), the gram explode/semi-join
+    # — is match-count-independent to first order. Near-linear is
+    # healthy; superlinear flags the dedup-probe join or the bench-gram
+    # broadcast degenerating.
+    from tp_integ_data_pipeline_spark.plans.round10_queries import (
+        existing_kept,
+        refresh_admission_verdicts,
+    )
+
+    def refresh_pass(corpus):
+        kept = existing_kept(corpus).localCheckpoint(eager=False)
+        return refresh_admission_verdicts(corpus, kept)
+
+    probe["refresh_1x_sec"] = timed(lambda: materialize(refresh_pass(full)))
+    probe["refresh_10x_sec"] = timed(lambda: materialize(refresh_pass(full10)))
+    probe["refresh_ratio"] = round(
+        probe["refresh_10x_sec"] / probe["refresh_1x_sec"], 2
     )
     return probe
 

@@ -150,6 +150,14 @@ BNLJ_ALLOWED = {
     # by both the half-totals fold and the stage-densify join, and is
     # deliberately NOT checkpointed so the audit sees the full plan.
     "q254_funnel_drift": {"scalar_aggs": 2, "filtered_batches": []},
+    # post-refresh mixture: ONE 1-row (tb, ta, z, min) totals scalar
+    # onto the <=|sources|-row rollup (q102/q187 pattern; the capacity
+    # solve collapses into the same row via the sqrt-weight identity)
+    "q256_refresh_mixture": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row carried-offset scalar (yesterday's token total) onto the
+    # admitted batch's prefix sum — pack_sequences' incremental
+    # contract folded in lazily (the r9 q254 rule)
+    "q257_refresh_packing": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column
@@ -190,6 +198,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # running remainder over the funnel stage summary: <= 6 rows (the
     # stage count is a code constant, plans/round9_queries._STAGES)
     "q248_filter_funnel": "waterfall remainder over the <=6-row stage summary",
+    # packing continuation via packing.global_cumsum: the only
+    # partitionless window is its <= n_buckets offset table
+    "q257_refresh_packing": "prefix-sum offset table, n_buckets rows",
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

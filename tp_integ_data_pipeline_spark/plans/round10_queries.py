@@ -1,0 +1,551 @@
+"""Round-10 capstone: incremental corpus refresh (q255–q257) — the
+end-to-end "new batch arrives at a standing corpus" pipeline the
+reference exists for (reference main.py:80–114 re-runs extraction and
+inserts only unseen rows; its whole operating mode is periodic
+refresh), composed ENTIRELY from verbs this engine already ships:
+
+1. yesterday's corpus = the funnel-curated EXISTING half
+   (funnel_verdicts, q248 family — reused verbatim, not re-derived);
+2. the NEW batch passes an admission funnel: within-batch exact dedup
+   (q97's keep-first rule), dedup against the existing KEPT corpus
+   (the q109 ingest-time-dedup decision, exact-text flavor), the q94
+   length/quality gates, and decontamination against the CURRENT
+   benchmark suite (q93's 8-gram rule, old + new bench docs — the
+   suite grows with the corpus);
+3. the admitted docs feed the post-refresh mixture report (q102's
+   capacity solve + q187's sqrt-temperature weights) and continue
+   sequence packing from the carried token offset (pack_sequences'
+   start_offset contract, q100) — batch-wise packing bit-identical to
+   whole-corpus packing.
+
+The family exercises the cross-operator seams (shared session_cache
+relations, funnel verdict reuse, packing continuation) that were
+previously tested only pairwise — the r9 verdict's suggested capstone.
+
+Scale shape at 100 TB: the refresh batch is a fraction of the standing
+corpus. ONE pass computes the admission verdicts — a text-keyed window
+within the batch, ONE text-keyed equi-join against the kept corpus
+(the only corpus-sized shuffle, and it is the irreducible one: that
+join IS the dedup), a bounded benchmark-gram broadcast semi-join, and
+row-local gates. Reports are map-side rollups to ≤|sources| rows with
+1-row scalar attaches (BNLJ_ALLOWED); packing is the distributed
+prefix sum (no data-sized global window) plus ONE integer of carried
+state folded in as a lazy 1-row broadcast — never a driver pull at
+plan-construction time (the r9 q254 rule).
+
+Oracle strategy: every admission verdict is deterministic relational
+logic, so DuckDB replays the whole refresh from a shared CTE; all
+three queries are full hash checks (sqrt-temperature weights use
+alpha=0.5 because IEEE sqrt is exactly rounded on both engines — the
+q187 rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.plans.curation import word_ngrams
+from tp_integ_data_pipeline_spark.plans.registry import query
+from tp_integ_data_pipeline_spark.plans.round9_queries import (
+    _GRAMS_SQL,
+    _KEPT_IDX,
+    _MIN_WORDS,
+    funnel_verdicts,
+)
+from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+_R_STAGES = [
+    "bench_holdout",
+    "dup_in_batch",
+    "dup_vs_corpus",
+    "too_short",
+    "low_quality",
+    "contaminated",
+    "admitted",
+]
+_ADMIT_IDX = 7  # stage_idx of admitted new-batch docs; 1..6 drop
+_PACK_BUDGET = 512  # tokens per training sequence (q100 convention)
+
+_R_STAGE_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in _R_STAGES) + "]"
+
+# Quality clause shared with the funnel family (q94's band rules) —
+# kept textually identical to round9_queries._FUNNEL_SQL's.
+_QUALITY_OK_SQL = """((list_sum(list_transform({w}, x -> len(x))) * 1.0 / len({w}))
+                        BETWEEN 3.0 AND 10.0
+                    AND (len(list_distinct({w})) * 1.0 / len({w})) >= 0.3)"""
+
+# Shared DuckDB CTE: the existing-kept corpus + the new-batch admission
+# relation. Mirrors _exist_kept() / _admission() column for column;
+# every oracle below starts WITH this.
+_REFRESH_SQL = f"""
+    rw AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               string_split(text, ' ') AS w,
+               (doc_id % 97 = 0) AS is_bench
+        FROM documents
+    ),
+    rmid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
+    rbg_old AS (
+        SELECT DISTINCT unnest({_GRAMS_SQL}) AS gram
+        FROM rw, rmid WHERE is_bench AND doc_id < m
+    ),
+    rbg_all AS (
+        SELECT DISTINCT unnest({_GRAMS_SQL}) AS gram FROM rw WHERE is_bench
+    ),
+    rex AS (SELECT rw.* FROM rw, rmid WHERE doc_id < m AND NOT is_bench),
+    rex_hits AS (
+        SELECT DISTINCT g.doc_id
+        FROM (SELECT doc_id, unnest(list_distinct({_GRAMS_SQL})) AS gram
+              FROM rex) g
+        JOIN rbg_old USING (gram)
+    ),
+    rkept AS (
+        SELECT doc_id, source, text, CAST(len(w) AS INTEGER) AS n_words
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id)
+                       AS rn
+            FROM rex
+        )
+        WHERE rn = 1 AND len(w) >= {_MIN_WORDS}
+          AND {_QUALITY_OK_SQL.format(w="w")}
+          AND doc_id NOT IN (SELECT doc_id FROM rex_hits)
+    ),
+    rnb AS (SELECT rw.* FROM rw, rmid WHERE doc_id >= m AND NOT is_bench),
+    rnb_hits AS (
+        SELECT DISTINCT g.doc_id
+        FROM (SELECT doc_id, unnest(list_distinct({_GRAMS_SQL})) AS gram
+              FROM rnb) g
+        JOIN rbg_all USING (gram)
+    ),
+    rnv AS (
+        SELECT doc_id, source, lang, n_chars,
+               CAST(len(w) AS INTEGER) AS n_words,
+               FALSE AS is_bench,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) > 1
+                   AS dup_batch,
+               text IN (SELECT text FROM rkept) AS dup_corpus,
+               len(w) < {_MIN_WORDS} AS too_short,
+               NOT {_QUALITY_OK_SQL.format(w="w")} AS low_quality,
+               (doc_id IN (SELECT doc_id FROM rnb_hits)) AS contaminated
+        FROM rnb
+    ),
+    radm AS (
+        SELECT *,
+               CASE WHEN dup_batch THEN 2 WHEN dup_corpus THEN 3
+                    WHEN too_short THEN 4 WHEN low_quality THEN 5
+                    WHEN contaminated THEN 6 ELSE {_ADMIT_IDX} END AS stage_idx
+        FROM rnv
+        UNION ALL
+        SELECT doc_id, source, lang, n_chars,
+               CAST(len(w) AS INTEGER) AS n_words,
+               TRUE, FALSE, FALSE, FALSE, FALSE, FALSE, 1
+        FROM rw, rmid WHERE doc_id >= m AND is_bench
+    )
+"""
+
+
+def existing_kept(docs: DataFrame) -> DataFrame:
+    """Yesterday's curated corpus: the funnel-kept docs of the EXISTING
+    half (doc_id < max div 2) — funnel_verdicts (q248 family) applied
+    to that half in isolation, so its dup window and its benchmark
+    suite are the ones yesterday's run actually saw. Returns (doc_id,
+    source, n_words, text); exposed standalone so the 10× scale probe
+    (bench.py) can drive the refresh pass on a synthetic corpus."""
+    mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
+    ex = (
+        docs.crossJoin(F.broadcast(mid))
+        .filter(F.col("doc_id") < F.col("m"))
+        .drop("m")
+    )
+    kept = funnel_verdicts(ex).filter(
+        F.col("stage_idx") == _KEPT_IDX
+    ).select("doc_id", "source", "n_words")
+    # recover text for the dedup probe (funnel_verdicts drops it);
+    # id-keyed equi-join against the half, broadcast-free by size
+    return kept.join(ex.select("doc_id", "text"), "doc_id")
+
+
+def _exist_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached, lazily-checkpointed existing_kept over the
+    corpus — computed once per (session, corpus), shared by all three
+    refresh queries."""
+    from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars", "text"
+        )
+        return existing_kept(docs).localCheckpoint(eager=False)
+
+    return session_cached(spark, "refresh_exist_kept", (sf_dir,), build)
+
+
+def refresh_admission_verdicts(docs: DataFrame, kept: DataFrame) -> DataFrame:
+    """Per-doc admission relation for the arriving batch (doc_id >=
+    max div 2): (doc_id, source, lang, n_chars, n_words, is_bench,
+    dup_batch, dup_corpus, too_short, low_quality, contaminated,
+    stage_idx). ``kept`` is the standing kept corpus (existing_kept's
+    shape — the keyword seam lets callers supply the session-cached /
+    index-backed relation instead of rebuilding it, the r9
+    prework-sharing pattern). Stage order follows q109's ingest
+    composition — within-batch dedup first, then the probe against the
+    standing kept corpus — ahead of the q94/q93 content gates. ONE
+    text-keyed window (batch-internal canonical pick), ONE text-keyed
+    equi-join against the kept corpus (the irreducible dedup shuffle;
+    kept texts are unique by construction, so no fan-out), one bounded
+    benchmark-gram broadcast semi-join (suite = old + new bench docs),
+    all else row-local."""
+    mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
+    based = docs.crossJoin(F.broadcast(mid))
+    grams_of = lambda: F.array_distinct(word_ngrams(F.col("w"), 8))  # noqa: E731
+    full = based.drop("m").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (F.col("doc_id") % 97 == 0).alias("is_bench"),
+    )
+    bench_grams = (
+        full.filter("is_bench")
+        .select(F.explode(grams_of()).alias("gram"))
+        .distinct()
+    )
+    new = based.filter(F.col("doc_id") >= F.col("m")).drop("m")
+    base = new.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.split("text", " ").alias("w"),
+        (F.col("doc_id") % 97 == 0).alias("is_bench"),
+    )
+    nb = base.filter(~F.col("is_bench"))
+    hits = (
+        nb.select("doc_id", F.explode(grams_of()).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # kept texts are unique (the keep-first rule keeps one row per
+    # text), so no distinct before the probe join
+    ck = kept.select("text").withColumn("__ck", F.lit(1))
+    n_words = F.size("w")
+    sum_len = F.aggregate(
+        F.transform("w", lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_wl = sum_len * F.lit(1.0) / n_words
+    distinct_ratio = F.size(F.array_distinct("w")) * F.lit(1.0) / n_words
+    verd = (
+        nb.withColumn(
+            "rn", F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
+        )
+        .join(hits, "doc_id", "left")
+        .join(ck, "text", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            n_words.alias("n_words"),
+            F.lit(False).alias("is_bench"),
+            (F.col("rn") > 1).alias("dup_batch"),
+            F.col("__ck").isNotNull().alias("dup_corpus"),
+            (n_words < _MIN_WORDS).alias("too_short"),
+            (
+                ~(mean_wl.between(3.0, 10.0) & (distinct_ratio >= 0.3))
+            ).alias("low_quality"),
+            F.col("__hit").isNotNull().alias("contaminated"),
+        )
+    )
+    bench_rows = base.filter("is_bench").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.lit(True).alias("is_bench"),
+        F.lit(False).alias("dup_batch"),
+        F.lit(False).alias("dup_corpus"),
+        F.lit(False).alias("too_short"),
+        F.lit(False).alias("low_quality"),
+        F.lit(False).alias("contaminated"),
+    )
+    stage_idx = (
+        F.when(F.col("is_bench"), 1)
+        .when(F.col("dup_batch"), 2)
+        .when(F.col("dup_corpus"), 3)
+        .when(F.col("too_short"), 4)
+        .when(F.col("low_quality"), 5)
+        .when(F.col("contaminated"), 6)
+        .otherwise(_ADMIT_IDX)
+    )
+    return verd.unionByName(bench_rows).withColumn(
+        "stage_idx", stage_idx.cast("int")
+    )
+
+
+def _admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached, lazily-checkpointed refresh_admission_verdicts
+    over the corpus, probing the session-cached existing-kept relation
+    — computed once per (session, corpus), consumed by all three
+    refresh queries."""
+    from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars", "text"
+        )
+        return refresh_admission_verdicts(
+            docs, _exist_kept(spark, sf_dir)
+        ).localCheckpoint(eager=False)
+
+    return session_cached(spark, "refresh_admission", (sf_dir,), build)
+
+
+
+_R_FLAGS = [
+    ("dup_batch", "f_dup_batch"),
+    ("dup_corpus", "f_dup_corpus"),
+    ("too_short", "f_short"),
+    ("low_quality", "f_quality"),
+    ("contaminated", "f_contam"),
+]
+
+
+# --------------------------------------------------------------------------
+# q255 — per-doc admission provenance of the refresh batch
+# --------------------------------------------------------------------------
+@query(
+    "q255_refresh_admission",
+    oracle=f"""
+    WITH {_REFRESH_SQL}
+    SELECT doc_id, source, stage_idx,
+           ({_R_STAGE_LIST_SQL})[stage_idx] AS stage,
+           CAST(dup_batch AS INTEGER) AS f_dup_batch,
+           CAST(dup_corpus AS INTEGER) AS f_dup_corpus,
+           CAST(too_short AS INTEGER) AS f_short,
+           CAST(low_quality AS INTEGER) AS f_quality,
+           CAST(contaminated AS INTEGER) AS f_contam,
+           CAST(dup_batch AS INTEGER) + CAST(dup_corpus AS INTEGER)
+               + CAST(too_short AS INTEGER) + CAST(low_quality AS INTEGER)
+               + CAST(contaminated AS INTEGER) AS n_fail,
+           CAST(stage_idx = {_ADMIT_IDX} AS INTEGER) AS admitted
+    FROM radm
+    ORDER BY doc_id
+    """,
+)
+def q255_refresh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refresh batch's per-document admission record — q249's
+    provenance table for INGEST: every arriving doc with its first-fail
+    stage (q109's order: within-batch dup, then dup vs the standing
+    kept corpus, then the q94/q93 content gates), all five independent
+    verdict flags, and the admitted bit. This is the relation an
+    incremental pipeline persists per refresh so "why was doc X
+    rejected last Tuesday" is a lookup, not a re-run. Pure row-local
+    projection of the shared admission relation."""
+    adm = _admission(spark, sf_dir)
+    flags = [F.col(src).cast("int").alias(dst) for src, dst in _R_FLAGS]
+    n_fail = sum(F.col(src).cast("int") for src, _ in _R_FLAGS)
+    return adm.select(
+        "doc_id",
+        "source",
+        "stage_idx",
+        F.element_at(
+            F.array(*[F.lit(s) for s in _R_STAGES]), F.col("stage_idx")
+        ).alias("stage"),
+        *flags,
+        n_fail.alias("n_fail"),
+        (F.col("stage_idx") == _ADMIT_IDX).cast("int").alias("admitted"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q256 — post-refresh mixture rebalance report
+# --------------------------------------------------------------------------
+@query(
+    "q256_refresh_mixture",
+    oracle=f"""
+    WITH {_REFRESH_SQL},
+    rb AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+        FROM rkept GROUP BY source
+    ),
+    ra AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_added
+        FROM radm WHERE stage_idx = {_ADMIT_IDX} GROUP BY source
+    ),
+    r AS (
+        SELECT COALESCE(rb.source, ra.source) AS source,
+               COALESCE(n_before, 0) AS n_before,
+               COALESCE(n_added, 0) AS n_added,
+               COALESCE(n_before, 0) + COALESCE(n_added, 0) AS n_after
+        FROM rb FULL JOIN ra ON rb.source = ra.source
+    ),
+    t AS (
+        SELECT SUM(n_before) AS tb, SUM(n_after) AS ta,
+               SUM(sqrt(CAST(n_after AS DOUBLE))) AS z,
+               MIN(n_after) AS mna
+        FROM r
+    )
+    SELECT source,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_added AS BIGINT) AS n_added,
+           CAST(n_after AS BIGINT) AS n_after,
+           ROUND(COALESCE(n_before * 1.0 / NULLIF(tb, 0), 0.0), 6)
+               AS share_before,
+           ROUND(n_after * 1.0 / ta, 6) AS share_after,
+           ROUND(n_after * 1.0 / ta
+                 - COALESCE(n_before * 1.0 / NULLIF(tb, 0), 0.0), 6) + 0
+               AS share_delta,
+           ROUND(sqrt(CAST(n_after AS DOUBLE)) / z, 6) AS target_share,
+           ROUND(LEAST(1.0, sqrt(mna * 1.0 / n_after)), 6) AS keep_frac
+    FROM r, t
+    ORDER BY source
+    """,
+)
+def q256_refresh_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-refresh mixture rebalance: per source, the kept corpus
+    before vs after admitting the batch (counts, shares, the
+    negative-capable share drift), the sqrt-temperature target share
+    (q187's alpha=0.5 rule — IEEE sqrt is exactly rounded on both
+    engines), and the capacity-solve keep fraction to hit that target
+    (q102's T = min_s(n_s / w_s) largest-achievable-corpus rule). With
+    w_s ∝ sqrt(n_s) the solve collapses algebraically: T = min_s
+    n_s/w_s is achieved by the SMALLEST source, and keep_frac_s =
+    min(1, w_s·T/n_s) = min(1, sqrt(min_n/n_s)) — so the whole report
+    needs ONE totals row (sums + the min), not a second capacity
+    scalar, and keep_frac involves no float summation at all (a single
+    exact division + one IEEE sqrt per row). At least one source keeps
+    everything (the smallest), every other downsamples toward the
+    temperature target. This is the report a standing pipeline emits
+    after every refresh to decide next epoch's sampling. Shape: two
+    bounded per-source rollups full-joined, ONE 1-row scalar attach
+    (BNLJ_ALLOWED) — all else row-local over ≤|sources| rows."""
+    kept = _exist_kept(spark, sf_dir)
+    adm = _admission(spark, sf_dir)
+    rb = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    ra = (
+        adm.filter(F.col("stage_idx") == _ADMIT_IDX)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_added"))
+    )
+    r = (
+        rb.join(ra, "source", "full")
+        .select(
+            "source",
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+            (
+                F.coalesce("n_before", F.lit(0)) + F.coalesce("n_added", F.lit(0))
+            ).cast("long").alias("n_after"),
+        )
+    )
+    t = r.agg(
+        F.sum("n_before").alias("tb"),
+        F.sum("n_after").alias("ta"),
+        F.sum(F.sqrt(F.col("n_after").cast("double"))).alias("z"),
+        F.min("n_after").alias("mna"),
+    )
+    share_before = F.coalesce(
+        F.col("n_before") * F.lit(1.0) / F.nullif(F.col("tb"), F.lit(0)),
+        F.lit(0.0),
+    )
+    share_after = F.col("n_after") * F.lit(1.0) / F.col("ta")
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_before",
+            "n_added",
+            "n_after",
+            F.round(share_before, 6).alias("share_before"),
+            F.round(share_after, 6).alias("share_after"),
+            (F.round(share_after - share_before, 6) + F.lit(0.0)).alias(
+                "share_delta"
+            ),
+            F.round(
+                F.sqrt(F.col("n_after").cast("double")) / F.col("z"), 6
+            ).alias("target_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt(F.col("mna") * F.lit(1.0) / F.col("n_after")),
+                ),
+                6,
+            ).alias("keep_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q257 — packing continuation with carried offset
+# --------------------------------------------------------------------------
+@query(
+    "q257_refresh_packing",
+    oracle=f"""
+    WITH {_REFRESH_SQL},
+    adm2 AS (
+        SELECT doc_id, n_words FROM radm WHERE stage_idx = {_ADMIT_IDX}
+    ),
+    off0 AS (
+        SELECT CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS o FROM rkept
+    ),
+    c AS (
+        SELECT doc_id, n_words,
+               CAST(COALESCE(SUM(n_words) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cb
+        FROM adm2
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_tokens,
+           CAST((o + cb) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST((o + cb) % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM c, off0
+    ORDER BY doc_id
+    """,
+)
+def q257_refresh_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pack the admitted batch CONTINUING from the standing
+    corpus — pack_sequences' incremental contract (operators/packing.py:
+    the carried state is ONE integer, yesterday's global token count)
+    exercised end-to-end: the first admitted doc lands mid-sequence
+    wherever yesterday's corpus stopped, and batch-wise packing is
+    bit-identical to packing the whole corpus at once (the continuation
+    property test). The carried offset is folded into the LAZY plan as
+    a 1-row broadcast scalar (BNLJ_ALLOWED — the r9 q254 rule: no
+    driver pull at plan-construction time), added onto the distributed
+    prefix sum (global_cumsum — the only partition-less window runs
+    over its ≤n_buckets offset table, GLOBAL_WINDOW_ALLOWED). The
+    oracle replays the layout from a naive global window, proving the
+    decomposition exact row-for-row (the q100/q107 discipline)."""
+    from tp_integ_data_pipeline_spark.operators.packing import global_cumsum
+
+    adm = (
+        _admission(spark, sf_dir)
+        .filter(F.col("stage_idx") == _ADMIT_IDX)
+        .select("doc_id", "n_words")
+    )
+    off0 = _exist_kept(spark, sf_dir).agg(
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("o")
+    )
+    cum = global_cumsum(adm, "doc_id", "n_words")
+    return (
+        cum.crossJoin(F.broadcast(off0))
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_tokens"),
+            F.expr(f"(o + cum_before) div {_PACK_BUDGET}").alias("seq_id"),
+            ((F.col("o") + F.col("cum_before")) % F.lit(_PACK_BUDGET))
+            .cast("long")
+            .alias("seq_offset"),
+        )
+        .orderBy("doc_id")
+    )
