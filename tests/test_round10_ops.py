@@ -162,7 +162,11 @@ def test_refresh_empty_existing_half_matches_oracle(spark, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
     )
-    for qname in ("q255_refresh_admission", "q257_refresh_packing"):
+    for qname in (
+        "q255_refresh_admission",
+        "q256_refresh_mixture",  # tb=0: share_before pinned 0.0, no throw
+        "q257_refresh_packing",
+    ):
         got = [tuple(r) for r in QUERIES[qname](spark, str(tmp_path)).collect()]
         exp = [tuple(r) for r in con.execute(ORACLES[qname]).fetchall()]
         assert got == exp, qname
