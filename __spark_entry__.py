@@ -44,16 +44,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # q142 q150 q154–q162 q23–q29 q36–q39 q42 q45–q49 q52–q54 q62) = 50.
 # Expected grades: all hash-green except the rows-only-by-nature keys
 # q26 (approx agg), q52 (ANN), q101/q122/q139 — graded `no_oracle`.
-# ROUND-11 front plan (exactly 50, checkable the same way): the
-# round-10 newcomers q255–q257 (incremental corpus-refresh capstone
+# ROUND-11 front plan (exactly 50, checkable the same way): the 6
+# round-10 newcomers q255–q260 (incremental corpus-refresh capstone
 # family, never driver-graded — newcomers outrank stale keys) + the
-# 9 remaining r5 keys (q63 q69 q72 q73 q74 q75 q76 q77 q79) + the 38
+# 9 remaining r5 keys (q63 q69 q72 q73 q74 q75 q76 q77 q79) + the 35
 # OLDEST of the 46-key r6 cohort in ascending key order (q00 q01 q02
 # q03 q05 q112 q113 q118 q126 q130 q133 q163 q164 q165 q166 q167
 # q168 q169 q171 q172 q173 q174 q177 q178 q179 q43 q78 q80 q81 q82
-# q83 q84 q85 q86 q88 q89 q90 q91) = 50. After round 11 the
-# newest-grade floor is r6 (8 r6 keys remain: q92–q99) — round 12
-# fronts those and the floor becomes r7.
+# q83 q84 q85 q86 q88) = 50. After round 11 the newest-grade floor is
+# r6 (11 r6 keys remain: q89 q90 q91 q92–q99) — round 12 fronts those
+# and the floor becomes r7. Expected r11 no_oracle keys: q174 only.
 _ROTATE_FRONT = (
     "q248 q249 q250 q251 q252 q253 q254 "
     "q145 q146 q147 q148 q149 q151 q152 "

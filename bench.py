@@ -176,6 +176,9 @@ HEADLINE = [
     "q255_refresh_admission",
     "q256_refresh_mixture",
     "q257_refresh_packing",
+    "q258_refresh_waterfall",
+    "q259_refresh_carry_state",
+    "q260_refresh_retro_contam",
 ]
 
 

@@ -158,6 +158,12 @@ BNLJ_ALLOWED = {
     # admitted batch's prefix sum — pack_sequences' incremental
     # contract folded in lazily (the r9 q254 rule)
     "q257_refresh_packing": {"scalar_aggs": 1, "filtered_batches": []},
+    # two 1-row bookkeeping rollups (kept-corpus totals × batch
+    # totals) joined into the single carry-state row
+    "q259_refresh_carry_state": {"scalar_aggs": 1, "filtered_batches": []},
+    # 1-row split-point scalar attached lazily to select the NEW
+    # half's bench docs (the q254/q257 rule — no construction job)
+    "q260_refresh_retro_contam": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column
@@ -201,6 +207,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # packing continuation via packing.global_cumsum: the only
     # partitionless window is its <= n_buckets offset table
     "q257_refresh_packing": "prefix-sum offset table, n_buckets rows",
+    # running remainder over the admission stage summary: <= 7 rows
+    # (stage count is a code constant, plans/round10_queries._R_STAGES)
+    "q258_refresh_waterfall": "waterfall remainder over the <=7-row stage summary",
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

@@ -1,9 +1,11 @@
-"""Round-10 incremental corpus-refresh capstone (q255–q257):
+"""Round-10 incremental corpus-refresh capstone (q255–q260):
 first-fail admission attribution, consistency of the dedup probe with
 the existing-kept corpus, mixture-report identities (capacity solve +
-temperature target), and the packing CONTINUATION property — batch-wise
+temperature target), the packing CONTINUATION property — batch-wise
 packing with one integer of carried state is bit-identical to packing
-the whole corpus at once."""
+the whole corpus at once — plus the batch waterfall's conservation
+laws, the carry-state row closing the loop for refresh N+1, and the
+retroactive-contamination sweep of a growing benchmark suite."""
 
 from __future__ import annotations
 
@@ -176,3 +178,113 @@ def test_refresh_empty_existing_half_matches_oracle(spark, tmp_path):
     assert adm[1].f_dup_corpus == 0 and adm[1].admitted == 1
     pack = QUERIES["q257_refresh_packing"](spark, str(tmp_path)).collect()
     assert len(pack) == 1 and pack[0].seq_id == 0 and pack[0].seq_offset == 0
+
+
+def test_q258_waterfall_conservation_and_stage_stability(spark, sf_dir):
+    rows = QUERIES["q258_refresh_waterfall"](spark, sf_dir).collect()
+    # stage-stable from birth: all 7 admission stages, every corpus
+    assert sorted(r.stage_idx for r in rows) == list(range(1, _ADMIT_IDX + 1))
+    mid = _mid(spark, sf_dir)
+    n_batch = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") >= mid)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_batch
+    prev = n_batch
+    for r in sorted(rows, key=lambda r: r.stage_idx):
+        assert r.stage == _R_STAGES[r.stage_idx - 1]
+        if r.stage_idx < _ADMIT_IDX:
+            assert r.n_remaining == prev - r.n_docs
+            prev = r.n_remaining
+        else:
+            assert r.n_remaining == r.n_docs == prev
+    # the waterfall is q255's per-doc relation rolled up, stage by stage
+    per_doc = QUERIES["q255_refresh_admission"](spark, sf_dir).collect()
+    from collections import Counter
+
+    counts = Counter(r.stage_idx for r in per_doc)
+    assert {r.stage_idx: r.n_docs for r in rows} == {
+        i: counts.get(i, 0) for i in range(1, _ADMIT_IDX + 1)
+    }
+
+
+def test_q259_carry_state_closes_the_loop(spark, sf_dir):
+    """The emitted carry state must be EXACTLY what re-running the
+    packing tomorrow needs: next_start_offset equals yesterday's
+    offset plus this batch's packed tokens, and the boundary geometry
+    matches q257's last doc."""
+    st = QUERIES["q259_refresh_carry_state"](spark, sf_dir).collect()
+    assert len(st) == 1
+    s = st[0]
+    assert s.n_batch == s.n_bench_held + s.n_rejected + s.n_admitted
+    assert s.next_start_offset == s.tokens_before + s.tokens_admitted
+    assert s.n_seqs_complete == s.next_start_offset // _PACK_BUDGET
+    assert s.boundary_fill == s.next_start_offset % _PACK_BUDGET
+    packed = QUERIES["q257_refresh_packing"](spark, sf_dir).collect()
+    assert s.n_admitted == len(packed)
+    assert s.tokens_admitted == sum(r.n_tokens for r in packed)
+    if packed:
+        last = max(packed, key=lambda r: r.doc_id)
+        end = last.seq_id * _PACK_BUDGET + last.seq_offset + last.n_tokens
+        assert end == s.next_start_offset
+    # and against q255's counts
+    adm_rows = QUERIES["q255_refresh_admission"](spark, sf_dir).collect()
+    assert s.n_batch == len(adm_rows)
+    assert s.n_admitted == sum(r.admitted for r in adm_rows)
+    assert s.n_bench_held == sum(1 for r in adm_rows if r.stage_idx == 1)
+
+
+def test_q260_retro_contam_semantics(spark, sf_dir):
+    """A retro-contaminated doc REALLY shares an 8-gram with some
+    new-half bench doc, and a clean doc shares none — recomputed
+    row-by-row in Python against the raw corpus."""
+    rows = QUERIES["q260_refresh_retro_contam"](spark, sf_dir).collect()
+    kept = _exist_kept(spark, sf_dir).collect()
+    assert {r.source: r.n_kept for r in rows} == {
+        s: n
+        for s, n in __import__("collections")
+        .Counter(k.source for k in kept)
+        .items()
+    }
+    mid = _mid(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").collect()
+
+    def grams(text):
+        w = text.split(" ")
+        return {
+            " ".join(w[i : i + 8]) for i in range(max(len(w) - 7, 0))
+        } or ({text} if False else set())
+
+    new_bench_grams = set()
+    for d in docs:
+        if d.doc_id >= mid and d.doc_id % 97 == 0:
+            new_bench_grams |= grams(d.text)
+    retro_by_source = {}
+    for k in kept:
+        if grams(k.text) & new_bench_grams:
+            retro_by_source[k.source] = retro_by_source.get(k.source, 0) + 1
+    assert {r.source: r.n_retro_contaminated for r in rows if r.n_retro_contaminated} == retro_by_source
+    for r in rows:
+        assert abs(r.retro_rate - round(r.n_retro_contaminated / r.n_kept, 6)) < 1e-9
+
+
+def test_q260_no_new_bench_means_no_retro(spark, tmp_path):
+    """A refresh whose batch carries no new eval docs cannot
+    retroactively contaminate anything (and yesterday's suite can't
+    either — kept docs were already screened against it)."""
+    # ids 0..7: mid=3; existing half {0,1,2} (0 is bench; 1-2 kept —
+    # their texts share NO 8-gram with doc 0, so yesterday's suite
+    # doesn't touch them); new half {3..7} holds NO bench id (%97==0)
+    # — the arriving suite is empty
+    rows_in = [
+        (i, " ".join(f"w{i}word{j}" for j in range(12)), "en", f"s{i % 2}", 60)
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows_in,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.toPandas().to_parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q260_refresh_retro_contam"](spark, str(tmp_path)).collect()
+    assert rows and all(r.n_retro_contaminated == 0 and r.retro_rate == 0.0 for r in rows)

@@ -1,4 +1,4 @@
-"""Round-10 capstone: incremental corpus refresh (q255–q257) — the
+"""Round-10 capstone: incremental corpus refresh (q255–q260) — the
 end-to-end "new batch arrives at a standing corpus" pipeline the
 reference exists for (reference main.py:80–114 re-runs extraction and
 inserts only unseen rows; its whole operating mode is periodic
@@ -16,7 +16,13 @@ refresh), composed ENTIRELY from verbs this engine already ships:
    capacity solve + q187's sqrt-temperature weights) and continue
    sequence packing from the carried token offset (pack_sequences'
    start_offset contract, q100) — batch-wise packing bit-identical to
-   whole-corpus packing.
+   whole-corpus packing;
+4. the refresh emits its own telemetry: the batch loss waterfall
+   (q258, the q248↔q249 pairing for ingest), the carry-state row the
+   NEXT refresh consumes (q259 — what makes refresh N+1 runnable
+   without re-scanning refresh N), and the retroactive-contamination
+   sweep the GROWN benchmark suite forces over yesterday's kept docs
+   (q260).
 
 The family exercises the cross-operator seams (shared session_cache
 relations, funnel verdict reuse, packing continuation) that were
@@ -548,4 +554,246 @@ def q257_refresh_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seq_offset"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q258 — refresh-batch loss waterfall
+# --------------------------------------------------------------------------
+@query(
+    "q258_refresh_waterfall",
+    oracle=f"""
+    WITH {_REFRESH_SQL},
+    s AS (
+        SELECT stage_idx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM radm GROUP BY stage_idx
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_batch FROM radm),
+    dim AS (SELECT CAST(unnest(generate_series(1, {_ADMIT_IDX})) AS INTEGER)
+                   AS stage_idx)
+    SELECT d.stage_idx, ({_R_STAGE_LIST_SQL})[d.stage_idx] AS stage,
+           CAST(COALESCE(s.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(s.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(n_batch
+                - SUM(CASE WHEN d.stage_idx < {_ADMIT_IDX}
+                           THEN COALESCE(s.n_docs, 0) ELSE 0 END)
+                    OVER (ORDER BY d.stage_idx) AS BIGINT) AS n_remaining,
+           ROUND(COALESCE(s.n_docs, 0) * 1.0 / n_batch, 6) AS pct_of_batch
+    FROM dim d LEFT JOIN s ON s.stage_idx = d.stage_idx CROSS JOIN tot
+    ORDER BY d.stage_idx
+    """,
+)
+def q258_refresh_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission funnel's loss waterfall — q248's report for the
+    REFRESH batch (q255 is its per-doc complement, the q248↔q249
+    pairing): per stage, docs/chars the batch lost there, the batch
+    remaining after it, and the share of arrivals — STAGE-STABLE from
+    birth (all 7 stages always present, the r9 ADVICE contract, via
+    the constant dimension exploded off the totals row). The refresh
+    run's one-glance health line: a batch suddenly bleeding at
+    dup_vs_corpus means the crawler re-fetched yesterday's web. One
+    keyed rollup of the shared admission relation to ≤ 7 rows; the
+    running remainder is a window over that CODE-CONSTANT summary
+    (GLOBAL_WINDOW_ALLOWED)."""
+    adm = _admission(spark, sf_dir)
+    s = adm.groupBy("stage_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = adm.agg(F.count(F.lit(1)).cast("long").alias("n_batch"))
+    dim = tot.select(
+        "n_batch",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, _ADMIT_IDX + 1)])
+        ).alias("stage_idx"),
+    )
+    n_docs = F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+    win = W.orderBy("stage_idx").rowsBetween(W.unboundedPreceding, 0)
+    dropped = F.sum(
+        F.when(F.col("stage_idx") < _ADMIT_IDX, n_docs).otherwise(F.lit(0))
+    ).over(win)
+    return (
+        dim.join(s, "stage_idx", "left")
+        .select(
+            "stage_idx",
+            F.element_at(
+                F.array(*[F.lit(x) for x in _R_STAGES]), F.col("stage_idx")
+            ).alias("stage"),
+            n_docs.alias("n_docs"),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+            (F.col("n_batch") - dropped).cast("long").alias("n_remaining"),
+            F.round(n_docs * F.lit(1.0) / F.col("n_batch"), 6).alias(
+                "pct_of_batch"
+            ),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# q259 — carried-state emission for the NEXT refresh
+# --------------------------------------------------------------------------
+@query(
+    "q259_refresh_carry_state",
+    oracle=f"""
+    WITH {_REFRESH_SQL},
+    k AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept_before,
+               CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS tokens_before
+        FROM rkept
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+               CAST(SUM(CASE WHEN stage_idx = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bench_held,
+               CAST(SUM(CASE WHEN stage_idx BETWEEN 2 AND 6 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_rejected,
+               CAST(SUM(CASE WHEN stage_idx = {_ADMIT_IDX} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_admitted,
+               CAST(COALESCE(SUM(CASE WHEN stage_idx = {_ADMIT_IDX}
+                                      THEN n_words ELSE 0 END), 0) AS BIGINT)
+                   AS tokens_admitted
+        FROM radm
+    )
+    SELECT n_kept_before, n_batch, n_bench_held, n_rejected, n_admitted,
+           tokens_before, tokens_admitted,
+           CAST(tokens_before + tokens_admitted AS BIGINT) AS next_start_offset,
+           CAST((tokens_before + tokens_admitted) // {_PACK_BUDGET} AS BIGINT)
+               AS n_seqs_complete,
+           CAST((tokens_before + tokens_admitted) % {_PACK_BUDGET} AS BIGINT)
+               AS boundary_fill
+    FROM k, a
+    """,
+)
+def q259_refresh_carry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bookkeeping row the NEXT refresh consumes — closing the
+    incremental loop that q257 opens: corpus counts (kept before,
+    batch, bench-held, rejected, admitted) plus the packing carry —
+    next_start_offset = tokens packed after this refresh, the ONE
+    integer pack_sequences needs to continue tomorrow bit-identically
+    (operators/packing.py's incremental contract; the run-count
+    start_slot carry is pack_token_runs-specific, packing.py:185, and
+    derivable from the same relation when that variant is used).
+    Emitting this row is what makes refresh N+1 runnable without
+    re-scanning refresh N's output. Two 1-row scalar rollups joined
+    (one BNLJ scalar attach, BNLJ_ALLOWED); all-integer output, so the
+    hash check is exact with no float convention needed."""
+    kept = _exist_kept(spark, sf_dir)
+    adm = _admission(spark, sf_dir)
+    k = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept_before"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias(
+            "tokens_before"
+        ),
+    )
+    is_adm = F.col("stage_idx") == _ADMIT_IDX
+    a = adm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum((F.col("stage_idx") == 1).cast("int")).cast("long").alias(
+            "n_bench_held"
+        ),
+        F.sum(F.col("stage_idx").between(2, 6).cast("int"))
+        .cast("long")
+        .alias("n_rejected"),
+        F.sum(is_adm.cast("int")).cast("long").alias("n_admitted"),
+        F.coalesce(F.sum(F.when(is_adm, F.col("n_words")).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("tokens_admitted"),
+    )
+    nxt = F.col("tokens_before") + F.col("tokens_admitted")
+    return k.crossJoin(F.broadcast(a)).select(
+        "n_kept_before",
+        "n_batch",
+        "n_bench_held",
+        "n_rejected",
+        "n_admitted",
+        "tokens_before",
+        "tokens_admitted",
+        nxt.cast("long").alias("next_start_offset"),
+        F.expr(
+            f"(tokens_before + tokens_admitted) div {_PACK_BUDGET}"
+        ).alias("n_seqs_complete"),
+        (nxt % F.lit(_PACK_BUDGET)).cast("long").alias("boundary_fill"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q260 — retroactive contamination from benchmark-suite growth
+# --------------------------------------------------------------------------
+@query(
+    "q260_refresh_retro_contam",
+    oracle=f"""
+    WITH {_REFRESH_SQL},
+    rbg_new AS (
+        SELECT DISTINCT unnest({_GRAMS_SQL}) AS gram
+        FROM rw, rmid WHERE is_bench AND doc_id >= m
+    ),
+    rk2 AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM rkept
+    ),
+    retro AS (
+        SELECT DISTINCT g.doc_id
+        FROM (SELECT doc_id, unnest(list_distinct({_GRAMS_SQL})) AS gram
+              FROM rk2) g
+        JOIN rbg_new USING (gram)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM retro)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retro_contaminated,
+           ROUND(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM retro)
+                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS retro_rate
+    FROM rk2
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q260_refresh_retro_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-suite GROWTH sweeps backwards: the new batch brings
+    new eval docs (its doc_id%97 slice), whose 8-grams can hit docs
+    yesterday's run already kept under the then-smaller suite — the
+    retroactive decontamination audit a standing corpus owes its evals
+    whenever the suite grows. Per source: kept docs, how many are now
+    contaminated by the NEW bench docs' grams, and the rate. Matching
+    against the new-half suite alone is EXACT, not an approximation of
+    the full-suite re-check: every kept doc already has zero grams in
+    yesterday's suite (that's why it was kept), so a full-suite hit can
+    only come from a new-bench gram — no gram set-difference needed.
+    One gram explode over the kept corpus + the bounded new-suite
+    broadcast semi-join (q93's decontam shape), then a per-source
+    rollup."""
+    kept = _exist_kept(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
+    new_bench = (
+        docs.crossJoin(F.broadcast(mid))
+        .filter((F.col("doc_id") >= F.col("m")) & (F.col("doc_id") % 97 == 0))
+        .select(F.split("text", " ").alias("w"))
+    )
+    grams = F.array_distinct(word_ngrams(F.col("w"), 8))
+    new_grams = new_bench.select(F.explode(grams).alias("gram")).distinct()
+    kw = kept.select("doc_id", "source", F.split("text", " ").alias("w"))
+    hits = (
+        kw.select("doc_id", F.explode(grams).alias("gram"))
+        .join(F.broadcast(new_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        kw.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum(F.col("__hit").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_retro_contaminated"),
+            F.round(
+                F.sum(F.col("__hit").isNotNull().cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("retro_rate"),
+        )
+        .orderBy("source")
     )
