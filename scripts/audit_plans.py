@@ -61,6 +61,11 @@ BNLJ_ALLOWED = {
     "q85_idle_rich_customers": {"scalar_aggs": 1, "filtered_batches": []},  # avg balance
     "q86_part_value_concentration": {"scalar_aggs": 1, "filtered_batches": []},  # total value
     "q90_corpus_dedup": {"scalar_aggs": 1, "filtered_batches": []},  # n_docs
+    # 1-row suite doc-count guard riding the benchmark-gram broadcast
+    # (plans/curation.bounded_bench_grams — the decontam scale
+    # contract; the refresh family's copy of the same guard sits below
+    # _admission's lazy checkpoint and is audited here instead)
+    "q93_decontam": {"scalar_aggs": 1, "filtered_batches": []},
     "q109_stream_corpus_dedup": {"scalar_aggs": 1, "filtered_batches": []},  # n_docs
     # 1-row centroid-list attach (ivf_assign), planned once per reference
     # to the assigned relation (pair left/right + final verdict join)
@@ -164,6 +169,10 @@ BNLJ_ALLOWED = {
     # 1-row split-point scalar attached lazily to select the NEW
     # half's bench docs (the q254/q257 rule — no construction job)
     "q260_refresh_retro_contam": {"scalar_aggs": 1, "filtered_batches": []},
+    # two 1-row bookkeeping rollups (kept-corpus totals × streamed
+    # batch totals) joined into the single carry-state row — the
+    # streaming twin of q259's attach
+    "q264_stream_carry_state": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

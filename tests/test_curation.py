@@ -111,3 +111,24 @@ def test_mixture_sample_capacity_and_determinism(spark, sf_dir):
         r.doc_id for r in mixture_sample(docs, weights).select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_bounded_bench_grams_guard_trips_and_passes(spark, monkeypatch):
+    """The decontam scale contract (r10 verdict item 6): the benchmark
+    gram broadcast carries an in-plan suite-size guard — over the
+    bound the QUERY fails loudly at execution; within it the grams are
+    exactly the distinct exploded set (the guard costs no rows)."""
+    import pytest
+
+    from tp_integ_data_pipeline_spark.plans import curation
+
+    bench = spark.createDataFrame(
+        [(1, ["a b", "b c"]), (2, ["b c", "c d"])], "doc_id long, g array<string>"
+    )
+    got = {
+        r.gram for r in curation.bounded_bench_grams(bench, "g").collect()
+    }
+    assert got == {"a b", "b c", "c d"}
+    monkeypatch.setattr(curation, "MAX_BENCH_SUITE_DOCS", 1)
+    with pytest.raises(Exception, match="MAX_BENCH_SUITE_DOCS"):
+        curation.bounded_bench_grams(bench, "g").collect()

@@ -254,7 +254,7 @@ def test_q260_retro_contam_semantics(spark, sf_dir):
         w = text.split(" ")
         return {
             " ".join(w[i : i + 8]) for i in range(max(len(w) - 7, 0))
-        } or ({text} if False else set())
+        }
 
     new_bench_grams = set()
     for d in docs:

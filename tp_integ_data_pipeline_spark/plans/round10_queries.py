@@ -36,8 +36,13 @@ join IS the dedup), a bounded benchmark-gram broadcast semi-join, and
 row-local gates. Reports are map-side rollups to ≤|sources| rows with
 1-row scalar attaches (BNLJ_ALLOWED); packing is the distributed
 prefix sum (no data-sized global window) plus ONE integer of carried
-state folded in as a lazy 1-row broadcast — never a driver pull at
-plan-construction time (the r9 q254 rule).
+state folded in as a lazy 1-row broadcast — the CARRIED OFFSET is
+never a driver pull at plan-construction time (the r9 q254 rule).
+global_cumsum itself runs its documented bounded driver scalar
+(min/max over the order column, packing.py:62) when the q257 plan is
+built, which materializes the session-cached admission pipeline then —
+an O(1)-result job, not a data pull, but an eager step q254 does not
+have.
 
 Oracle strategy: every admission verdict is deterministic relational
 logic, so DuckDB replays the whole refresh from a shared CTE; all
@@ -52,7 +57,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from tp_integ_data_pipeline_spark.plans.curation import word_ngrams
+from tp_integ_data_pipeline_spark.plans.curation import (
+    bounded_bench_grams,
+    word_ngrams,
+)
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.plans.round9_queries import (
     _GRAMS_SQL,
@@ -211,11 +219,11 @@ def refresh_admission_verdicts(docs: DataFrame, kept: DataFrame) -> DataFrame:
         F.split("text", " ").alias("w"),
         (F.col("doc_id") % 97 == 0).alias("is_bench"),
     )
-    bench_grams = (
-        full.filter("is_bench")
-        .select(F.explode(grams_of()).alias("gram"))
-        .distinct()
-    )
+    # suite-size contract enforced in-plan (bounded_bench_grams' guard
+    # — note it sits BELOW _admission's lazy checkpoint, so the plan
+    # audit sees it on q93's uncheckpointed plan instead; documented
+    # at scripts/audit_plans.py BNLJ_ALLOWED["q93_decontam"])
+    bench_grams = bounded_bench_grams(full.filter("is_bench"), grams_of())
     new = based.filter(F.col("doc_id") >= F.col("m")).drop("m")
     base = new.select(
         "doc_id",
@@ -525,11 +533,14 @@ def q257_refresh_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised end-to-end: the first admitted doc lands mid-sequence
     wherever yesterday's corpus stopped, and batch-wise packing is
     bit-identical to packing the whole corpus at once (the continuation
-    property test). The carried offset is folded into the LAZY plan as
-    a 1-row broadcast scalar (BNLJ_ALLOWED — the r9 q254 rule: no
-    driver pull at plan-construction time), added onto the distributed
-    prefix sum (global_cumsum — the only partition-less window runs
-    over its ≤n_buckets offset table, GLOBAL_WINDOW_ALLOWED). The
+    property test). The carried offset is folded into the plan as a
+    1-row broadcast scalar (BNLJ_ALLOWED — the r9 q254 rule: the
+    OFFSET costs no driver pull at plan-construction time). Note the
+    lazy claim is scoped to that offset: global_cumsum runs its
+    documented bounded min/max driver scalar (packing.py:62) at plan
+    build, eagerly materializing the session-cached admission input —
+    its only partition-less window then runs over the ≤n_buckets
+    offset table (GLOBAL_WINDOW_ALLOWED). The
     oracle replays the layout from a naive global window, proving the
     decomposition exact row-for-row (the q100/q107 discipline)."""
     from tp_integ_data_pipeline_spark.operators.packing import global_cumsum

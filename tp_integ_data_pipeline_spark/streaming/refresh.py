@@ -1,0 +1,336 @@
+"""Streaming corpus refresh: q255's admission funnel driven through
+the T1 micro-batch path (streaming/ingest.py's foreachBatch loop), so
+the round-10 refresh capstone's batch and streaming answers are proven
+EQUAL — the q232 discipline (streaming session windows vs batch q63)
+applied to the engine's own flagship composition.
+
+The reference's operating mode is a periodic re-run (main.py:80-114
+re-fetches and inserts only unseen rows); the batch capstone
+(plans/round10_queries.q255-q260) expresses one refresh as ONE lazy
+plan. This module is the third form: the arriving half lands as K
+doc_id-ordered micro-batches (file source, mtime-ordered,
+maxFilesPerTrigger=1 — the q232 staging recipe) and each batch passes
+the SAME admission funnel with the cross-batch state threaded through
+the loop:
+
+1. seen-texts state — the exact-text analog of NearDupIndex.add
+   (q109's ingest path maintains a MinHash index; q255's funnel is
+   exact-text, so the ingest-time index is simply the distinct texts
+   that already arrived). A doc whose text appeared in an EARLIER
+   micro-batch is dup_in_batch, exactly as the one-shot window's
+   rn > 1 says it must be; within a micro-batch the same window rule
+   applies locally. doc_id-ordered batches make the two views agree.
+2. the standing kept corpus — static for the whole refresh (in
+   production: the lake table), probed per batch with the one
+   irreducible text-keyed equi-join.
+3. the benchmark-gram set — fixed when the refresh begins (the suite
+   for refresh N is published before admission starts; old + new
+   bench docs are both in the arrival manifest), broadcast per batch.
+4. the packing offset — ONE integer carried batch to batch
+   (operators/packing.py's incremental contract): each batch packs
+   its admitted docs continuing from the running total, so the
+   streamed layout is bit-identical to one-shot q257.
+
+Parity argument: stage flags are row-local or joins against state
+that, at each doc's batch, equals exactly "everything with a smaller
+doc_id" (seen texts) or "the standing corpus" (static) — the same
+predicates the one-shot plan evaluates. Packing order = (batch asc,
+doc_id asc) = global doc_id order. Hence every output row matches the
+batch capstone's, and q261-q264's oracles are the SAME DuckDB refresh
+CTE the batch family grades against.
+
+Driver-side state is bounded and documented: the token offset (one
+integer), the per-batch admitted-token sum (one scalar per batch),
+and the seen-texts relation (eagerly checkpointed per batch — bounded
+by the arriving batch, never the corpus). foreachBatch is the
+imperative seam of Structured Streaming; these scalars are the same
+kind dedup_ingest_batch's stats counters already are.
+
+Scale shape at 100 TB: per micro-batch cost is (batch-sized window) +
+(batch x kept equi-join, shuffle bounded by batch side after the
+kept side is storage-backed) + (bounded gram broadcast) — nothing
+corpus-quadratic; the staging global row_number is TEST HARNESS only
+(real deployments' batches arrive pre-split; the splitter exists so
+DuckDB can replay the batch assignment deterministically).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.plans.curation import (
+    bounded_bench_grams,
+    word_ngrams,
+)
+from tp_integ_data_pipeline_spark.sources.fixtures import scratch_dir
+
+# staged arrival dirs are pure functions of (fixture dir, K) — reuse
+# across queries in-process (the q232 staging-cache pattern)
+_ARRIVAL_STAGING_CACHE: dict[tuple[str, int], str] = {}
+
+
+def split_arrival(arriving: DataFrame, n_batches: int, order_col: str = "doc_id") -> DataFrame:
+    """Adds ``batch_id`` (1..n_batches) by the contiguous equal-count
+    split batch = ((rn-1)*K) div n + 1 over ascending ``order_col`` —
+    an explicit formula (not ntile) so DuckDB replays the assignment
+    with the identical expression. Staging-only global window: this
+    runs once, on the arrival manifest, to fabricate the batch
+    boundaries a real deployment gets for free."""
+    rn = F.row_number().over(W.orderBy(order_col))
+    n = arriving.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        arriving.withColumn("_rn", rn)
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "batch_id",
+            F.expr(f"(_rn - 1) * {n_batches} div _n").cast("int") + F.lit(1),
+        )
+        .drop("_rn", "_n")
+    )
+
+
+def stage_arrival(
+    spark: SparkSession,
+    arriving: DataFrame,
+    n_batches: int,
+    cache_key: str | None = None,
+) -> str:
+    """Writes each batch_id slice of ``arriving`` (already split) to
+    its own TOP-LEVEL parquet file with strictly ascending mtimes, so
+    a maxFilesPerTrigger=1 file stream delivers the batches in order
+    (the q232 gotchas baked in: part files promoted out of Spark write
+    directories; distinct mtimes because the source does not order
+    equal-mtime files). Returns the staging dir."""
+    key = (cache_key, n_batches)
+    if cache_key is not None and key in _ARRIVAL_STAGING_CACHE:
+        return _ARRIVAL_STAGING_CACHE[key]
+    staging = scratch_dir(prefix="refresh_arrival_")
+    now = time.time()
+    arriving = arriving.localCheckpoint(eager=False)
+    for b in range(1, n_batches + 1):
+        tmp = scratch_dir(prefix=f"refresh_b{b}_")
+        part_df = arriving.filter(F.col("batch_id") == b).coalesce(1)
+        part_df.write.mode("overwrite").parquet(tmp)
+        parts = glob.glob(os.path.join(tmp, "*.parquet"))
+        if not parts:  # empty batch (arrival smaller than K): skip file
+            continue
+        dst = os.path.join(staging, f"batch{b:04d}.parquet")
+        shutil.move(parts[0], dst)
+        os.utime(dst, (now - 100 + b, now - 100 + b))
+    if cache_key is not None:
+        _ARRIVAL_STAGING_CACHE[key] = staging
+    return staging
+
+
+def stream_refresh_admission(
+    spark: SparkSession,
+    docs: DataFrame,
+    kept: DataFrame,
+    n_batches: int = 4,
+    min_words: int = 10,
+    pack_budget: int = 512,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Runs the arriving half of ``docs`` (doc_id >= max div 2, the
+    q103/q254 split convention) through the streaming admission loop
+    and returns the per-doc streamed refresh relation:
+
+    (doc_id, source, n_words, is_bench, dup_batch, dup_corpus,
+     too_short, low_quality, contaminated, stage_idx, batch_id,
+     n_tokens, seq_id, seq_offset)
+
+    where the packing triple is non-null exactly for admitted docs and
+    continues from the standing corpus' token total (``kept`` must be
+    existing_kept's shape: doc_id, source, n_words, text). The result
+    is read back from the drain's parquet sink — callers see a plain
+    batch DataFrame whose rows were produced one micro-batch at a
+    time. See the module docstring for the batch-parity argument."""
+    mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
+    arriving = (
+        docs.crossJoin(F.broadcast(mid))
+        .filter(F.col("doc_id") >= F.col("m"))
+        .drop("m")
+        .select("doc_id", "source", "text")
+    )
+    staging = stage_arrival(
+        spark, split_arrival(arriving, n_batches), n_batches, cache_key
+    )
+
+    # refresh-level inputs, materialized ONCE before the loop: the
+    # standing kept corpus (in production a lake table — the eager
+    # checkpoint stands in for storage-backed state) and the benchmark
+    # gram set (fixed when the refresh begins; q93's 8-gram rule over
+    # old + new bench docs). Both are per-refresh state, not per-batch.
+    grams_of = lambda: F.array_distinct(word_ngrams(F.col("w"), 8))  # noqa: E731
+    bench_grams = bounded_bench_grams(
+        docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.split("text", " ").alias("w")
+        ),
+        grams_of(),
+    ).localCheckpoint(eager=True)
+    kept_texts = kept.select("text").localCheckpoint(eager=True)
+    tokens_before = int(
+        kept.agg(F.coalesce(F.sum("n_words"), F.lit(0))).first()[0]
+    )
+
+    sink = scratch_dir(prefix="refresh_sink_")
+    ckpt = scratch_dir(prefix="refresh_ckpt_")
+    # one-column empty seen-texts state; replaced (eagerly
+    # checkpointed) after every batch
+    state: dict = {
+        "seen": spark.createDataFrame([], "text string"),
+        "offset": tokens_before,
+    }
+
+    def admit_batch(bdf: DataFrame, epoch_id: int) -> None:
+        is_bench = F.col("doc_id") % 97 == 0
+        base = bdf.select(
+            "doc_id",
+            "source",
+            "batch_id",
+            F.split("text", " ").alias("w"),
+            F.col("text"),
+            is_bench.alias("is_bench"),
+        )
+        nb = base.filter(~F.col("is_bench"))
+        # contamination: distinct grams -> bounded broadcast semi-join
+        hits = (
+            nb.select("doc_id", F.explode(grams_of()).alias("gram"))
+            .join(F.broadcast(bench_grams), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        n_words = F.size("w")
+        sum_len = F.aggregate(
+            F.transform("w", lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        mean_wl = sum_len * F.lit(1.0) / n_words
+        distinct_ratio = F.size(F.array_distinct("w")) * F.lit(1.0) / n_words
+        seen = state["seen"].withColumn("__seen", F.lit(1))
+        ck = kept_texts.withColumn("__ck", F.lit(1))
+        # dup_batch = earlier doc_id with the same text — an earlier
+        # micro-batch (seen state) or an earlier row of THIS batch (the
+        # same keep-first window q255 uses, scoped to the micro-batch)
+        verd = (
+            nb.withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("text").orderBy("doc_id")),
+            )
+            .join(hits, "doc_id", "left")
+            .join(seen, "text", "left")
+            .join(ck, "text", "left")
+            .select(
+                "doc_id",
+                "source",
+                "batch_id",
+                n_words.alias("n_words"),
+                F.lit(False).alias("is_bench"),
+                ((F.col("rn") > 1) | F.col("__seen").isNotNull()).alias(
+                    "dup_batch"
+                ),
+                F.col("__ck").isNotNull().alias("dup_corpus"),
+                (n_words < min_words).alias("too_short"),
+                (~(mean_wl.between(3.0, 10.0) & (distinct_ratio >= 0.3))).alias(
+                    "low_quality"
+                ),
+                F.col("__hit").isNotNull().alias("contaminated"),
+            )
+        )
+        bench_rows = base.filter("is_bench").select(
+            "doc_id",
+            "source",
+            "batch_id",
+            n_words.alias("n_words"),
+            F.lit(True).alias("is_bench"),
+            *[
+                F.lit(False).alias(c)
+                for c in (
+                    "dup_batch",
+                    "dup_corpus",
+                    "too_short",
+                    "low_quality",
+                    "contaminated",
+                )
+            ],
+        )
+        stage_idx = (
+            F.when(F.col("is_bench"), 1)
+            .when(F.col("dup_batch"), 2)
+            .when(F.col("dup_corpus"), 3)
+            .when(F.col("too_short"), 4)
+            .when(F.col("low_quality"), 5)
+            .when(F.col("contaminated"), 6)
+            .otherwise(7)
+        )
+        all_rows = verd.unionByName(bench_rows).withColumn(
+            "stage_idx", stage_idx.cast("int")
+        )
+        # packing continuation: admitted tokens BEFORE this row within
+        # the batch (micro-batch-bounded unkeyed window — bounded by
+        # the trigger size, never the corpus) + the carried offset
+        admitted = F.col("stage_idx") == 7
+        cum_w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+        cum_before = F.coalesce(
+            F.sum(F.when(admitted, F.col("n_words")).otherwise(0)).over(cum_w),
+            F.lit(0),
+        ).cast("long")
+        off = F.lit(state["offset"]).cast("long")
+        out = all_rows.select(
+            "*",
+            F.when(admitted, F.col("n_words").cast("long")).alias("n_tokens"),
+            F.when(admitted, (off + cum_before)).alias("_pos"),
+        ).select(
+            "doc_id",
+            "source",
+            "n_words",
+            "is_bench",
+            "dup_batch",
+            "dup_corpus",
+            "too_short",
+            "low_quality",
+            "contaminated",
+            "stage_idx",
+            "batch_id",
+            "n_tokens",
+            F.expr(f"_pos div {pack_budget}").alias("seq_id"),
+            (F.col("_pos") % pack_budget).cast("long").alias("seq_offset"),
+        )
+        # the batch DataFrame is only valid inside this call — pin the
+        # results before they leave it
+        out = out.localCheckpoint(eager=True)
+        out.write.mode("append").parquet(sink)
+        state["offset"] += int(
+            out.agg(
+                F.coalesce(F.sum(F.when(admitted, F.col("n_words"))), F.lit(0))
+            ).first()[0]
+        )
+        new_texts = nb.select("text").distinct().localCheckpoint(eager=True)
+        state["seen"] = (
+            state["seen"].unionByName(new_texts).distinct().localCheckpoint(
+                eager=True
+            )
+        )
+
+    raw = spark.read.parquet(staging)
+    q = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .writeStream.foreachBatch(admit_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
