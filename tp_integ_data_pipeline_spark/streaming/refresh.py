@@ -314,11 +314,14 @@ def stream_refresh_admission(
                 F.coalesce(F.sum(F.when(admitted, F.col("n_words"))), F.lit(0))
             ).first()[0]
         )
-        new_texts = nb.select("text").distinct().localCheckpoint(eager=True)
+        # one eager checkpoint per batch: the union references nb (only
+        # valid inside this call), so materializing the merged state
+        # here both pins it and dedups in a single job
         state["seen"] = (
-            state["seen"].unionByName(new_texts).distinct().localCheckpoint(
-                eager=True
-            )
+            state["seen"]
+            .unionByName(nb.select("text"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
 
     raw = spark.read.parquet(staging)
