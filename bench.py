@@ -766,7 +766,34 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE") == "1":
         payload["scale_probe"] = scale_probe(spark, sf_dir)
-    print(json.dumps(payload))
+
+    # The driver records only the LAST 2000 characters of stdout and
+    # json-parses that tail; with 60+ per-query timings the full line
+    # exceeds the window and rounds 6-10 recorded `parsed: null`. So:
+    # the FULL payload (every timing + probes) goes to a file next to
+    # this script — the canonical BASELINE.md table is built from it —
+    # and the PRINTED line keeps the same schema but trims `queries` to
+    # the slowest entries that fit, with n_queries/n_queries_shown
+    # making the trim explicit. `value` is always the full-suite total.
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_last.json"
+        ),
+        "w",
+    ) as fh:
+        json.dump(payload, fh, indent=1)
+    line = {k: v for k, v in payload.items() if k != "scale_probe"}
+    line["n_queries"] = len(timings)
+    line["full_table"] = "BENCH_FULL_last.json"
+    shown = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
+    while True:
+        line["queries"] = shown
+        line["n_queries_shown"] = len(shown)
+        out = json.dumps(line)
+        if len(out) <= 1900 or not shown:
+            break
+        shown.pop(next(reversed(shown)))
+    print(out)
 
 
 if __name__ == "__main__":
