@@ -146,6 +146,35 @@ def test_synthetic_packing_continues_from_kept_offset(spark):
     assert all(r.seq_id is None and r.seq_offset is None for r in rejected)
 
 
+def test_arrival_smaller_than_batch_count_skips_empty_batches(spark):
+    """n=2 arriving docs with K=4: the split formula assigns batches 1
+    and 3, stage_arrival skips the two EMPTY slices (no file written),
+    and the drain still yields the right verdicts and a packing layout
+    that starts at the empty-corpus offset 0 and continues across the
+    missing trigger — the empty-batch path must not shift state."""
+    clean = "alpha bravo chars delta echos foxtr golfs hotel india julie kilos limas"
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "standing " + clean),
+            (100, "s1", clean + " one"),
+            (104, "s2", clean + " two"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    kept = spark.createDataFrame(
+        [], "doc_id long, source string, n_words int, text string"
+    )
+    rows = sorted(
+        stream_refresh_admission(spark, docs, kept, n_batches=4).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.doc_id for r in rows] == [100, 104]
+    assert [r.batch_id for r in rows] == [1, 3]
+    assert [r.stage_idx for r in rows] == [7, 7]
+    assert (rows[0].seq_id, rows[0].seq_offset) == (0, 0)
+    assert (rows[1].seq_id, rows[1].seq_offset) == (0, 13)
+
+
 def test_split_arrival_formula_and_coverage(spark):
     """The batch splitter is the exact ((rn-1)*K) div n + 1 formula the
     DuckDB oracles replay: contiguous, exhaustive, 1..K."""
