@@ -61,11 +61,9 @@ BNLJ_ALLOWED = {
     "q85_idle_rich_customers": {"scalar_aggs": 1, "filtered_batches": []},  # avg balance
     "q86_part_value_concentration": {"scalar_aggs": 1, "filtered_batches": []},  # total value
     "q90_corpus_dedup": {"scalar_aggs": 1, "filtered_batches": []},  # n_docs
-    # 1-row suite doc-count guard riding the benchmark-gram broadcast
-    # (plans/curation.bounded_bench_grams — the decontam scale
-    # contract; the refresh family's copy of the same guard sits below
-    # _admission's lazy checkpoint and is audited here instead)
-    "q93_decontam": {"scalar_aggs": 1, "filtered_batches": []},
+    # (q93's suite doc-count guard no longer BNLJs: since round 11,
+    # plans/curation.bounded_bench_grams evaluates the bound via a
+    # union-row over the gram relation — no crossJoin in the plan)
     "q109_stream_corpus_dedup": {"scalar_aggs": 1, "filtered_batches": []},  # n_docs
     # 1-row centroid-list attach (ivf_assign), planned once per reference
     # to the assigned relation (pair left/right + final verdict join)

@@ -132,3 +132,27 @@ def test_bounded_bench_grams_guard_trips_and_passes(spark, monkeypatch):
     monkeypatch.setattr(curation, "MAX_BENCH_SUITE_DOCS", 1)
     with pytest.raises(Exception, match="MAX_BENCH_SUITE_DOCS"):
         curation.bounded_bench_grams(bench, "g").collect()
+
+
+def test_bounded_bench_grams_guard_fires_on_empty_gram_set(spark, monkeypatch):
+    """The guard must fire even when the suite yields ZERO grams (every
+    doc shorter than the gram width): the earlier crossJoin form rode
+    the guard on the gram rows, so an oversized-but-gramless suite
+    produced an empty join and the assert never ran — the exact silent
+    degradation the contract forbids. The union-row form evaluates the
+    count unconditionally."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.plans import curation
+
+    gramless = spark.createDataFrame(
+        [(1, "one two"), (2, "three four"), (3, "five six")],
+        "doc_id long, text string",
+    )
+    grams8 = curation.word_ngrams(F.split("text", " "), 8)
+    assert curation.bounded_bench_grams(gramless, grams8).count() == 0
+    monkeypatch.setattr(curation, "MAX_BENCH_SUITE_DOCS", 2)
+    with pytest.raises(Exception, match="MAX_BENCH_SUITE_DOCS"):
+        curation.bounded_bench_grams(gramless, grams8).collect()

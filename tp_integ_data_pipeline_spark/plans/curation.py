@@ -43,38 +43,52 @@ def _words(text_col: str = "text") -> F.Column:
 # eval battery, still ~10⁴× smaller than a 100 TB corpus.
 MAX_BENCH_SUITE_DOCS = 1_000_000
 
+# Admission-funnel thresholds shared by the batch funnels (round9's
+# funnel_verdicts, round10's refresh family) and the streaming refresh
+# (streaming/refresh.py) — ONE definition, so the proven batch ==
+# streaming parity cannot silently desync if a threshold is ever
+# retuned. The DuckDB oracles interpolate the SAME constants into
+# their SQL, so both engines move together by construction.
+MIN_WORDS = 10  # docs below this word count are too_short
+MEAN_WORDLEN_LO = 3.0  # quality gate: mean word length band
+MEAN_WORDLEN_HI = 10.0
+MIN_DISTINCT_RATIO = 0.3  # quality gate: distinct-word ratio floor
+PACK_BUDGET = 512  # tokens per training sequence (q100 convention)
+
 
 def bounded_bench_grams(bench_docs: DataFrame, grams_col) -> DataFrame:
     """Distinct benchmark grams (one ``gram`` column) with the
     suite-size contract ENFORCED IN THE PLAN: a 1-row suite doc-count
-    rides the gram relation as a lazy broadcast scalar (BNLJ_ALLOWED
-    shape — no job at plan-construction time) and ``assert_true``
-    aborts execution if the suite exceeds MAX_BENCH_SUITE_DOCS, so the
-    broadcast can never silently become corpus-proportional. The guard
-    lives in a FILTER (not a pruned-away projection) so Catalyst
-    cannot optimize it out. ``grams_col`` is the per-doc gram-array
-    column or expression."""
+    aggregate (Keys:[] — ≤1 row at any scale, no job at
+    plan-construction time) is UNIONED into the gram relation as a
+    null-gram row whose projection asserts the bound, then filtered
+    back out. The assert therefore executes on every evaluation of the
+    gram relation INCLUDING when the gram set itself is empty (every
+    suite doc shorter than the gram width) — the crossJoin form this
+    replaces produced zero joined rows in that case and never
+    evaluated its guard. The guard expression PRODUCES the ``gram``
+    column the filter consumes, so Catalyst cannot prune it.
+    ``grams_col`` is the per-doc gram-array column or expression."""
     g = F.col(grams_col) if isinstance(grams_col, str) else grams_col
-    n = bench_docs.agg(F.count(F.lit(1)).alias("__n_bench"))
     grams = bench_docs.select(
         F.explode(F.array_distinct(g)).alias("gram")
     ).distinct()
-    guard = F.assert_true(
-        F.col("__n_bench") <= MAX_BENCH_SUITE_DOCS,
-        F.concat(
-            F.lit("benchmark suite exceeds MAX_BENCH_SUITE_DOCS: "),
-            F.col("__n_bench").cast("string"),
-            F.lit(
-                " docs — the decontamination broadcast would be"
-                " corpus-proportional (plans/curation.py contract)"
+    guard_row = bench_docs.agg(F.count(F.lit(1)).alias("__n_bench")).select(
+        F.assert_true(
+            F.col("__n_bench") <= MAX_BENCH_SUITE_DOCS,
+            F.concat(
+                F.lit("benchmark suite exceeds MAX_BENCH_SUITE_DOCS: "),
+                F.col("__n_bench").cast("string"),
+                F.lit(
+                    " docs — the decontamination broadcast would be"
+                    " corpus-proportional (plans/curation.py contract)"
+                ),
             ),
-        ),
+        )
+        .cast("string")
+        .alias("gram")
     )
-    return (
-        grams.crossJoin(F.broadcast(n))
-        .filter(guard.isNull())
-        .drop("__n_bench")
-    )
+    return grams.unionByName(guard_row).filter(F.col("gram").isNotNull())
 
 
 def word_ngrams(words_col, n: int) -> F.Column:

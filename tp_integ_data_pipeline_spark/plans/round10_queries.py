@@ -58,6 +58,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tp_integ_data_pipeline_spark.plans.curation import (
+    MEAN_WORDLEN_HI,
+    MEAN_WORDLEN_LO,
+    MIN_DISTINCT_RATIO,
+    PACK_BUDGET,
     bounded_bench_grams,
     word_ngrams,
 )
@@ -80,15 +84,16 @@ _R_STAGES = [
     "admitted",
 ]
 _ADMIT_IDX = 7  # stage_idx of admitted new-batch docs; 1..6 drop
-_PACK_BUDGET = 512  # tokens per training sequence (q100 convention)
+# threshold constants live in plans/curation.py (parity contract)
+_PACK_BUDGET = PACK_BUDGET
 
 _R_STAGE_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in _R_STAGES) + "]"
 
 # Quality clause shared with the funnel family (q94's band rules) —
 # kept textually identical to round9_queries._FUNNEL_SQL's.
-_QUALITY_OK_SQL = """((list_sum(list_transform({w}, x -> len(x))) * 1.0 / len({w}))
-                        BETWEEN 3.0 AND 10.0
-                    AND (len(list_distinct({w})) * 1.0 / len({w})) >= 0.3)"""
+_QUALITY_OK_SQL = f"""((list_sum(list_transform({{w}}, x -> len(x))) * 1.0 / len({{w}}))
+                        BETWEEN {MEAN_WORDLEN_LO} AND {MEAN_WORDLEN_HI}
+                    AND (len(list_distinct({{w}})) * 1.0 / len({{w}})) >= {MIN_DISTINCT_RATIO})"""
 
 # Shared DuckDB CTE: the existing-kept corpus + the new-batch admission
 # relation. Mirrors _exist_kept() / _admission() column for column;
@@ -270,7 +275,10 @@ def refresh_admission_verdicts(docs: DataFrame, kept: DataFrame) -> DataFrame:
             F.col("__ck").isNotNull().alias("dup_corpus"),
             (n_words < _MIN_WORDS).alias("too_short"),
             (
-                ~(mean_wl.between(3.0, 10.0) & (distinct_ratio >= 0.3))
+                ~(
+                    mean_wl.between(MEAN_WORDLEN_LO, MEAN_WORDLEN_HI)
+                    & (distinct_ratio >= MIN_DISTINCT_RATIO)
+                )
             ).alias("low_quality"),
             F.col("__hit").isNotNull().alias("contaminated"),
         )

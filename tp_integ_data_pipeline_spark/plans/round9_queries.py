@@ -47,7 +47,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from tp_integ_data_pipeline_spark.plans.curation import word_ngrams
+from tp_integ_data_pipeline_spark.plans.curation import (
+    MEAN_WORDLEN_HI,
+    MEAN_WORDLEN_LO,
+    MIN_DISTINCT_RATIO,
+    MIN_WORDS,
+    word_ngrams,
+)
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.sources.fixtures import load_table
 
@@ -60,7 +66,9 @@ _STAGES = [
     "kept",
 ]
 _KEPT_IDX = 6  # stage_idx of survivors; 1..5 are drop stages
-_MIN_WORDS = 10
+# threshold constants live in plans/curation.py, shared with the
+# round-10 refresh family and the streaming refresh (parity contract)
+_MIN_WORDS = MIN_WORDS
 _THRESHOLDS = [5, 10, 20, 40, 80]
 
 _STAGE_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in _STAGES) + "]"
@@ -95,8 +103,8 @@ _FUNNEL_SQL = f"""
                    AS is_dup,
                len(f.w) < {_MIN_WORDS} AS too_short,
                NOT ((list_sum(list_transform(f.w, x -> len(x))) * 1.0 / len(f.w))
-                        BETWEEN 3.0 AND 10.0
-                    AND (len(list_distinct(f.w)) * 1.0 / len(f.w)) >= 0.3)
+                        BETWEEN {MEAN_WORDLEN_LO} AND {MEAN_WORDLEN_HI}
+                    AND (len(list_distinct(f.w)) * 1.0 / len(f.w)) >= {MIN_DISTINCT_RATIO})
                    AS low_quality,
                (f.doc_id IN (SELECT doc_id FROM fhits)) AS contaminated
         FROM fw f WHERE NOT f.is_bench
@@ -187,7 +195,10 @@ def funnel_verdicts(docs: DataFrame) -> DataFrame:
             (F.col("rn") > 1).alias("is_dup"),
             (n_words < _MIN_WORDS).alias("too_short"),
             (
-                ~(mean_wl.between(3.0, 10.0) & (distinct_ratio >= 0.3))
+                ~(
+                    mean_wl.between(MEAN_WORDLEN_LO, MEAN_WORDLEN_HI)
+                    & (distinct_ratio >= MIN_DISTINCT_RATIO)
+                )
             ).alias("low_quality"),
             F.col("__hit").isNotNull().alias("contaminated"),
         )

@@ -66,13 +66,21 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tp_integ_data_pipeline_spark.plans.curation import (
+    MEAN_WORDLEN_HI,
+    MEAN_WORDLEN_LO,
+    MIN_DISTINCT_RATIO,
+    MIN_WORDS,
+    PACK_BUDGET,
     bounded_bench_grams,
     word_ngrams,
 )
 from tp_integ_data_pipeline_spark.sources.fixtures import scratch_dir
 
-# staged arrival dirs are pure functions of (fixture dir, K) — reuse
-# across queries in-process (the q232 staging-cache pattern)
+# Staged arrival dirs reused across queries in-process (the q232
+# staging-cache pattern). CONTRACT: a cache_key must fully determine
+# the staged CONTENT — callers key by the fixture dir, whose `arriving`
+# derivation is fixed (the doc_id >= max div 2 split); a caller staging
+# a DIFFERENT relation must use a different key (or None to bypass).
 _ARRIVAL_STAGING_CACHE: dict[tuple[str, int], str] = {}
 
 
@@ -97,7 +105,6 @@ def split_arrival(arriving: DataFrame, n_batches: int, order_col: str = "doc_id"
 
 
 def stage_arrival(
-    spark: SparkSession,
     arriving: DataFrame,
     n_batches: int,
     cache_key: str | None = None,
@@ -134,8 +141,8 @@ def stream_refresh_admission(
     docs: DataFrame,
     kept: DataFrame,
     n_batches: int = 4,
-    min_words: int = 10,
-    pack_budget: int = 512,
+    min_words: int = MIN_WORDS,
+    pack_budget: int = PACK_BUDGET,
     cache_key: str | None = None,
 ) -> DataFrame:
     """Runs the arriving half of ``docs`` (doc_id >= max div 2, the
@@ -160,7 +167,7 @@ def stream_refresh_admission(
         .select("doc_id", "source", "text")
     )
     staging = stage_arrival(
-        spark, split_arrival(arriving, n_batches), n_batches, cache_key
+        split_arrival(arriving, n_batches), n_batches, cache_key
     )
 
     # refresh-level inputs, materialized ONCE before the loop: the
@@ -187,9 +194,19 @@ def stream_refresh_admission(
     state: dict = {
         "seen": spark.createDataFrame([], "text string"),
         "offset": tokens_before,
+        "last_epoch": -1,
     }
 
     def admit_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: a trigger that fails after its
+        # side effects can be REPLAYED with the same epoch_id. Output
+        # is idempotent (each epoch overwrites its own partition below)
+        # and driver state commits atomically at the end of the batch,
+        # guarded here — a replay of a committed epoch is a no-op, and
+        # a replay of an uncommitted one recomputes from unchanged
+        # state, so the offset never double-counts.
+        if epoch_id <= state["last_epoch"]:
+            return
         is_bench = F.col("doc_id") % 97 == 0
         base = bdf.select(
             "doc_id",
@@ -240,9 +257,12 @@ def stream_refresh_admission(
                 ),
                 F.col("__ck").isNotNull().alias("dup_corpus"),
                 (n_words < min_words).alias("too_short"),
-                (~(mean_wl.between(3.0, 10.0) & (distinct_ratio >= 0.3))).alias(
-                    "low_quality"
-                ),
+                (
+                    ~(
+                        mean_wl.between(MEAN_WORDLEN_LO, MEAN_WORDLEN_HI)
+                        & (distinct_ratio >= MIN_DISTINCT_RATIO)
+                    )
+                ).alias("low_quality"),
                 F.col("__hit").isNotNull().alias("contaminated"),
             )
         )
@@ -308,8 +328,7 @@ def stream_refresh_admission(
         # the batch DataFrame is only valid inside this call — pin the
         # results before they leave it
         out = out.localCheckpoint(eager=True)
-        out.write.mode("append").parquet(sink)
-        state["offset"] += int(
+        batch_tokens = int(
             out.agg(
                 F.coalesce(F.sum(F.when(admitted, F.col("n_words"))), F.lit(0))
             ).first()[0]
@@ -317,12 +336,19 @@ def stream_refresh_admission(
         # one eager checkpoint per batch: the union references nb (only
         # valid inside this call), so materializing the merged state
         # here both pins it and dedups in a single job
-        state["seen"] = (
+        new_seen = (
             state["seen"]
             .unionByName(nb.select("text"))
             .distinct()
             .localCheckpoint(eager=True)
         )
+        out.write.mode("overwrite").parquet(
+            os.path.join(sink, f"epoch={int(epoch_id)}")
+        )
+        # everything fallible is done — commit the epoch's state
+        state["offset"] += batch_tokens
+        state["seen"] = new_seen
+        state["last_epoch"] = epoch_id
 
     raw = spark.read.parquet(staging)
     q = (
@@ -336,4 +362,6 @@ def stream_refresh_admission(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    # epoch=N partition dirs exist only for write idempotency — drop
+    # the discovered partition column so callers see the batch schema
+    return spark.read.parquet(sink).drop("epoch")
