@@ -146,6 +146,57 @@ def test_synthetic_packing_continues_from_kept_offset(spark):
     assert all(r.seq_id is None and r.seq_offset is None for r in rejected)
 
 
+def test_replayed_micro_batches_are_idempotent(spark, monkeypatch):
+    """foreachBatch is at-least-once: Structured Streaming may redeliver
+    a micro-batch with the same epoch_id. Simulate the worst case —
+    EVERY batch delivered twice — by wrapping the function handed to
+    foreachBatch, and require the drain to produce exactly the
+    single-delivery answer: no duplicated sink rows, no double-counted
+    packing offset (the per-epoch overwrite partitions + the
+    last-committed-epoch state guard in admit_batch)."""
+    from pyspark.sql.streaming import DataStreamWriter
+
+    clean = "alpha bravo chars delta echos foxtr golfs hotel india julie kilos limas"
+    def corpus():
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", "standing " + clean),
+                (100, "s1", clean + " one"),
+                (104, "s2", clean + " two"),
+                (108, "s1", clean + " three"),
+                (112, "s2", clean + " four"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        kept = spark.createDataFrame(
+            [(50, "s1", 500, "another kept doc")],
+            "doc_id long, source string, n_words int, text string",
+        )
+        return docs, kept
+
+    docs, kept = corpus()
+    reference = sorted(
+        stream_refresh_admission(spark, docs, kept, n_batches=4).collect()
+    )
+
+    orig = DataStreamWriter.foreachBatch
+
+    def redelivering(self, fn):
+        def wrapper(bdf, epoch_id):
+            fn(bdf, epoch_id)
+            fn(bdf, epoch_id)  # at-least-once redelivery, same epoch
+
+        return orig(self, wrapper)
+
+    monkeypatch.setattr(DataStreamWriter, "foreachBatch", redelivering)
+    docs, kept = corpus()
+    replayed = sorted(
+        stream_refresh_admission(spark, docs, kept, n_batches=4).collect()
+    )
+    assert replayed == reference
+    assert len(replayed) == 4
+
+
 def test_arrival_smaller_than_batch_count_skips_empty_batches(spark):
     """n=2 arriving docs with K=4: the split formula assigns batches 1
     and 3, stage_arrival skips the two EMPTY slices (no file written),
