@@ -47,17 +47,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # r6 (11 r6 keys remain: q89 q90 q91 q92–q99) — round 12 fronts those
 # and the floor becomes r7. Expected r11 no_oracle keys: q174 only.
 # ROUND-12 front plan (exactly 50, checkable against the
-# CORRECTNESS_r01–r11 newest-grade matrix): the 4 round-11 newcomers
-# q261–q264 (streaming corpus refresh, never driver-graded —
-# newcomers outrank stale keys) + the 11 remaining r6 keys (q89 q90
-# q91 q92 q93 q94 q95 q96 q97 q98 q99) + the 35 OLDEST of the 50-key
-# r7 cohort in ascending key order (q06 q07 q08 q09 q10 q11 q12 q127
-# q13 q14 q15 q153 q16 q17 q170 q175 q176 q18 q180 q181 q182 q19 q20
-# q21 q22 q30 q31 q32 q33 q34 q35 q40 q41 q44 q50) = 50. After round
-# 12 the newest-grade floor is r7 (15 r7 keys remain: q51 q55 q56
-# q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) — round 13 fronts
-# those and fills from the oldest r8 cohort. Expected r12 no_oracle
-# keys: q181 only (KLL sketch, rows-only by nature).
+# CORRECTNESS_r01–r11 newest-grade matrix): the 6 round-11 newcomers
+# q261–q266 (streaming corpus refresh incl. the late q265/q266
+# downstream-parity pair, never driver-graded — newcomers outrank
+# stale keys) + the 11 remaining r6 keys (q89 q90 q91 q92 q93 q94
+# q95 q96 q97 q98 q99) + the 33 OLDEST of the 50-key r7 cohort in
+# ascending key order (q06 q07 q08 q09 q10 q11 q12 q127 q13 q14 q15
+# q153 q16 q17 q170 q175 q176 q18 q180 q181 q182 q19 q20 q21 q22
+# q30 q31 q32 q33 q34 q35 q40 q41) = 50 (6+11+33). After round 12
+# the newest-grade floor is r7 (17 r7 keys remain: q44 q50 q51 q55
+# q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) — round 13
+# fronts those and fills from the oldest r8 cohort. Expected r12
+# no_oracle keys: q181 only (KLL sketch, rows-only by nature).
 _ROTATE_FRONT = (
     "q255 q256 q257 q258 q259 q260 "
     "q63 q69 q72 q73 q74 q75 q76 q77 q79 "

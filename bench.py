@@ -183,6 +183,8 @@ HEADLINE = [
     "q262_stream_batch_waterfall",
     "q263_stream_packing",
     "q264_stream_carry_state",
+    "q265_stream_mixture",
+    "q266_stream_retro_contam",
 ]
 
 

@@ -171,6 +171,8 @@ BNLJ_ALLOWED = {
     # batch totals) joined into the single carry-state row — the
     # streaming twin of q259's attach
     "q264_stream_carry_state": {"scalar_aggs": 1, "filtered_batches": []},
+    # streaming twin of q256's totals-row attach (shared _mixture_report)
+    "q265_stream_mixture": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

@@ -48,6 +48,21 @@ def test_q263_equals_q257_and_q264_equals_q259(spark, sf_dir):
     )
 
 
+def test_q265_equals_q256_and_q266_equals_q260(spark, sf_dir):
+    """The downstream reports read the refresh RECORD, not the live
+    plan: fed the streamed sink, the mixture rebalance and the
+    retro-contamination audit must equal the batch family's answers
+    exactly (shared report functions, different admission inputs)."""
+    assert (
+        QUERIES["q265_stream_mixture"](spark, sf_dir).collect()
+        == QUERIES["q256_refresh_mixture"](spark, sf_dir).collect()
+    )
+    assert (
+        QUERIES["q266_stream_retro_contam"](spark, sf_dir).collect()
+        == QUERIES["q260_refresh_retro_contam"](spark, sf_dir).collect()
+    )
+
+
 def test_q262_waterfall_conservation(spark, sf_dir):
     """Stage-stable 4x7 grid; cells sum to the per-batch arrival
     counts of q261; zero cells really appear as zeros."""

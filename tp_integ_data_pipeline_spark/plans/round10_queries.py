@@ -388,74 +388,17 @@ def q255_refresh_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q256 — post-refresh mixture rebalance report
 # --------------------------------------------------------------------------
-@query(
-    "q256_refresh_mixture",
-    oracle=f"""
-    WITH {_REFRESH_SQL},
-    rb AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
-        FROM rkept GROUP BY source
-    ),
-    ra AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_added
-        FROM radm WHERE stage_idx = {_ADMIT_IDX} GROUP BY source
-    ),
-    r AS (
-        SELECT COALESCE(rb.source, ra.source) AS source,
-               COALESCE(n_before, 0) AS n_before,
-               COALESCE(n_added, 0) AS n_added,
-               COALESCE(n_before, 0) + COALESCE(n_added, 0) AS n_after
-        FROM rb FULL JOIN ra ON rb.source = ra.source
-    ),
-    t AS (
-        SELECT SUM(n_before) AS tb, SUM(n_after) AS ta,
-               SUM(sqrt(CAST(n_after AS DOUBLE))) AS z,
-               MIN(n_after) AS mna
-        FROM r
-    )
-    SELECT source,
-           CAST(n_before AS BIGINT) AS n_before,
-           CAST(n_added AS BIGINT) AS n_added,
-           CAST(n_after AS BIGINT) AS n_after,
-           ROUND(COALESCE(n_before * 1.0 / NULLIF(tb, 0), 0.0), 6)
-               AS share_before,
-           ROUND(n_after * 1.0 / ta, 6) AS share_after,
-           ROUND(n_after * 1.0 / ta
-                 - COALESCE(n_before * 1.0 / NULLIF(tb, 0), 0.0), 6) + 0
-               AS share_delta,
-           ROUND(sqrt(CAST(n_after AS DOUBLE)) / z, 6) AS target_share,
-           ROUND(LEAST(1.0, sqrt(mna * 1.0 / n_after)), 6) AS keep_frac
-    FROM r, t
-    ORDER BY source
-    """,
-)
-def q256_refresh_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-refresh mixture rebalance: per source, the kept corpus
-    before vs after admitting the batch (counts, shares, the
-    negative-capable share drift), the sqrt-temperature target share
-    (q187's alpha=0.5 rule — IEEE sqrt is exactly rounded on both
-    engines), and the capacity-solve keep fraction to hit that target
-    (q102's T = min_s(n_s / w_s) largest-achievable-corpus rule). With
-    w_s ∝ sqrt(n_s) the solve collapses algebraically: T = min_s
-    n_s/w_s is achieved by the SMALLEST source, and keep_frac_s =
-    min(1, w_s·T/n_s) = min(1, sqrt(min_n/n_s)) — so the whole report
-    needs ONE totals row (sums + the min), not a second capacity
-    scalar, and keep_frac involves no float summation at all (a single
-    exact division + one IEEE sqrt per row). At least one source keeps
-    everything (the smallest), every other downsamples toward the
-    temperature target. This is the report a standing pipeline emits
-    after every refresh to decide next epoch's sampling. Shape: two
-    bounded per-source rollups full-joined, ONE 1-row scalar attach
-    (BNLJ_ALLOWED) — all else row-local over ≤|sources| rows."""
-    kept = _exist_kept(spark, sf_dir)
-    adm = _admission(spark, sf_dir)
+def _mixture_report(kept, admitted) -> DataFrame:
+    """q256's rebalance report over (standing kept corpus, admitted
+    docs): per-source before/after counts and shares, sqrt-temperature
+    target, collapsed capacity solve. ``admitted`` needs only a
+    ``source`` column (one row per admitted doc) — shared by batch
+    q256 and streamed q265, which must be indistinguishable here."""
     rb = kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_before")
     )
-    ra = (
-        adm.filter(F.col("stage_idx") == _ADMIT_IDX)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_added"))
+    ra = admitted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_added")
     )
     r = (
         rb.join(ra, "source", "full")
@@ -503,6 +446,77 @@ def q256_refresh_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_frac"),
         )
         .orderBy("source")
+    )
+
+
+# Shared with q265_stream_mixture (round11): the rebalance over the
+# streamed sink must hash-match the SAME one-shot oracle.
+_MIXTURE_ORACLE = f"""
+    WITH {_REFRESH_SQL},
+    rb AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+        FROM rkept GROUP BY source
+    ),
+    ra AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_added
+        FROM radm WHERE stage_idx = {_ADMIT_IDX} GROUP BY source
+    ),
+    r AS (
+        SELECT COALESCE(rb.source, ra.source) AS source,
+               COALESCE(n_before, 0) AS n_before,
+               COALESCE(n_added, 0) AS n_added,
+               COALESCE(n_before, 0) + COALESCE(n_added, 0) AS n_after
+        FROM rb FULL JOIN ra ON rb.source = ra.source
+    ),
+    t AS (
+        SELECT SUM(n_before) AS tb, SUM(n_after) AS ta,
+               SUM(sqrt(CAST(n_after AS DOUBLE))) AS z,
+               MIN(n_after) AS mna
+        FROM r
+    )
+    SELECT source,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_added AS BIGINT) AS n_added,
+           CAST(n_after AS BIGINT) AS n_after,
+           ROUND(COALESCE(n_before * 1.0 / NULLIF(tb, 0), 0.0), 6)
+               AS share_before,
+           ROUND(n_after * 1.0 / ta, 6) AS share_after,
+           ROUND(n_after * 1.0 / ta
+                 - COALESCE(n_before * 1.0 / NULLIF(tb, 0), 0.0), 6) + 0
+               AS share_delta,
+           ROUND(sqrt(CAST(n_after AS DOUBLE)) / z, 6) AS target_share,
+           ROUND(LEAST(1.0, sqrt(mna * 1.0 / n_after)), 6) AS keep_frac
+    FROM r, t
+    ORDER BY source
+    """
+
+
+@query(
+    "q256_refresh_mixture",
+    oracle=_MIXTURE_ORACLE,
+)
+def q256_refresh_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-refresh mixture rebalance: per source, the kept corpus
+    before vs after admitting the batch (counts, shares, the
+    negative-capable share drift), the sqrt-temperature target share
+    (q187's alpha=0.5 rule — IEEE sqrt is exactly rounded on both
+    engines), and the capacity-solve keep fraction to hit that target
+    (q102's T = min_s(n_s / w_s) largest-achievable-corpus rule). With
+    w_s ∝ sqrt(n_s) the solve collapses algebraically: T = min_s
+    n_s/w_s is achieved by the SMALLEST source, and keep_frac_s =
+    min(1, w_s·T/n_s) = min(1, sqrt(min_n/n_s)) — so the whole report
+    needs ONE totals row (sums + the min), not a second capacity
+    scalar, and keep_frac involves no float summation at all (a single
+    exact division + one IEEE sqrt per row). At least one source keeps
+    everything (the smallest), every other downsamples toward the
+    temperature target. This is the report a standing pipeline emits
+    after every refresh to decide next epoch's sampling. Shape: two
+    bounded per-source rollups full-joined, ONE 1-row scalar attach
+    (BNLJ_ALLOWED) — all else row-local over ≤|sources| rows."""
+    kept = _exist_kept(spark, sf_dir)
+    adm = _admission(spark, sf_dir)
+    return _mixture_report(
+        kept, adm.filter(F.col("stage_idx") == _ADMIT_IDX).select("source")
     )
 
 
@@ -740,58 +754,14 @@ def q259_refresh_carry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q260 — retroactive contamination from benchmark-suite growth
 # --------------------------------------------------------------------------
-@query(
-    "q260_refresh_retro_contam",
-    oracle=f"""
-    WITH {_REFRESH_SQL},
-    rbg_new AS (
-        SELECT DISTINCT unnest({_GRAMS_SQL}) AS gram
-        FROM rw, rmid WHERE is_bench AND doc_id >= m
-    ),
-    rk2 AS (
-        SELECT doc_id, source, string_split(text, ' ') AS w FROM rkept
-    ),
-    retro AS (
-        SELECT DISTINCT g.doc_id
-        FROM (SELECT doc_id, unnest(list_distinct({_GRAMS_SQL})) AS gram
-              FROM rk2) g
-        JOIN rbg_new USING (gram)
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM retro)
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retro_contaminated,
-           ROUND(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM retro)
-                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS retro_rate
-    FROM rk2
-    GROUP BY source
-    ORDER BY source
-    """,
-)
-def q260_refresh_retro_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-suite GROWTH sweeps backwards: the new batch brings
-    new eval docs (its doc_id%97 slice), whose 8-grams can hit docs
-    yesterday's run already kept under the then-smaller suite — the
-    retroactive decontamination audit a standing corpus owes its evals
-    whenever the suite grows. Per source: kept docs, how many are now
-    contaminated by the NEW bench docs' grams, and the rate. Matching
-    against the new-half suite alone is EXACT, not an approximation of
-    the full-suite re-check: every kept doc already has zero grams in
-    yesterday's suite (that's why it was kept), so a full-suite hit can
-    only come from a new-bench gram — no gram set-difference needed.
-    One gram explode over the kept corpus + the bounded new-suite
-    broadcast semi-join (q93's decontam shape), then a per-source
-    rollup."""
-    kept = _exist_kept(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
-    new_bench = (
-        docs.crossJoin(F.broadcast(mid))
-        .filter((F.col("doc_id") >= F.col("m")) & (F.col("doc_id") % 97 == 0))
-        .select(F.split("text", " ").alias("w"))
-    )
+def _retro_contam_report(kept, new_bench_w) -> DataFrame:
+    """q260's retroactive sweep over (standing kept corpus, NEW bench
+    docs): per-source kept counts, how many are now hit by the new
+    suite's 8-grams, and the rate. ``new_bench_w`` needs only a ``w``
+    split-words column — shared by batch q260 and streamed q266, which
+    must be indistinguishable here."""
     grams = F.array_distinct(word_ngrams(F.col("w"), 8))
-    new_grams = new_bench.select(F.explode(grams).alias("gram")).distinct()
+    new_grams = new_bench_w.select(F.explode(grams).alias("gram")).distinct()
     kw = kept.select("doc_id", "source", F.split("text", " ").alias("w"))
     hits = (
         kw.select("doc_id", F.explode(grams).alias("gram"))
@@ -816,3 +786,60 @@ def q260_refresh_retro_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Shared with q266_stream_retro_contam (round11).
+_RETRO_ORACLE = f"""
+    WITH {_REFRESH_SQL},
+    rbg_new AS (
+        SELECT DISTINCT unnest({_GRAMS_SQL}) AS gram
+        FROM rw, rmid WHERE is_bench AND doc_id >= m
+    ),
+    rk2 AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM rkept
+    ),
+    retro AS (
+        SELECT DISTINCT g.doc_id
+        FROM (SELECT doc_id, unnest(list_distinct({_GRAMS_SQL})) AS gram
+              FROM rk2) g
+        JOIN rbg_new USING (gram)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM retro)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retro_contaminated,
+           ROUND(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM retro)
+                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS retro_rate
+    FROM rk2
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "q260_refresh_retro_contam",
+    oracle=_RETRO_ORACLE,
+)
+def q260_refresh_retro_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-suite GROWTH sweeps backwards: the new batch brings
+    new eval docs (its doc_id%97 slice), whose 8-grams can hit docs
+    yesterday's run already kept under the then-smaller suite — the
+    retroactive decontamination audit a standing corpus owes its evals
+    whenever the suite grows. Per source: kept docs, how many are now
+    contaminated by the NEW bench docs' grams, and the rate. Matching
+    against the new-half suite alone is EXACT, not an approximation of
+    the full-suite re-check: every kept doc already has zero grams in
+    yesterday's suite (that's why it was kept), so a full-suite hit can
+    only come from a new-bench gram — no gram set-difference needed.
+    One gram explode over the kept corpus + the bounded new-suite
+    broadcast semi-join (q93's decontam shape), then a per-source
+    rollup."""
+    kept = _exist_kept(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
+    new_bench = (
+        docs.crossJoin(F.broadcast(mid))
+        .filter((F.col("doc_id") >= F.col("m")) & (F.col("doc_id") % 97 == 0))
+        .select(F.split("text", " ").alias("w"))
+    )
+    return _retro_contam_report(kept, new_bench)

@@ -35,12 +35,16 @@ from pyspark.sql import functions as F
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.plans.round10_queries import (
     _ADMIT_IDX,
+    _MIXTURE_ORACLE,
     _PACK_BUDGET,
     _R_FLAGS,
     _R_STAGE_LIST_SQL,
     _R_STAGES,
     _REFRESH_SQL,
+    _RETRO_ORACLE,
     _exist_kept,
+    _mixture_report,
+    _retro_contam_report,
 )
 from tp_integ_data_pipeline_spark.sources.fixtures import load_table
 
@@ -323,3 +327,49 @@ def q264_stream_carry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_seqs_complete"),
         (nxt % F.lit(_PACK_BUDGET)).cast("long").alias("boundary_fill"),
     )
+
+
+# --------------------------------------------------------------------------
+# q265 — mixture rebalance from the streamed sink (== one-shot q256)
+# --------------------------------------------------------------------------
+@query("q265_stream_mixture", oracle=_MIXTURE_ORACLE)
+def q265_stream_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q256's post-refresh rebalance report computed from what the
+    STREAM admitted — q256's exact oracle, zero tolerance. q261 proves
+    the per-row verdicts equal; this closes the loop one level up: the
+    drained sink is a DROP-IN input for the downstream report a
+    standing pipeline actually consumes (the rebalance reads the
+    refresh record, not the live plan), so the report cannot tell
+    which path ran the refresh. Shared _mixture_report downstream
+    (round10_queries) — one definition for both engines' inputs."""
+    kept = _exist_kept(spark, sf_dir)
+    sr = _stream_refresh(spark, sf_dir)
+    return _mixture_report(
+        kept, sr.filter(F.col("stage_idx") == _ADMIT_IDX).select("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q266 — retro-contamination sweep driven by the streamed sink (== q260)
+# --------------------------------------------------------------------------
+@query("q266_stream_retro_contam", oracle=_RETRO_ORACLE)
+def q266_stream_retro_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q260's retroactive decontamination audit with the NEW bench
+    docs identified from the STREAM's own verdicts (stage_idx = 1
+    rows joined back to the corpus for text) instead of re-deriving
+    the suite slice — q260's exact oracle. This is the operational
+    form: the post-refresh auditor reads the refresh record to learn
+    which eval docs arrived, then sweeps yesterday's kept corpus with
+    their grams. Hash equality proves the sink's bench-holdout rows
+    are a complete, exact record of the suite growth. Shared
+    _retro_contam_report downstream (round10_queries)."""
+    kept = _exist_kept(spark, sf_dir)
+    sr = _stream_refresh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_bench = (
+        sr.filter(F.col("stage_idx") == 1)
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .select(F.split("text", " ").alias("w"))
+    )
+    return _retro_contam_report(kept, new_bench)
