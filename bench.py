@@ -787,6 +787,10 @@ def main() -> None:
     line = {k: v for k, v in payload.items() if k != "scale_probe"}
     line["n_queries"] = len(timings)
     line["full_table"] = "BENCH_FULL_last.json"
+    # 1-minute load average at completion: a 225 s driver run vs a
+    # 168 s idle canonical run is pure box load, and without this field
+    # that is only provable by forensics. Self-labeling beats arguing.
+    line["loadavg_1m"] = round(os.getloadavg()[0], 2)
     shown = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
     while True:
         line["queries"] = shown
@@ -795,6 +799,20 @@ def main() -> None:
         if len(out) <= 1900 or not shown:
             break
         shown.pop(next(reversed(shown)))
+    if len(out) > 1900:
+        # Fixed fields alone outgrew the window: fail LOUD with a
+        # minimal-but-valid line instead of silently reintroducing the
+        # driver's tail-parse `parsed: null` failure this trim exists
+        # to prevent.
+        out = json.dumps(
+            {
+                "metric": payload["metric"],
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "truncated": "fixed fields exceeded 1900-char budget",
+            }
+        )
     print(out)
 
 

@@ -68,7 +68,14 @@ def bounded_bench_grams(bench_docs: DataFrame, grams_col) -> DataFrame:
     replaces produced zero joined rows in that case and never
     evaluated its guard. The guard expression PRODUCES the ``gram``
     column the filter consumes, so Catalyst cannot prune it.
-    ``grams_col`` is the per-doc gram-array column or expression."""
+    ``grams_col`` is the per-doc gram-array column or expression.
+
+    PRECONDITION: the gram arrays must not contain NULL elements — the
+    guard row is tagged as a null gram and filtered back out, so a
+    caller-produced NULL gram would be silently dropped with it. Every
+    in-repo caller builds grams via word_ngrams (space-joined slices of
+    a split() array: never null), which satisfies this by construction;
+    a caller with nullable grams must coalesce them first."""
     g = F.col(grams_col) if isinstance(grams_col, str) else grams_col
     grams = bench_docs.select(
         F.explode(F.array_distinct(g)).alias("gram")
