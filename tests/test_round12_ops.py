@@ -1,0 +1,234 @@
+"""Round-12: multi-refresh chaining and crash recovery.
+
+1. Crash recovery: the foreachBatch atomic-commit ordering — a crash
+   on EITHER side of the sink-write / state-commit boundary must
+   converge to the single-delivery drain when the run is restarted
+   with the same (staging, sink, checkpoint). Complements round 11's
+   same-run redelivery test with the driver-restart case.
+2. Two-refresh chaining through streaming/refresh.py: refresh N+1
+   consumes refresh N's output (grown kept corpus, grown benchmark
+   suite, carried packing offset) and its verdicts/packing must show
+   the chain semantics — admitted texts block later arrivals, rejected
+   texts do not, the suite carries forward, and packing continues
+   bit-identically to a one-shot layout.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tp_integ_data_pipeline_spark.plans.curation import (
+    bounded_bench_grams,
+    word_ngrams,
+)
+from tp_integ_data_pipeline_spark.sources.fixtures import scratch_dir
+from tp_integ_data_pipeline_spark.streaming.refresh import (
+    recover_drain_state,
+    run_refresh_drain,
+    split_arrival,
+    stage_arrival,
+    stream_refresh_admission,
+)
+
+_CLEAN = "alpha bravo chars delta echos foxtr golfs hotel india julie kilos limas"
+
+
+def _grams(df):
+    return bounded_bench_grams(
+        df.select(F.split("text", " ").alias("w")),
+        F.array_distinct(word_ngrams(F.col("w"), 8)),
+    ).localCheckpoint(eager=True)
+
+
+def _stage(spark, rows, n_batches=4):
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    return stage_arrival(split_arrival(df, n_batches), n_batches, None)
+
+
+_ARRIVAL = [
+    (100, "s1", _CLEAN + " one"),
+    (104, "s2", _CLEAN + " two"),
+    (108, "s1", "too short text"),
+    (112, "s2", _CLEAN + " three"),
+]
+
+
+def _crash_fixture(spark):
+    staging = _stage(spark, _ARRIVAL)
+    kept_texts = spark.createDataFrame(
+        [("another kept doc",)], "text string"
+    ).localCheckpoint(eager=True)
+    bench = _grams(
+        spark.createDataFrame(
+            [("secret bench marker words eight exact tokens lineup",)],
+            "text string",
+        )
+    )
+    return staging, kept_texts, bench
+
+
+@pytest.mark.parametrize("crash_phase", ["before_sink_write", "after_sink_write"])
+def test_crash_recovery_converges_to_single_delivery(spark, crash_phase):
+    """Kill the drain once at the chosen side of the sink-write /
+    state-commit boundary on epoch 1 of 4, then restart with the same
+    dirs: the resumed run must produce exactly the crash-free answer.
+    after_sink_write is the case the r11 verdict called out — the
+    epoch's partition EXISTS but driver state never advanced; recovery
+    must treat the _SUCCESS-marked partition as committed (skip the
+    replay, count its tokens) rather than replaying against reset
+    state and double-counting the offset."""
+    staging, kept_texts, bench = _crash_fixture(spark)
+    reference = sorted(
+        run_refresh_drain(spark, staging, kept_texts, bench, 500).collect()
+    )
+
+    sink = scratch_dir(prefix="crash_sink_")
+    ckpt = scratch_dir(prefix="crash_ckpt_")
+    fired = []
+
+    def boom(epoch_id: int, phase: str) -> None:
+        if phase == crash_phase and epoch_id == 1 and not fired:
+            fired.append(epoch_id)
+            raise RuntimeError("injected crash")
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_refresh_drain(
+            spark, staging, kept_texts, bench, 500,
+            sink=sink, ckpt=ckpt, fault_hook=boom,
+        )
+    assert fired == [1]
+
+    # the restart's recovered state must reflect the crash point:
+    # epoch 0 always committed; epoch 1 committed iff its write landed
+    rec = recover_drain_state(spark, sink, staging, 500)
+    assert rec["last_epoch"] == (1 if crash_phase == "after_sink_write" else 0)
+
+    resumed = sorted(
+        run_refresh_drain(
+            spark, staging, kept_texts, bench, 500, sink=sink, ckpt=ckpt
+        ).collect()
+    )
+    assert resumed == reference
+    assert len(resumed) == len(_ARRIVAL)
+
+
+def test_recovered_offset_and_seen_match_committed_prefix(spark):
+    """recover_drain_state's arithmetic, checked directly after a crash
+    that committed epochs 0-1 of 4: offset = tokens_before + the
+    committed admitted tokens; seen = the committed batches' non-bench
+    texts; the uncommitted tail is absent from both."""
+    staging, kept_texts, bench = _crash_fixture(spark)
+    sink = scratch_dir(prefix="crash_sink_")
+    ckpt = scratch_dir(prefix="crash_ckpt_")
+
+    def boom(epoch_id: int, phase: str) -> None:
+        if phase == "before_sink_write" and epoch_id == 2:
+            raise RuntimeError("injected crash")
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_refresh_drain(
+            spark, staging, kept_texts, bench, 500,
+            sink=sink, ckpt=ckpt, fault_hook=boom,
+        )
+    rec = recover_drain_state(spark, sink, staging, 500)
+    # batches 1-2 carry docs 100 and 104 (13 admitted tokens each)
+    assert rec["last_epoch"] == 1
+    assert rec["offset"] == 500 + 26
+    assert sorted(r.text for r in rec["seen"].collect()) == sorted(
+        [_CLEAN + " one", _CLEAN + " two"]
+    )
+
+
+_B1 = "secret bench marker words eight exact tokens lineup plus extra tail words"
+_B2 = "novel second suite marker eight fresh exact tokens lineup with more words"
+
+
+def _chain(spark):
+    """Two streamed refreshes where refresh 2 consumes refresh 1's
+    output: kept corpus grown by the admitted docs, benchmark suite
+    grown by the delivered bench doc, packing offset carried."""
+    kept0 = spark.createDataFrame(
+        [(50, "s1", 12, "standing corpus kept document text with twelve nice plain words here okay"),
+         (51, "s2", 488, "another kept doc")],
+        "doc_id long, source string, n_words int, text string",
+    )
+    bench0 = spark.createDataFrame([("warmup suite none",)], "text string")
+    arrival1 = spark.createDataFrame(
+        [
+            (100, "s1", _CLEAN + " one"),          # admitted
+            (104, "s2", _CLEAN + " two"),          # admitted
+            (108, "s1", "too short text"),          # rejected: too_short
+            (194, "s1", _B1),                       # bench doc (194 % 97 == 0)
+        ],
+        "doc_id long, source string, text string",
+    )
+    r1 = stream_refresh_admission(
+        spark, arrival1, kept0, n_batches=2,
+        arriving=arrival1.select("doc_id", "source", "text"),
+        bench_docs=bench0.unionByName(
+            arrival1.filter(F.col("doc_id") % 97 == 0).select("text")
+        ),
+    ).localCheckpoint(eager=True)
+
+    # refresh 1's outputs become refresh 2's inputs
+    adm1 = r1.filter(F.col("stage_idx") == 7).select("doc_id", "source", "n_words")
+    kept1 = kept0.unionByName(
+        adm1.join(arrival1.select("doc_id", "text"), "doc_id")
+    )
+    suite2 = bench0.unionByName(
+        arrival1.filter(F.col("doc_id") % 97 == 0).select("text")
+    )
+    arrival2 = spark.createDataFrame(
+        [
+            (200, "s1", _CLEAN + " one"),   # dup_corpus: text admitted in r1
+            (204, "s2", "too short text"),  # NOT dup (108 was rejected) -> too_short
+            (208, "s1", "prefix words then secret bench marker words eight exact tokens lineup done"),
+            # ^ contaminated: shares an 8-gram with _B1, delivered by refresh 1
+            (212, "s2", _CLEAN + " four"),  # admitted
+            (291, "s1", _B2),               # bench doc (291 % 97 == 0) grows the suite
+        ],
+        "doc_id long, source string, text string",
+    )
+    suite2 = suite2.unionByName(
+        arrival2.filter(F.col("doc_id") % 97 == 0).select("text")
+    )
+    r2 = stream_refresh_admission(
+        spark, arrival2, kept1, n_batches=2,
+        arriving=arrival2.select("doc_id", "source", "text"),
+        bench_docs=suite2,
+    ).localCheckpoint(eager=True)
+    return r1, r2
+
+
+def test_streaming_two_refresh_chain_semantics(spark):
+    r1, r2 = _chain(spark)
+    s1 = {r.doc_id: r.stage_idx for r in r1.collect()}
+    s2 = {r.doc_id: r.stage_idx for r in r2.collect()}
+    assert s1 == {100: 7, 104: 7, 108: 4, 194: 1}
+    # chain semantics: admitted text blocks (dup_corpus), rejected text
+    # does not, refresh-1's bench doc contaminates refresh-2 arrivals
+    assert s2 == {200: 3, 204: 4, 208: 6, 212: 7, 291: 1}
+
+
+def test_streaming_chain_packing_continues_bit_identically(spark):
+    """Refresh 2's packing continues exactly where refresh 1 stopped
+    (offset 500 + 13 + 13 = 526), and the concatenated two-refresh
+    layout equals one-shot packing of all admitted docs in order —
+    the continuation property across a refresh boundary."""
+    r1, r2 = _chain(spark)
+    p1 = sorted(
+        ((r.doc_id, r.n_tokens, r.seq_id, r.seq_offset)
+         for r in r1.filter(F.col("stage_idx") == 7).collect())
+    )
+    p2 = sorted(
+        ((r.doc_id, r.n_tokens, r.seq_id, r.seq_offset)
+         for r in r2.filter(F.col("stage_idx") == 7).collect())
+    )
+    assert p1 == [(100, 13, 0, 500), (104, 13, 1, 1)]
+    # one-shot replay: positions 500, 513, 526 with budget 512
+    assert p2 == [(212, 13, 1, 14)]
+    pos = 500
+    for _, n, sid, soff in p1 + p2:
+        assert (sid, soff) == (pos // 512, pos % 512)
+        pos += n

@@ -136,6 +136,80 @@ def stage_arrival(
     return staging
 
 
+# The drain sink's data columns, in write order. The read-back selects
+# exactly these — never "everything minus the partition column" — so a
+# future data column named like the partition dir cannot be silently
+# dropped, and the partition-discovery `epoch` column never leaks into
+# callers' schemas.
+SINK_COLS = [
+    "doc_id",
+    "source",
+    "n_words",
+    "is_bench",
+    "dup_batch",
+    "dup_corpus",
+    "too_short",
+    "low_quality",
+    "contaminated",
+    "stage_idx",
+    "batch_id",
+    "n_tokens",
+    "seq_id",
+    "seq_offset",
+]
+
+
+def recover_drain_state(
+    spark: SparkSession, sink: str, staging: str, tokens_before: int
+) -> dict:
+    """Rebuilds the drain's cross-batch state from the sink — the
+    recovery a driver RESTART needs (the in-process epoch guard alone
+    only covers same-run redelivery). An epoch counts as committed iff
+    its partition carries the parquet job-commit ``_SUCCESS`` marker —
+    the same atomicity boundary admit_batch's in-process commit uses
+    (state advances only after the write job committed), so a crash at
+    ANY point yields: marker present → replay skipped, partition is
+    the complete single-delivery answer; marker absent → partition
+    ignored here and recomputed-then-overwritten by the replay.
+
+    Recovered state: ``offset`` = tokens_before + the committed
+    partitions' admitted-token sum; ``seen`` = the non-bench texts of
+    the staged batches those partitions cover (the staging files keep
+    ``batch_id``, and each epoch drains exactly one staged batch);
+    ``last_epoch`` = max committed epoch. Costs one bounded scan of
+    the (batch-sized) sink and staging — never the corpus."""
+    committed = sorted(
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(sink, "epoch=*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+    if not committed:
+        return {
+            "seen": spark.createDataFrame([], "text string"),
+            "offset": tokens_before,
+            "last_epoch": -1,
+        }
+    done = spark.read.option("basePath", sink).parquet(
+        *[os.path.join(sink, f"epoch={e}") for e in committed]
+    )
+    extra = int(done.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))).first()[0])
+    # bounded driver pull: ≤ n_batches distinct ids
+    drained = [r[0] for r in done.select("batch_id").distinct().collect()]
+    seen = (
+        spark.read.parquet(staging)
+        .filter(F.col("batch_id").isin(drained))
+        .filter(~(F.col("doc_id") % 97 == 0))
+        .select("text")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return {
+        "seen": seen,
+        "offset": tokens_before + extra,
+        "last_epoch": committed[-1],
+    }
+
+
 def stream_refresh_admission(
     spark: SparkSession,
     docs: DataFrame,
@@ -144,6 +218,8 @@ def stream_refresh_admission(
     min_words: int = MIN_WORDS,
     pack_budget: int = PACK_BUDGET,
     cache_key: str | None = None,
+    arriving: DataFrame | None = None,
+    bench_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Runs the arriving half of ``docs`` (doc_id >= max div 2, the
     q103/q254 split convention) through the streaming admission loop
@@ -158,14 +234,22 @@ def stream_refresh_admission(
     existing_kept's shape: doc_id, source, n_words, text). The result
     is read back from the drain's parquet sink — callers see a plain
     batch DataFrame whose rows were produced one micro-batch at a
-    time. See the module docstring for the batch-parity argument."""
-    mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
-    arriving = (
-        docs.crossJoin(F.broadcast(mid))
-        .filter(F.col("doc_id") >= F.col("m"))
-        .drop("m")
-        .select("doc_id", "source", "text")
-    )
+    time. See the module docstring for the batch-parity argument.
+
+    Chaining seams (refresh N+1 consuming refresh N's output):
+    ``arriving`` overrides the default doc_id >= max div 2 slice with
+    an explicit arrival relation (doc_id, source, text), and
+    ``bench_docs`` overrides the benchmark suite (a ``text`` column;
+    default: the doc_id%97 slice of ``docs``) — the suite refresh N+1
+    sees includes the bench docs earlier refreshes delivered."""
+    if arriving is None:
+        mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
+        arriving = (
+            docs.crossJoin(F.broadcast(mid))
+            .filter(F.col("doc_id") >= F.col("m"))
+            .drop("m")
+            .select("doc_id", "source", "text")
+        )
     staging = stage_arrival(
         split_arrival(arriving, n_batches), n_batches, cache_key
     )
@@ -175,36 +259,74 @@ def stream_refresh_admission(
     # checkpoint stands in for storage-backed state) and the benchmark
     # gram set (fixed when the refresh begins; q93's 8-gram rule over
     # old + new bench docs). Both are per-refresh state, not per-batch.
-    grams_of = lambda: F.array_distinct(word_ngrams(F.col("w"), 8))  # noqa: E731
+    if bench_docs is None:
+        bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
     bench_grams = bounded_bench_grams(
-        docs.filter(F.col("doc_id") % 97 == 0).select(
-            F.split("text", " ").alias("w")
-        ),
-        grams_of(),
+        bench_docs.select(F.split("text", " ").alias("w")),
+        F.array_distinct(word_ngrams(F.col("w"), 8)),
     ).localCheckpoint(eager=True)
     kept_texts = kept.select("text").localCheckpoint(eager=True)
     tokens_before = int(
         kept.agg(F.coalesce(F.sum("n_words"), F.lit(0))).first()[0]
     )
+    return run_refresh_drain(
+        spark,
+        staging,
+        kept_texts,
+        bench_grams,
+        tokens_before,
+        min_words=min_words,
+        pack_budget=pack_budget,
+    )
 
-    sink = scratch_dir(prefix="refresh_sink_")
-    ckpt = scratch_dir(prefix="refresh_ckpt_")
-    # one-column empty seen-texts state; replaced (eagerly
-    # checkpointed) after every batch
-    state: dict = {
-        "seen": spark.createDataFrame([], "text string"),
-        "offset": tokens_before,
-        "last_epoch": -1,
-    }
+
+def run_refresh_drain(
+    spark: SparkSession,
+    staging: str,
+    kept_texts: DataFrame,
+    bench_grams: DataFrame,
+    tokens_before: int,
+    *,
+    sink: str | None = None,
+    ckpt: str | None = None,
+    min_words: int = MIN_WORDS,
+    pack_budget: int = PACK_BUDGET,
+    fault_hook=None,
+) -> DataFrame:
+    """The micro-batch drain itself, restartable: stages in
+    ``staging`` stream through the admission funnel one file per
+    trigger, cross-batch state threads through the loop, and the
+    per-doc relation is read back from ``sink``. Pass the SAME
+    (staging, sink, ckpt) again after a crash and the run resumes:
+    state is recovered from the sink's committed epoch partitions
+    (recover_drain_state), Structured Streaming's checkpoint replays
+    the uncommitted trigger, and the epoch guard skips everything
+    already committed — so any crash point converges to the
+    single-delivery answer (exercised by the round-12 crash tests).
+
+    ``fault_hook(epoch_id, phase)`` is a TEST-ONLY seam called at
+    phase "before_sink_write" and "after_sink_write" inside each
+    batch; raising from it simulates a crash on either side of the
+    sink write / state commit boundary. Never set in production
+    paths."""
+    sink = sink or scratch_dir(prefix="refresh_sink_")
+    ckpt = ckpt or scratch_dir(prefix="refresh_ckpt_")
+    # cross-batch state: recovered from the sink on (re)start — a
+    # fresh run finds no committed partitions and starts empty
+    state = recover_drain_state(spark, sink, staging, tokens_before)
+    grams_of = lambda: F.array_distinct(word_ngrams(F.col("w"), 8))  # noqa: E731
 
     def admit_batch(bdf: DataFrame, epoch_id: int) -> None:
         # foreachBatch is at-least-once: a trigger that fails after its
-        # side effects can be REPLAYED with the same epoch_id. Output
-        # is idempotent (each epoch overwrites its own partition below)
-        # and driver state commits atomically at the end of the batch,
-        # guarded here — a replay of a committed epoch is a no-op, and
-        # a replay of an uncommitted one recomputes from unchanged
-        # state, so the offset never double-counts.
+        # side effects can be REPLAYED with the same epoch_id — within
+        # this run (guarded here) or after a driver restart (guarded by
+        # recover_drain_state, which rebuilds this dict from the sink's
+        # committed partitions). Output is idempotent (each epoch
+        # overwrites its own partition below) and driver state commits
+        # atomically after all fallible work, so a replay of a
+        # committed epoch is a no-op and a replay of an uncommitted one
+        # recomputes from unchanged state — the offset never
+        # double-counts.
         if epoch_id <= state["last_epoch"]:
             return
         is_bench = F.col("doc_id") % 97 == 0
@@ -342,9 +464,13 @@ def stream_refresh_admission(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        if fault_hook is not None:
+            fault_hook(int(epoch_id), "before_sink_write")
         out.write.mode("overwrite").parquet(
             os.path.join(sink, f"epoch={int(epoch_id)}")
         )
+        if fault_hook is not None:
+            fault_hook(int(epoch_id), "after_sink_write")
         # everything fallible is done — commit the epoch's state
         state["offset"] += batch_tokens
         state["seen"] = new_seen
@@ -362,6 +488,7 @@ def stream_refresh_admission(
         .start()
     )
     q.awaitTermination()
-    # epoch=N partition dirs exist only for write idempotency — drop
-    # the discovered partition column so callers see the batch schema
-    return spark.read.parquet(sink).drop("epoch")
+    # epoch=N partition dirs exist only for write idempotency — select
+    # the explicit data-column list (never drop("epoch"), which would
+    # eat a real column of that name) so callers see the batch schema
+    return spark.read.parquet(sink).select(*SINK_COLS)
