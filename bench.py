@@ -185,6 +185,9 @@ HEADLINE = [
     "q264_stream_carry_state",
     "q265_stream_mixture",
     "q266_stream_retro_contam",
+    "q267_chain_admission",
+    "q268_chain_packing",
+    "q269_chain_carry_state",
 ]
 
 

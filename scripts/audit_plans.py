@@ -173,6 +173,16 @@ BNLJ_ALLOWED = {
     "q264_stream_carry_state": {"scalar_aggs": 1, "filtered_batches": []},
     # streaming twin of q256's totals-row attach (shared _mixture_report)
     "q265_stream_mixture": {"scalar_aggs": 1, "filtered_batches": []},
+    # chained packing (round12): refresh-1's carried-offset scalar
+    # (q257's attach), refresh-2's attach of the CONSUMED carry row
+    # (a projection over refresh-1's two 1-row bookkeeping rollups —
+    # still Keys:[] aggs underneath, 1 row by construction), and the
+    # carry row's own internal rollup join
+    "q268_chain_packing": {"scalar_aggs": 3, "filtered_batches": []},
+    # refresh-2 carry row from the consumed refresh-1 carry row: the
+    # refresh-2 batch rollup attach + refresh-1's internal rollup join
+    # (both 1-row Keys:[] aggregates)
+    "q269_chain_carry_state": {"scalar_aggs": 2, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column
@@ -219,6 +229,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # running remainder over the admission stage summary: <= 7 rows
     # (stage count is a code constant, plans/round10_queries._R_STAGES)
     "q258_refresh_waterfall": "waterfall remainder over the <=7-row stage summary",
+    # chained packing continuation (round12): two packing.global_cumsum
+    # calls (one per refresh) — each's only partitionless window is its
+    # <= n_buckets offset table
+    "q268_chain_packing": "prefix-sum offset tables (x2), n_buckets rows each",
 }
 
 _AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

@@ -232,3 +232,87 @@ def test_streaming_chain_packing_continues_bit_identically(spark):
     for _, n, sid, soff in p1 + p2:
         assert (sid, soff) == (pos // 512, pos % 512)
         pos += n
+
+
+# --------------------------------------------------------------------------
+# q267-q269: the batch chain family (oracle-checked; these tests pin
+# the Spark-side invariants the hash checks alone don't state)
+# --------------------------------------------------------------------------
+def test_q267_partitions_the_refresh_arrival(spark, sf_dir):
+    """The two chained arrivals partition q255's arrival exactly
+    (same doc ids, split at m2, refresh ids consistent), and the
+    refresh-1 verdicts agree with q255's wherever both funnels see
+    the same standing state (refresh 1 IS yesterday's funnel over a
+    smaller batch — only suite size differs, so bench/dup flags can
+    legitimately differ; the doc partition cannot)."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    chain = QUERIES["q267_chain_admission"](spark, sf_dir).collect()
+    single = QUERIES["q255_refresh_admission"](spark, sf_dir).collect()
+    assert sorted(r.doc_id for r in chain) == sorted(r.doc_id for r in single)
+    split = max(r.doc_id for r in chain if r.refresh_id == 1)
+    assert all(
+        (r.doc_id <= split) == (r.refresh_id == 1) for r in chain
+    )
+
+
+def test_q268_layout_is_one_continuous_cumsum(spark, sf_dir):
+    """Positions are contiguous across BOTH refreshes: each admitted
+    doc starts exactly where the previous one ended, beginning at the
+    standing corpus' token total — i.e. the consumed carry row splices
+    the two refreshes into one layout with no gap and no reset."""
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+    from tp_integ_data_pipeline_spark.plans.round10_queries import (
+        _PACK_BUDGET,
+        _exist_kept,
+    )
+
+    rows = sorted(
+        QUERIES["q268_chain_packing"](spark, sf_dir).collect(),
+        key=lambda r: r.doc_id,
+    )
+    pos = int(
+        _exist_kept(spark, sf_dir)
+        .agg(F.coalesce(F.sum("n_words"), F.lit(0)))
+        .first()[0]
+    )
+    seen_boundary = False
+    for r in rows:
+        assert (r.seq_id, r.seq_offset) == (
+            pos // _PACK_BUDGET,
+            pos % _PACK_BUDGET,
+        )
+        pos += r.n_tokens
+        seen_boundary = seen_boundary or r.refresh_id == 2
+    assert seen_boundary  # refresh 2 really contributed rows
+
+
+def test_q269_carry_from_row_equals_rescan(spark, sf_dir):
+    """The Spark-side twin of q269's oracle claim: deriving refresh 2's
+    "before" fields from refresh 1's emitted carry row gives the same
+    row as re-aggregating the grown corpus K1 from scratch."""
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+    from tp_integ_data_pipeline_spark.plans.round10_queries import (
+        _ADMIT_IDX,
+        _carry_report,
+        _exist_kept,
+    )
+    from tp_integ_data_pipeline_spark.plans.round12_queries import (
+        _chain_adm1,
+        _chain_adm2,
+    )
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    via_row = QUERIES["q269_chain_carry_state"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k1 = _exist_kept(spark, sf_dir).select("doc_id", "source", "n_words").unionByName(
+        _chain_adm1(spark, sf_dir)
+        .filter(F.col("stage_idx") == _ADMIT_IDX)
+        .select("doc_id", "source", "n_words")
+    )
+    rescan = _carry_report(k1, _chain_adm2(spark, sf_dir)).collect()
+    assert via_row == rescan

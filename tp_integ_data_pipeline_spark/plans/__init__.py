@@ -33,3 +33,4 @@ from tp_integ_data_pipeline_spark.plans import round8_queries  # noqa: E402,F401
 from tp_integ_data_pipeline_spark.plans import round9_queries  # noqa: E402,F401
 from tp_integ_data_pipeline_spark.plans import round10_queries  # noqa: E402,F401
 from tp_integ_data_pipeline_spark.plans import round11_queries  # noqa: E402,F401
+from tp_integ_data_pipeline_spark.plans import round12_queries  # noqa: E402,F401

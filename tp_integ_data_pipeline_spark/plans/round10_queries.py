@@ -208,14 +208,10 @@ def refresh_admission_verdicts(docs: DataFrame, kept: DataFrame) -> DataFrame:
     stage_idx). ``kept`` is the standing kept corpus (existing_kept's
     shape — the keyword seam lets callers supply the session-cached /
     index-backed relation instead of rebuilding it, the r9
-    prework-sharing pattern). Stage order follows q109's ingest
-    composition — within-batch dedup first, then the probe against the
-    standing kept corpus — ahead of the q94/q93 content gates. ONE
-    text-keyed window (batch-internal canonical pick), ONE text-keyed
-    equi-join against the kept corpus (the irreducible dedup shuffle;
-    kept texts are unique by construction, so no fan-out), one bounded
-    benchmark-gram broadcast semi-join (suite = old + new bench docs),
-    all else row-local."""
+    prework-sharing pattern). Derives the arrival slice and the
+    benchmark suite (old + new bench docs), then delegates the funnel
+    itself to admission_core — ONE shared definition for the single
+    refresh and the round-12 chained refreshes."""
     mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
     based = docs.crossJoin(F.broadcast(mid))
     grams_of = lambda: F.array_distinct(word_ngrams(F.col("w"), 8))  # noqa: E731
@@ -230,7 +226,26 @@ def refresh_admission_verdicts(docs: DataFrame, kept: DataFrame) -> DataFrame:
     # at scripts/audit_plans.py BNLJ_ALLOWED["q93_decontam"])
     bench_grams = bounded_bench_grams(full.filter("is_bench"), grams_of())
     new = based.filter(F.col("doc_id") >= F.col("m")).drop("m")
-    base = new.select(
+    return admission_core(new, kept, bench_grams)
+
+
+def admission_core(
+    arrival: DataFrame, kept: DataFrame, bench_grams: DataFrame
+) -> DataFrame:
+    """The admission funnel proper, over an EXPLICIT (arrival, kept
+    corpus, benchmark-gram set) triple — the seam that lets refresh N
+    and refresh N+1 (round-12 chain, plans/round12_queries.py) run the
+    byte-same funnel against different standing state. ``arrival``
+    needs (doc_id, source, lang, n_chars, text); bench membership is
+    the doc_id%97 convention. Stage order follows q109's ingest
+    composition — within-batch dedup first, then the probe against the
+    standing kept corpus — ahead of the q94/q93 content gates. ONE
+    text-keyed window (batch-internal canonical pick), ONE text-keyed
+    equi-join against the kept corpus (the irreducible dedup shuffle;
+    kept texts are unique by construction, so no fan-out), one bounded
+    benchmark-gram broadcast semi-join, all else row-local."""
+    grams_of = lambda: F.array_distinct(word_ngrams(F.col("w"), 8))  # noqa: E731
+    base = arrival.select(
         "doc_id",
         "source",
         "lang",
@@ -667,59 +682,13 @@ def q258_refresh_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q259 — carried-state emission for the NEXT refresh
 # --------------------------------------------------------------------------
-@query(
-    "q259_refresh_carry_state",
-    oracle=f"""
-    WITH {_REFRESH_SQL},
-    k AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept_before,
-               CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS tokens_before
-        FROM rkept
-    ),
-    a AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
-               CAST(SUM(CASE WHEN stage_idx = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_bench_held,
-               CAST(SUM(CASE WHEN stage_idx BETWEEN 2 AND 6 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_rejected,
-               CAST(SUM(CASE WHEN stage_idx = {_ADMIT_IDX} THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_admitted,
-               CAST(COALESCE(SUM(CASE WHEN stage_idx = {_ADMIT_IDX}
-                                      THEN n_words ELSE 0 END), 0) AS BIGINT)
-                   AS tokens_admitted
-        FROM radm
-    )
-    SELECT n_kept_before, n_batch, n_bench_held, n_rejected, n_admitted,
-           tokens_before, tokens_admitted,
-           CAST(tokens_before + tokens_admitted AS BIGINT) AS next_start_offset,
-           CAST((tokens_before + tokens_admitted) // {_PACK_BUDGET} AS BIGINT)
-               AS n_seqs_complete,
-           CAST((tokens_before + tokens_admitted) % {_PACK_BUDGET} AS BIGINT)
-               AS boundary_fill
-    FROM k, a
-    """,
-)
-def q259_refresh_carry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The bookkeeping row the NEXT refresh consumes — closing the
-    incremental loop that q257 opens: corpus counts (kept before,
-    batch, bench-held, rejected, admitted) plus the packing carry —
-    next_start_offset = tokens packed after this refresh, the ONE
-    integer pack_sequences needs to continue tomorrow bit-identically
-    (operators/packing.py's incremental contract; the run-count
-    start_slot carry is pack_token_runs-specific, packing.py:185, and
-    derivable from the same relation when that variant is used).
-    Emitting this row is what makes refresh N+1 runnable without
-    re-scanning refresh N's output. Two 1-row scalar rollups joined
-    (one BNLJ scalar attach, BNLJ_ALLOWED); all-integer output, so the
-    hash check is exact with no float convention needed."""
-    kept = _exist_kept(spark, sf_dir)
-    adm = _admission(spark, sf_dir)
-    k = kept.agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept_before"),
-        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias(
-            "tokens_before"
-        ),
-    )
+def _carry_report_from_scalars(k: DataFrame, adm: DataFrame) -> DataFrame:
+    """The carry-state row from an EXPLICIT 1-row "standing corpus"
+    scalar relation (n_kept_before, tokens_before) + the admission
+    relation — the seam that lets refresh N+1 derive its "before"
+    fields from refresh N's EMITTED carry row instead of re-scanning
+    refresh N (q269, round12_queries). Two 1-row rollups joined (one
+    scalar attach, BNLJ_ALLOWED); all-integer output."""
     is_adm = F.col("stage_idx") == _ADMIT_IDX
     a = adm.agg(
         F.count(F.lit(1)).cast("long").alias("n_batch"),
@@ -749,6 +718,75 @@ def q259_refresh_carry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_seqs_complete"),
         (nxt % F.lit(_PACK_BUDGET)).cast("long").alias("boundary_fill"),
     )
+
+
+def _carry_report(kept: DataFrame, adm: DataFrame) -> DataFrame:
+    """q259's carry row over (standing kept corpus, admission relation)
+    — shared by batch q259 and streamed q264, which must be
+    indistinguishable here (the r11 discipline), and consumed as the
+    chain link by round 12's q269."""
+    k = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept_before"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias(
+            "tokens_before"
+        ),
+    )
+    return _carry_report_from_scalars(k, adm)
+
+
+# Shared with q264_stream_carry_state (round11) and consumed as the
+# chain link by q269 (round12).
+_CARRY_ORACLE = f"""
+    WITH {_REFRESH_SQL},
+    k AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept_before,
+               CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS tokens_before
+        FROM rkept
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+               CAST(SUM(CASE WHEN stage_idx = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bench_held,
+               CAST(SUM(CASE WHEN stage_idx BETWEEN 2 AND 6 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_rejected,
+               CAST(SUM(CASE WHEN stage_idx = {_ADMIT_IDX} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_admitted,
+               CAST(COALESCE(SUM(CASE WHEN stage_idx = {_ADMIT_IDX}
+                                      THEN n_words ELSE 0 END), 0) AS BIGINT)
+                   AS tokens_admitted
+        FROM radm
+    )
+    SELECT n_kept_before, n_batch, n_bench_held, n_rejected, n_admitted,
+           tokens_before, tokens_admitted,
+           CAST(tokens_before + tokens_admitted AS BIGINT) AS next_start_offset,
+           CAST((tokens_before + tokens_admitted) // {_PACK_BUDGET} AS BIGINT)
+               AS n_seqs_complete,
+           CAST((tokens_before + tokens_admitted) % {_PACK_BUDGET} AS BIGINT)
+               AS boundary_fill
+    FROM k, a
+    """
+
+
+@query(
+    "q259_refresh_carry_state",
+    oracle=_CARRY_ORACLE,
+)
+def q259_refresh_carry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bookkeeping row the NEXT refresh consumes — closing the
+    incremental loop that q257 opens: corpus counts (kept before,
+    batch, bench-held, rejected, admitted) plus the packing carry —
+    next_start_offset = tokens packed after this refresh, the ONE
+    integer pack_sequences needs to continue tomorrow bit-identically
+    (operators/packing.py's incremental contract; the run-count
+    start_slot carry is pack_token_runs-specific, packing.py:185, and
+    derivable from the same relation when that variant is used).
+    Emitting this row is what makes refresh N+1 runnable without
+    re-scanning refresh N's output — proven as a hash check by the
+    round-12 chain (q269 consumes exactly this row). Shared
+    _carry_report (also q264's): two 1-row scalar rollups joined (one
+    BNLJ scalar attach, BNLJ_ALLOWED); all-integer output, so the
+    hash check is exact with no float convention needed."""
+    return _carry_report(_exist_kept(spark, sf_dir), _admission(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from tp_integ_data_pipeline_spark.plans.registry import query
 from tp_integ_data_pipeline_spark.plans.round10_queries import (
     _ADMIT_IDX,
+    _CARRY_ORACLE,
     _MIXTURE_ORACLE,
     _PACK_BUDGET,
     _R_FLAGS,
@@ -42,6 +43,7 @@ from tp_integ_data_pipeline_spark.plans.round10_queries import (
     _R_STAGES,
     _REFRESH_SQL,
     _RETRO_ORACLE,
+    _carry_report,
     _exist_kept,
     _mixture_report,
     _retro_contam_report,
@@ -250,82 +252,18 @@ def q263_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q264 — streamed carry-state row (== one-shot q259)
 # --------------------------------------------------------------------------
-@query(
-    "q264_stream_carry_state",
-    oracle=f"""
-    WITH {_REFRESH_SQL},
-    k AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_kept_before,
-               CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS tokens_before
-        FROM rkept
-    ),
-    a AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
-               CAST(SUM(CASE WHEN stage_idx = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_bench_held,
-               CAST(SUM(CASE WHEN stage_idx BETWEEN 2 AND 6 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_rejected,
-               CAST(SUM(CASE WHEN stage_idx = {_ADMIT_IDX} THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_admitted,
-               CAST(COALESCE(SUM(CASE WHEN stage_idx = {_ADMIT_IDX}
-                                      THEN n_words ELSE 0 END), 0) AS BIGINT)
-                   AS tokens_admitted
-        FROM radm
-    )
-    SELECT n_kept_before, n_batch, n_bench_held, n_rejected, n_admitted,
-           tokens_before, tokens_admitted,
-           CAST(tokens_before + tokens_admitted AS BIGINT) AS next_start_offset,
-           CAST((tokens_before + tokens_admitted) // {_PACK_BUDGET} AS BIGINT)
-               AS n_seqs_complete,
-           CAST((tokens_before + tokens_admitted) % {_PACK_BUDGET} AS BIGINT)
-               AS boundary_fill
-    FROM k, a
-    """,
-)
+@query("q264_stream_carry_state", oracle=_CARRY_ORACLE)
 def q264_stream_carry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q259's bookkeeping row recomputed from what the STREAM emitted:
     the drained sink's verdicts must aggregate to the exact carry
     state the one-shot plan hands refresh N+1 (all-integer — the hash
     check needs no float convention). Equality here is what makes the
     streaming path a drop-in for the batch refresh: tomorrow's run
-    cannot tell which one produced today's corpus. Two 1-row rollups
-    joined (one scalar attach, BNLJ_ALLOWED)."""
-    kept = _exist_kept(spark, sf_dir)
-    sr = _stream_refresh(spark, sf_dir)
-    k = kept.agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept_before"),
-        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias(
-            "tokens_before"
-        ),
-    )
-    is_adm = F.col("stage_idx") == _ADMIT_IDX
-    a = sr.agg(
-        F.count(F.lit(1)).cast("long").alias("n_batch"),
-        F.sum((F.col("stage_idx") == 1).cast("int")).cast("long").alias(
-            "n_bench_held"
-        ),
-        F.sum(F.col("stage_idx").between(2, 6).cast("int"))
-        .cast("long")
-        .alias("n_rejected"),
-        F.sum(is_adm.cast("int")).cast("long").alias("n_admitted"),
-        F.coalesce(F.sum(F.when(is_adm, F.col("n_words")).otherwise(0)), F.lit(0))
-        .cast("long")
-        .alias("tokens_admitted"),
-    )
-    nxt = F.col("tokens_before") + F.col("tokens_admitted")
-    return k.crossJoin(F.broadcast(a)).select(
-        "n_kept_before",
-        "n_batch",
-        "n_bench_held",
-        "n_rejected",
-        "n_admitted",
-        "tokens_before",
-        "tokens_admitted",
-        nxt.cast("long").alias("next_start_offset"),
-        F.expr(
-            f"(tokens_before + tokens_admitted) div {_PACK_BUDGET}"
-        ).alias("n_seqs_complete"),
-        (nxt % F.lit(_PACK_BUDGET)).cast("long").alias("boundary_fill"),
+    cannot tell which one produced today's corpus. Shared
+    _carry_report (q259's exact definition and oracle), fed the
+    streamed sink instead of the live admission plan."""
+    return _carry_report(
+        _exist_kept(spark, sf_dir), _stream_refresh(spark, sf_dir)
     )
 
 
