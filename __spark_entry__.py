@@ -49,17 +49,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Expected r12 no_oracle keys: q181 only (KLL sketch, rows-only by
 # nature).
 # ROUND-13 front plan (exactly 50, checkable against the
-# CORRECTNESS_r01–r12 newest-grade matrix): the 3 round-12 newcomers
-# q267–q269 (chained two-refresh family, never driver-graded —
-# newcomers outrank stale keys) + the 17 remaining r7 keys (q44 q50
-# q51 q55 q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) + the
-# 30 OLDEST of the 50-key r8 cohort in ascending key order (q183 q184
-# q185 q186 q187 q188 q189 q190 q191 q192 q193 q194 q195 q196 q197
-# q198 q199 q200 q201 q202 q203 q204 q205 q206 q207 q208 q209 q210
-# q211 q212) = 50 (3+17+30). After round 13 the newest-grade floor is
-# r8 (20 r8 keys remain: q213–q232) — round 14 fronts those and fills
-# from the oldest r9 cohort. Expected r13 no_oracle keys: q51 q199
-# only (SRP-ANN / compression probe, rows-only by nature).
+# CORRECTNESS_r01–r12 newest-grade matrix): the 5 round-12 newcomers
+# q267–q271 (chained two-refresh family incl. the late q270/q271
+# downstream-report pair, never driver-graded — newcomers outrank
+# stale keys) + the 17 remaining r7 keys (q44 q50 q51 q55 q56 q57
+# q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) + the 28 OLDEST of
+# the 50-key r8 cohort in ascending key order (q183 q184 q185 q186
+# q187 q188 q189 q190 q191 q192 q193 q194 q195 q196 q197 q198 q199
+# q200 q201 q202 q203 q204 q205 q206 q207 q208 q209 q210) = 50
+# (5+17+28). After round 13 the newest-grade floor is r8 (22 r8 keys
+# remain: q211–q232) — round 14 fronts those and fills from the
+# oldest r9 cohort. Expected r13 no_oracle keys: q51 q199 only
+# (SRP-ANN / compression probe, rows-only by nature).
 _ROTATE_FRONT = (
     "q261 q262 q263 q264 q265 q266 "
     "q89 q90 q91 q92 q93 q94 q95 q96 q97 q98 q99 "

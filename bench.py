@@ -188,6 +188,8 @@ HEADLINE = [
     "q267_chain_admission",
     "q268_chain_packing",
     "q269_chain_carry_state",
+    "q270_chain_mixture",
+    "q271_chain_retro_contam",
 ]
 
 

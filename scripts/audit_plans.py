@@ -183,6 +183,12 @@ BNLJ_ALLOWED = {
     # refresh-2 batch rollup attach + refresh-1's internal rollup join
     # (both 1-row Keys:[] aggregates)
     "q269_chain_carry_state": {"scalar_aggs": 2, "filtered_batches": []},
+    # post-chain mixture: q256's ONE 1-row totals attach over the
+    # <=|sources|-row rollup (shared _mixture_report)
+    "q270_chain_mixture": {"scalar_aggs": 1, "filtered_batches": []},
+    # post-chain retro sweep: 1-row m2 split-point scalar attached
+    # lazily to select refresh-2's bench docs (q260's shape one link up)
+    "q271_chain_retro_contam": {"scalar_aggs": 1, "filtered_batches": []},
 }
 
 # Queries whose plan legitimately contains a Window with NO data-column

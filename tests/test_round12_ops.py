@@ -316,3 +316,50 @@ def test_q269_carry_from_row_equals_rescan(spark, sf_dir):
     )
     rescan = _carry_report(k1, _chain_adm2(spark, sf_dir)).collect()
     assert via_row == rescan
+
+
+def test_q270_mixture_consistent_with_chain_carry(spark, sf_dir):
+    """The post-chain rebalance's totals must agree with the chained
+    carry row: sum(n_before) = K1's size (q269.n_kept_before),
+    sum(n_added) = refresh-2 admissions (q269.n_admitted)."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+
+    mix = QUERIES["q270_chain_mixture"](spark, sf_dir).collect()
+    carry = QUERIES["q269_chain_carry_state"](spark, sf_dir).collect()[0]
+    assert sum(r.n_before for r in mix) == carry.n_kept_before
+    assert sum(r.n_added for r in mix) == carry.n_admitted
+    assert sum(r.n_after for r in mix) == carry.n_kept_before + carry.n_admitted
+
+
+def test_q271_retro_sweep_recomputed_in_python(spark, sf_dir):
+    """q271's per-source hit counts recomputed row-by-row in pure
+    Python over the collected K1 corpus and refresh-2 bench texts —
+    the r10 q260 discipline applied at the chain's second link. Also
+    pins the reason the chain version is a REAL audit: any hit doc
+    admitted in refresh 1 was clean against the smaller suite."""
+    from pyspark.sql import functions as F
+
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+    from tp_integ_data_pipeline_spark.plans.round12_queries import _chain_kept1
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    def grams(text):
+        w = text.split(" ")
+        return {
+            " ".join(w[i : i + 8]) for i in range(len(w) - 7)
+        } if len(w) >= 8 else set()
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    m2 = 3 * (max(r.doc_id for r in docs) // 4)
+    bench_grams = set()
+    for r in docs:
+        if r.doc_id >= m2 and r.doc_id % 97 == 0:
+            bench_grams |= grams(r.text)
+    k1 = _chain_kept1(spark, sf_dir).collect()
+    expected: dict[str, list[int]] = {}
+    for r in k1:
+        n, h = expected.setdefault(r.source, [0, 0])
+        hit = bool(grams(r.text) & bench_grams)
+        expected[r.source] = [n + 1, h + (1 if hit else 0)]
+    got = QUERIES["q271_chain_retro_contam"](spark, sf_dir).collect()
+    assert {r.source: [r.n_kept, r.n_retro_contaminated] for r in got} == expected

@@ -464,17 +464,20 @@ def _mixture_report(kept, admitted) -> DataFrame:
     )
 
 
-# Shared with q265_stream_mixture (round11): the rebalance over the
-# streamed sink must hash-match the SAME one-shot oracle.
-_MIXTURE_ORACLE = f"""
-    WITH {_REFRESH_SQL},
+def mixture_oracle_tail(before_from: str, added_from: str) -> str:
+    """q256's rebalance oracle over parametric (standing corpus,
+    admitted) FROM clauses — appended after a WITH chain that defines
+    them. ONE tail for the single refresh (rkept/radm), the streamed
+    sink (same relations), and the round-12 chain (ck1/cadm2), so the
+    report arithmetic cannot drift between the three."""
+    return f"""
     rb AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
-        FROM rkept GROUP BY source
+        FROM {before_from} GROUP BY source
     ),
     ra AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_added
-        FROM radm WHERE stage_idx = {_ADMIT_IDX} GROUP BY source
+        FROM {added_from} GROUP BY source
     ),
     r AS (
         SELECT COALESCE(rb.source, ra.source) AS source,
@@ -503,6 +506,14 @@ _MIXTURE_ORACLE = f"""
            ROUND(LEAST(1.0, sqrt(mna * 1.0 / n_after)), 6) AS keep_frac
     FROM r, t
     ORDER BY source
+    """
+
+
+# Shared with q265_stream_mixture (round11): the rebalance over the
+# streamed sink must hash-match the SAME one-shot oracle.
+_MIXTURE_ORACLE = f"""
+    WITH {_REFRESH_SQL},
+    {mixture_oracle_tail("rkept", f"radm WHERE stage_idx = {_ADMIT_IDX}")}
     """
 
 
@@ -826,15 +837,18 @@ def _retro_contam_report(kept, new_bench_w) -> DataFrame:
     )
 
 
-# Shared with q266_stream_retro_contam (round11).
-_RETRO_ORACLE = f"""
-    WITH {_REFRESH_SQL},
+def retro_oracle_tail(kept_from: str, new_bench_from: str) -> str:
+    """q260's retroactive-contamination oracle over parametric (kept
+    corpus, new bench docs) FROM clauses — one tail shared by the
+    single refresh (rkept / bench >= m), the streamed sink, and the
+    round-12 chain (ck1 / bench >= m2)."""
+    return f"""
     rbg_new AS (
         SELECT DISTINCT unnest({_GRAMS_SQL}) AS gram
-        FROM rw, rmid WHERE is_bench AND doc_id >= m
+        FROM {new_bench_from}
     ),
     rk2 AS (
-        SELECT doc_id, source, string_split(text, ' ') AS w FROM rkept
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM {kept_from}
     ),
     retro AS (
         SELECT DISTINCT g.doc_id
@@ -851,6 +865,13 @@ _RETRO_ORACLE = f"""
     FROM rk2
     GROUP BY source
     ORDER BY source
+    """
+
+
+# Shared with q266_stream_retro_contam (round11).
+_RETRO_ORACLE = f"""
+    WITH {_REFRESH_SQL},
+    {retro_oracle_tail("rkept", "rw, rmid WHERE is_bench AND doc_id >= m")}
     """
 
 

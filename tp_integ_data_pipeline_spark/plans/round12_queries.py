@@ -69,7 +69,11 @@ from tp_integ_data_pipeline_spark.plans.round10_queries import (
     _carry_report,
     _carry_report_from_scalars,
     _exist_kept,
+    _mixture_report,
+    _retro_contam_report,
     admission_core,
+    mixture_oracle_tail,
+    retro_oracle_tail,
 )
 from tp_integ_data_pipeline_spark.sources.fixtures import load_table
 
@@ -206,18 +210,18 @@ def _chain_adm1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(spark, "chain_adm1", (sf_dir,), build)
 
 
-def _chain_adm2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached refresh-2 admission: the >= m2 arrival against
-    the GROWN corpus K1 = kept ∪ refresh-1 admitted (texts recovered
-    by id-keyed join, the existing_kept recipe), suite = all bench
-    docs. The byte-same admission_core as every other refresh."""
+def _chain_kept1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached GROWN corpus after refresh 1: K1 = standing kept
+    ∪ refresh-1 admitted (texts recovered by id-keyed join, the
+    existing_kept recipe). Texts stay unique by construction (K0 is
+    keep-first-unique; admitted texts are batch-unique and not in K0 —
+    dup flags filtered them), so downstream probes never fan out.
+    Shape: (doc_id, source, n_words, text) — the standing-corpus
+    contract every refresh consumer expects."""
     from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
 
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "lang", "n_chars", "text"
-        )
-        based = docs.crossJoin(F.broadcast(_chain_bounds(docs)))
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         k0 = _exist_kept(spark, sf_dir).select(
             "doc_id", "source", "n_words", "text"
         )
@@ -225,9 +229,26 @@ def _chain_adm2(spark: SparkSession, sf_dir: str) -> DataFrame:
             _chain_adm1(spark, sf_dir)
             .filter(F.col("stage_idx") == _ADMIT_IDX)
             .select("doc_id", "source", "n_words")
-            .join(docs.select("doc_id", "text"), "doc_id")
+            .join(docs, "doc_id")
         )
-        k1 = k0.unionByName(adm1_kept.select("doc_id", "source", "n_words", "text"))
+        return k0.unionByName(
+            adm1_kept.select("doc_id", "source", "n_words", "text")
+        ).localCheckpoint(eager=False)
+
+    return session_cached(spark, "chain_kept1", (sf_dir,), build)
+
+
+def _chain_adm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached refresh-2 admission: the >= m2 arrival against
+    the GROWN corpus K1 (_chain_kept1), suite = all bench docs. The
+    byte-same admission_core as every other refresh."""
+    from tp_integ_data_pipeline_spark.plans.session_cache import session_cached
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars", "text"
+        )
+        based = docs.crossJoin(F.broadcast(_chain_bounds(docs)))
         arr2 = based.filter(F.col("doc_id") >= F.col("m2")).drop("m", "m2")
         suite2 = bounded_bench_grams(
             docs.filter(F.col("doc_id") % 97 == 0).select(
@@ -235,7 +256,9 @@ def _chain_adm2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.array_distinct(word_ngrams(F.col("w"), 8)),
         )
-        return admission_core(arr2, k1, suite2).localCheckpoint(eager=False)
+        return admission_core(
+            arr2, _chain_kept1(spark, sf_dir), suite2
+        ).localCheckpoint(eager=False)
 
     return session_cached(spark, "chain_adm2", (sf_dir,), build)
 
@@ -423,3 +446,70 @@ def q269_chain_carry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_start_offset").cast("long").alias("tokens_before"),
     )
     return _carry_report_from_scalars(k2, _chain_adm2(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# q270 — post-chain mixture rebalance (refresh 2's operational report)
+# --------------------------------------------------------------------------
+@query(
+    "q270_chain_mixture",
+    oracle=f"""
+    WITH {_REFRESH_SQL},
+    {_CHAIN_SQL},
+    {mixture_oracle_tail("ck1", f"cadm2 WHERE stage_idx = {_ADMIT_IDX}")}
+    """,
+)
+def q270_chain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebalance report refresh 2 emits — q256's exact arithmetic
+    (shared _mixture_report / mixture_oracle_tail, one definition for
+    the single refresh, the streamed sink, and the chain) over the
+    CHAINED state: before = the grown corpus K1 refresh 1 left
+    standing, added = refresh 2's admitted docs. Completes the chain
+    family's downstream pairing the way q265 completed round 11's:
+    the reports a standing pipeline consumes after refresh 2 are
+    computed from chain-carried state and hash-match a from-scratch
+    two-refresh replay. Two bounded per-source rollups full-joined +
+    ONE 1-row totals attach (BNLJ_ALLOWED)."""
+    return _mixture_report(
+        _chain_kept1(spark, sf_dir),
+        _chain_adm2(spark, sf_dir)
+        .filter(F.col("stage_idx") == _ADMIT_IDX)
+        .select("source"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q271 — post-chain retroactive contamination (suite growth in refresh 2)
+# --------------------------------------------------------------------------
+@query(
+    "q271_chain_retro_contam",
+    oracle=f"""
+    WITH {_REFRESH_SQL},
+    {_CHAIN_SQL},
+    {retro_oracle_tail("ck1", "rw, cm2 WHERE is_bench AND doc_id >= m2")}
+    """,
+)
+def q271_chain_retro_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q260's retroactive decontamination audit at the chain's second
+    link: refresh 2's bench docs (doc_id >= m2) sweep the corpus K1
+    that was standing when refresh 2 began. This is where the chain
+    makes the audit REAL in a way one refresh cannot: K1 contains
+    refresh-1 admissions that were decontaminated only against the
+    SMALLER suite visible through m2, so refresh-2's bench grams can
+    legitimately hit them — exactly the growing-suite exposure a
+    standing corpus accrues between refreshes (and the exactness
+    argument from q260 still holds per link: every K1 doc had zero
+    grams in the suite it was admitted under, so any hit here comes
+    from the new slice alone). Shared _retro_contam_report /
+    retro_oracle_tail; one gram explode over K1 + the bounded
+    new-slice broadcast semi-join + a per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.expr("3 * (max(doc_id) div 4)").alias("m2"))
+    new_bench = (
+        docs.crossJoin(F.broadcast(mid))
+        .filter(
+            (F.col("doc_id") >= F.col("m2")) & (F.col("doc_id") % 97 == 0)
+        )
+        .select(F.split("text", " ").alias("w"))
+    )
+    return _retro_contam_report(_chain_kept1(spark, sf_dir), new_bench)
