@@ -363,3 +363,128 @@ def test_q271_retro_sweep_recomputed_in_python(spark, sf_dir):
         expected[r.source] = [n + 1, h + (1 if hit else 0)]
     got = QUERIES["q271_chain_retro_contam"](spark, sf_dir).collect()
     assert {r.source: [r.n_kept, r.n_retro_contaminated] for r in got} == expected
+
+
+# --------------------------------------------------------------------------
+# randomized batch-chain ≡ streamed-chain differential (seeded)
+# --------------------------------------------------------------------------
+def _rand_docs(rng, ids, pool, bench_pool):
+    rows = []
+    for i in ids:
+        if i % 97 == 0:
+            rows.append((i, f"s{rng.randint(1, 3)}", rng.choice(bench_pool)))
+        else:
+            rows.append((i, f"s{rng.randint(1, 3)}", rng.choice(pool)))
+    return rows
+
+
+def _suite(spark, df):
+    return bounded_bench_grams(
+        df.select(F.split("text", " ").alias("w")),
+        F.array_distinct(word_ngrams(F.col("w"), 8)),
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_random_chain_batch_equals_streamed(spark, seed):
+    """Seeded random two-refresh chains: the BATCH funnel
+    (admission_core, the relation the q267-q271 oracles grade) and the
+    STREAMED drain (stream_refresh_admission through real foreachBatch
+    machinery) must produce identical verdicts AND identical packing
+    for both links — duplicates across arrivals, bench collisions,
+    quality failures and cross-batch dups all drawn at random. This is
+    the q261≡q255 parity claim extended over the chain seam, on inputs
+    neither path was tuned for."""
+    import random
+
+    from tp_integ_data_pipeline_spark.plans.round10_queries import (
+        _ADMIT_IDX,
+        admission_core,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"tok{i:02d}" for i in range(18)]
+
+    def mktext(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    # small pools force duplicate texts within and across arrivals;
+    # lengths straddle the too_short gate; one short-word text trips
+    # the quality band sometimes
+    pool = [mktext(rng.choice([3, 11, 12, 13, 14])) for _ in range(6)]
+    bench_pool = [mktext(10), mktext(12)]
+    kept_rows = [
+        (1, "s1", 12, "kept one " + mktext(10)),
+        (2, "s2", rng.randint(400, 600), "kept two " + mktext(10)),
+    ]
+    kept0 = spark.createDataFrame(
+        kept_rows, "doc_id long, source string, n_words int, text string"
+    )
+    ids1 = sorted(rng.sample(range(100, 260), rng.randint(6, 9)) + [194])
+    ids2 = sorted(rng.sample(range(300, 380), rng.randint(6, 9)) + [291])
+    arrival1 = spark.createDataFrame(
+        _rand_docs(rng, ids1, pool, bench_pool),
+        "doc_id long, source string, text string",
+    )
+    # arrival2 reuses pool texts -> cross-refresh dups vs ADMITTED docs
+    arrival2 = spark.createDataFrame(
+        _rand_docs(rng, ids2, pool, bench_pool),
+        "doc_id long, source string, text string",
+    )
+    b1 = spark.createDataFrame([(mktext(9),)], "text string").unionByName(
+        arrival1.filter(F.col("doc_id") % 97 == 0).select("text")
+    )
+
+    def widen(df):
+        return df.select(
+            "doc_id", "source",
+            F.lit("xx").alias("lang"),
+            F.length("text").alias("n_chars"),
+            "text",
+        )
+
+    cmp_cols = [
+        "doc_id", "n_words", "dup_batch", "dup_corpus", "too_short",
+        "low_quality", "contaminated", "stage_idx",
+    ]
+
+    def chain_link(arrival, kept, bench_docs, tokens_before):
+        """Returns (batch rows, streamed rows, admitted-with-text) for
+        one link, both sorted by doc_id, plus python-side packing check
+        against the streamed seq columns."""
+        batch = admission_core(widen(arrival), kept, _suite(spark, bench_docs))
+        brows = sorted(batch.collect(), key=lambda r: r.doc_id)
+        streamed = stream_refresh_admission(
+            spark, arrival, kept, n_batches=3,
+            arriving=arrival.select("doc_id", "source", "text"),
+            bench_docs=bench_docs,
+        )
+        srows = sorted(streamed.collect(), key=lambda r: r.doc_id)
+        assert [tuple(getattr(r, c) for c in cmp_cols) for r in brows] == [
+            tuple(getattr(r, c) for c in cmp_cols) for r in srows
+        ]
+        pos = tokens_before
+        for r in srows:
+            if r.stage_idx == _ADMIT_IDX:
+                assert (r.seq_id, r.seq_offset) == (pos // 512, pos % 512)
+                pos += r.n_tokens
+            else:
+                assert r.seq_id is None and r.seq_offset is None
+        admitted = (
+            batch.filter(F.col("stage_idx") == _ADMIT_IDX)
+            .select("doc_id", "source", "n_words")
+            .join(arrival.select("doc_id", "text"), "doc_id")
+            .select("doc_id", "source", "n_words", "text")
+        )
+        return admitted, pos
+
+    tokens0 = sum(r[2] for r in kept_rows)
+    adm1, pos1 = chain_link(arrival1, kept0, b1, tokens0)
+    kept1 = kept0.unionByName(adm1).localCheckpoint(eager=True)
+    b2 = b1.unionByName(
+        arrival2.filter(F.col("doc_id") % 97 == 0).select("text")
+    )
+    # link 2 consumes link 1's grown corpus; offset continuity asserted
+    # against pos1 (== tokens0 + link-1 admitted tokens)
+    assert pos1 == tokens0 + sum(r.n_words for r in adm1.collect())
+    chain_link(arrival2, kept1, b2, pos1)
