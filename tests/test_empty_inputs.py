@@ -263,3 +263,49 @@ def test_funnel_verdicts_on_empty(spark):
         "doc_id", "source", "lang", "n_chars", "n_words", "is_bench",
         "is_dup", "too_short", "low_quality", "contaminated", "stage_idx",
     }
+
+
+def test_chain_admission_core_and_carry_on_empty(spark):
+    """The chain's building blocks degrade on empty inputs: an empty
+    arrival yields an empty admission relation; the carry row over an
+    empty corpus + empty admission is the all-zero bookkeeping row
+    (next refresh starts at offset 0), never a crash or a NULL."""
+    from pyspark.sql import types as T
+
+    from tp_integ_data_pipeline_spark.plans.curation import (
+        bounded_bench_grams,
+        word_ngrams,
+    )
+    from tp_integ_data_pipeline_spark.plans.round10_queries import (
+        _carry_report,
+        admission_core,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    arrival = spark.createDataFrame([], schema)
+    kept = spark.createDataFrame(
+        [],
+        "doc_id long, source string, n_words int, text string",
+    )
+    grams = bounded_bench_grams(
+        arrival.select(F.split("text", " ").alias("w")),
+        F.array_distinct(word_ngrams(F.col("w"), 8)),
+    )
+    adm = admission_core(arrival, kept, grams)
+    assert adm.count() == 0
+    carry = _carry_report(kept, adm).collect()
+    assert len(carry) == 1
+    r = carry[0]
+    assert (
+        r.n_kept_before, r.n_batch, r.n_admitted,
+        r.tokens_before, r.tokens_admitted,
+        r.next_start_offset, r.n_seqs_complete, r.boundary_fill,
+    ) == (0, 0, 0, 0, 0, 0, 0, 0)

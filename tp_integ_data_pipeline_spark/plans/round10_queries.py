@@ -701,15 +701,20 @@ def _carry_report_from_scalars(k: DataFrame, adm: DataFrame) -> DataFrame:
     refresh N (q269, round12_queries). Two 1-row rollups joined (one
     scalar attach, BNLJ_ALLOWED); all-integer output."""
     is_adm = F.col("stage_idx") == _ADMIT_IDX
+    # every SUM is coalesced: over an EMPTY arriving batch (a refresh
+    # where nothing came) SUM is NULL, and the carry row must say 0 —
+    # refresh N+1 starts where N did, it does not inherit NULLs
     a = adm.agg(
         F.count(F.lit(1)).cast("long").alias("n_batch"),
-        F.sum((F.col("stage_idx") == 1).cast("int")).cast("long").alias(
-            "n_bench_held"
-        ),
-        F.sum(F.col("stage_idx").between(2, 6).cast("int"))
+        F.coalesce(F.sum((F.col("stage_idx") == 1).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_bench_held"),
+        F.coalesce(F.sum(F.col("stage_idx").between(2, 6).cast("int")), F.lit(0))
         .cast("long")
         .alias("n_rejected"),
-        F.sum(is_adm.cast("int")).cast("long").alias("n_admitted"),
+        F.coalesce(F.sum(is_adm.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_admitted"),
         F.coalesce(F.sum(F.when(is_adm, F.col("n_words")).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("tokens_admitted"),
