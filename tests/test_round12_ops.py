@@ -488,3 +488,38 @@ def test_random_chain_batch_equals_streamed(spark, seed):
     # against pos1 (== tokens0 + link-1 admitted tokens)
     assert pos1 == tokens0 + sum(r.n_words for r in adm1.collect())
     chain_link(arrival2, kept1, b2, pos1)
+
+
+def test_all_bench_and_all_rejected_batches_leave_state_unmoved(spark):
+    """Micro-batches with NO admissible docs — an all-bench batch (the
+    non-bench funnel relation is empty) and an all-rejected batch —
+    must write their verdict rows yet leave the packing offset and
+    seen-state semantics intact for later batches: the next admitted
+    doc still lands exactly at the carried offset."""
+    docs = spark.createDataFrame(
+        [
+            (97, "s1", _B1),                    # batch 1: all bench (97 % 97 == 0)
+            (120, "s1", "too short text"),       # batch 2: all rejected
+            (130, "s2", _CLEAN + " one"),        # batch 3: admitted
+        ],
+        "doc_id long, source string, text string",
+    )
+    kept = spark.createDataFrame(
+        [(50, "s1", 500, "another kept doc")],
+        "doc_id long, source string, n_words int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in stream_refresh_admission(
+            spark, docs, kept, n_batches=3,
+            arriving=docs.select("doc_id", "source", "text"),
+            bench_docs=docs.filter(F.col("doc_id") % 97 == 0).select("text"),
+        ).collect()
+    }
+    assert {d: r.stage_idx for d, r in rows.items()} == {97: 1, 120: 4, 130: 7}
+    # three docs, three batches, none skipped
+    assert sorted(r.batch_id for r in rows.values()) == [1, 2, 3]
+    # the only admitted doc starts exactly at the kept offset: the
+    # bench-only and rejected-only batches contributed zero tokens
+    assert (rows[130].seq_id, rows[130].seq_offset) == (500 // 512, 500 % 512)
+    assert rows[97].n_tokens is None and rows[120].n_tokens is None
