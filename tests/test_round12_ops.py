@@ -523,3 +523,66 @@ def test_all_bench_and_all_rejected_batches_leave_state_unmoved(spark):
     # bench-only and rejected-only batches contributed zero tokens
     assert (rows[130].seq_id, rows[130].seq_offset) == (500 // 512, 500 % 512)
     assert rows[97].n_tokens is None and rows[120].n_tokens is None
+
+
+def test_streamed_chain_reproduces_graded_chain_relations(spark, sf_dir):
+    """The two-refresh chain driven entirely through the STREAMING
+    drain on the real corpus reproduces the relations the oracles
+    grade: each link's verdicts equal the batch chain's (q267's
+    inputs), and the streamed packing slots equal q268's rows for
+    that link — so the chain story holds end-to-end through real
+    foreachBatch machinery, not just in the synthetic/randomized
+    corpora."""
+    from tp_integ_data_pipeline_spark.plans.registry import QUERIES
+    from tp_integ_data_pipeline_spark.plans.round10_queries import _exist_kept
+    from tp_integ_data_pipeline_spark.plans.round12_queries import (
+        _chain_adm1,
+        _chain_adm2,
+        _chain_kept1,
+    )
+    from tp_integ_data_pipeline_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    m, m2 = hi // 2, 3 * (hi // 4)
+    cmp_cols = [
+        "doc_id", "n_words", "dup_batch", "dup_corpus", "too_short",
+        "low_quality", "contaminated", "stage_idx",
+    ]
+    pack = {
+        (r.refresh_id, r.doc_id): (r.n_tokens, r.seq_id, r.seq_offset)
+        for r in QUERIES["q268_chain_packing"](spark, sf_dir).collect()
+    }
+
+    def check_link(rid, arrival, kept, bench_docs, batch_adm):
+        streamed = sorted(
+            stream_refresh_admission(
+                spark, docs, kept, n_batches=3,
+                arriving=arrival, bench_docs=bench_docs,
+            ).collect(),
+            key=lambda r: r.doc_id,
+        )
+        batch = sorted(batch_adm.collect(), key=lambda r: r.doc_id)
+        assert [tuple(getattr(r, c) for c in cmp_cols) for r in streamed] == [
+            tuple(getattr(r, c) for c in cmp_cols) for r in batch
+        ]
+        for r in streamed:
+            if r.stage_idx == 7:
+                assert pack[(rid, r.doc_id)] == (r.n_tokens, r.seq_id, r.seq_offset)
+
+    check_link(
+        1,
+        docs.filter((F.col("doc_id") >= m) & (F.col("doc_id") < m2)),
+        _exist_kept(spark, sf_dir),
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < m2)).select("text"),
+        _chain_adm1(spark, sf_dir),
+    )
+    check_link(
+        2,
+        docs.filter(F.col("doc_id") >= m2),
+        _chain_kept1(spark, sf_dir),
+        docs.filter(F.col("doc_id") % 97 == 0).select("text"),
+        _chain_adm2(spark, sf_dir),
+    )
