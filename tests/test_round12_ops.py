@@ -1,10 +1,13 @@
 """Round-12: multi-refresh chaining and crash recovery.
 
 1. Crash recovery: the foreachBatch atomic-commit ordering — a crash
-   on EITHER side of the sink-write / state-commit boundary must
-   converge to the single-delivery drain when the run is restarted
-   with the same (staging, sink, checkpoint). Complements round 11's
-   same-run redelivery test with the driver-restart case.
+   at ANY point around the sink-write / marker-commit / state boundary
+   must converge to the single-delivery drain when the run is
+   restarted with the same (staging, sink, checkpoint). Complements
+   round 11's same-run redelivery test with the driver-restart case.
+   The commit point is the drain-owned _DRAIN_COMMITTED marker (r13:
+   replaced the Hadoop committer's _SUCCESS file, whose presence
+   depends on a foreign config).
 2. Two-refresh chaining through streaming/refresh.py: refresh N+1
    consumes refresh N's output (grown kept corpus, grown benchmark
    suite, carried packing offset) and its verdicts/packing must show
@@ -68,16 +71,22 @@ def _crash_fixture(spark):
     return staging, kept_texts, bench
 
 
-@pytest.mark.parametrize("crash_phase", ["before_sink_write", "after_sink_write"])
+@pytest.mark.parametrize(
+    "crash_phase",
+    ["before_sink_write", "after_sink_write", "after_commit_marker"],
+)
 def test_crash_recovery_converges_to_single_delivery(spark, crash_phase):
-    """Kill the drain once at the chosen side of the sink-write /
-    state-commit boundary on epoch 1 of 4, then restart with the same
-    dirs: the resumed run must produce exactly the crash-free answer.
-    after_sink_write is the case the r11 verdict called out — the
-    epoch's partition EXISTS but driver state never advanced; recovery
-    must treat the _SUCCESS-marked partition as committed (skip the
-    replay, count its tokens) rather than replaying against reset
-    state and double-counting the offset."""
+    """Kill the drain once at each point around the sink-write /
+    marker-commit / state boundary on epoch 1 of 4, then restart with
+    the same dirs: the resumed run must produce exactly the crash-free
+    answer. after_sink_write is the torn case — the epoch's partition
+    EXISTS but the drain-owned commit marker was never written, so
+    recovery must classify it uncommitted and the replay overwrite it
+    (not count it half-way). after_commit_marker is the case the r11
+    verdict called out — the epoch is durably committed but driver
+    state never advanced; recovery must treat the marked partition as
+    committed (skip the replay, count its tokens) rather than
+    replaying against reset state and double-counting the offset."""
     staging, kept_texts, bench = _crash_fixture(spark)
     reference = sorted(
         run_refresh_drain(spark, staging, kept_texts, bench, 500).collect()
@@ -100,9 +109,12 @@ def test_crash_recovery_converges_to_single_delivery(spark, crash_phase):
     assert fired == [1]
 
     # the restart's recovered state must reflect the crash point:
-    # epoch 0 always committed; epoch 1 committed iff its write landed
+    # epoch 0 always committed; epoch 1 committed iff the MARKER landed
+    # (a data partition without the marker is uncommitted by design)
     rec = recover_drain_state(spark, sink, staging, 500)
-    assert rec["last_epoch"] == (1 if crash_phase == "after_sink_write" else 0)
+    assert rec["last_epoch"] == (
+        1 if crash_phase == "after_commit_marker" else 0
+    )
 
     resumed = sorted(
         run_refresh_drain(
@@ -138,6 +150,24 @@ def test_recovered_offset_and_seen_match_committed_prefix(spark):
     assert sorted(r.text for r in rec["seen"].collect()) == sorted(
         [_CLEAN + " one", _CLEAN + " two"]
     )
+
+
+def test_explicit_arriving_rejects_cache_key(spark):
+    """The staging cache is keyed by (cache_key, n_batches) alone, so
+    it cannot distinguish two different explicit `arriving` relations —
+    the documented contract is now a checked one (r12 advice)."""
+    docs = spark.createDataFrame(
+        [(100, "s1", _CLEAN)], "doc_id long, source string, text string"
+    )
+    kept = spark.createDataFrame(
+        [(50, "s1", 10, "another kept doc")],
+        "doc_id long, source string, n_words int, text string",
+    )
+    with pytest.raises(ValueError, match="cache_key"):
+        stream_refresh_admission(
+            spark, docs, kept, n_batches=2,
+            cache_key="k", arriving=docs.select("doc_id", "source", "text"),
+        )
 
 
 _B1 = "secret bench marker words eight exact tokens lineup plus extra tail words"

@@ -1,4 +1,4 @@
-"""Round-12 family: CHAINED refreshes (q267–q269) — refresh N+1
+"""Round-12 family: CHAINED refreshes (q267–q271) — refresh N+1
 consuming refresh N's emitted output, the multi-day operating mode the
 reference actually runs (main.py:80–114 re-executes the same pipeline
 every period against whatever the previous runs left standing).

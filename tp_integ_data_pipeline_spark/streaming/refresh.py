@@ -81,7 +81,22 @@ from tp_integ_data_pipeline_spark.sources.fixtures import scratch_dir
 # the staged CONTENT — callers key by the fixture dir, whose `arriving`
 # derivation is fixed (the doc_id >= max div 2 split); a caller staging
 # a DIFFERENT relation must use a different key (or None to bypass).
+# stream_refresh_admission ENFORCES this: an explicit `arriving`
+# override rejects cache_key outright (r12 advice), since the key
+# cannot know what relation it would alias.
 _ARRIVAL_STAGING_CACHE: dict[tuple[str, int], str] = {}
+
+# Drain-owned per-epoch commit marker, written by admit_batch AFTER the
+# epoch's parquet job committed and checked by recover_drain_state. The
+# Hadoop committer's _SUCCESS file is NOT used as the commit signal: it
+# exists only while mapreduce.fileoutputcommitter.marksuccessfuljobs
+# stays at its default, which object-store committers commonly disable
+# — and a restart that misclassified committed epochs as uncommitted
+# would reset the offset while Structured Streaming's checkpoint still
+# skips those triggers, packing every later batch at the wrong offset
+# (r12 advice). A leading underscore keeps Spark's parquet reader from
+# treating the marker as data.
+_COMMIT_MARKER = "_DRAIN_COMMITTED"
 
 
 def split_arrival(arriving: DataFrame, n_batches: int, order_col: str = "doc_id") -> DataFrame:
@@ -165,12 +180,16 @@ def recover_drain_state(
     """Rebuilds the drain's cross-batch state from the sink — the
     recovery a driver RESTART needs (the in-process epoch guard alone
     only covers same-run redelivery). An epoch counts as committed iff
-    its partition carries the parquet job-commit ``_SUCCESS`` marker —
-    the same atomicity boundary admit_batch's in-process commit uses
-    (state advances only after the write job committed), so a crash at
-    ANY point yields: marker present → replay skipped, partition is
-    the complete single-delivery answer; marker absent → partition
-    ignored here and recomputed-then-overwritten by the replay.
+    its partition carries the DRAIN-OWNED ``_DRAIN_COMMITTED`` marker,
+    which admit_batch writes only after the epoch's parquet job
+    committed — deliberately NOT the Hadoop committer's ``_SUCCESS``
+    file, whose presence depends on a foreign config (see
+    _COMMIT_MARKER). The marker is the durable commit point, so a
+    crash at ANY point yields: marker present → replay skipped,
+    partition is the complete single-delivery answer; marker absent
+    (even with a fully written partition) → partition ignored here and
+    recomputed-then-overwritten by the replay, which also rewrites the
+    marker because overwrite mode clears the epoch dir first.
 
     Recovered state: ``offset`` = tokens_before + the committed
     partitions' admitted-token sum; ``seen`` = the non-bench texts of
@@ -181,7 +200,7 @@ def recover_drain_state(
     committed = sorted(
         int(os.path.basename(d).split("=")[1])
         for d in glob.glob(os.path.join(sink, "epoch=*"))
-        if os.path.exists(os.path.join(d, "_SUCCESS"))
+        if os.path.exists(os.path.join(d, _COMMIT_MARKER))
     )
     if not committed:
         return {
@@ -242,6 +261,16 @@ def stream_refresh_admission(
     ``bench_docs`` overrides the benchmark suite (a ``text`` column;
     default: the doc_id%97 slice of ``docs``) — the suite refresh N+1
     sees includes the bench docs earlier refreshes delivered."""
+    if arriving is not None and cache_key is not None:
+        # the staging cache is keyed by (cache_key, n_batches) alone —
+        # it cannot tell two different `arriving` relations apart, so a
+        # reused key would silently return the OTHER relation's staged
+        # batches. Make the documented contract a checked one (r12
+        # advice): explicit arrivals always stage fresh.
+        raise ValueError(
+            "cache_key is only valid for the default arrival derivation; "
+            "pass cache_key=None when supplying an explicit `arriving`"
+        )
     if arriving is None:
         mid = docs.agg(F.expr("max(doc_id) div 2").alias("m"))
         arriving = (
@@ -305,10 +334,12 @@ def run_refresh_drain(
     single-delivery answer (exercised by the round-12 crash tests).
 
     ``fault_hook(epoch_id, phase)`` is a TEST-ONLY seam called at
-    phase "before_sink_write" and "after_sink_write" inside each
-    batch; raising from it simulates a crash on either side of the
-    sink write / state commit boundary. Never set in production
-    paths."""
+    phases "before_sink_write", "after_sink_write" (data written,
+    commit marker not yet — the epoch is still uncommitted) and
+    "after_commit_marker" (the epoch is durably committed, in-memory
+    state not yet advanced) inside each batch; raising from it
+    simulates a crash around the sink-write / marker-commit / state
+    boundary. Never set in production paths."""
     sink = sink or scratch_dir(prefix="refresh_sink_")
     ckpt = ckpt or scratch_dir(prefix="refresh_ckpt_")
     # cross-batch state: recovered from the sink on (re)start — a
@@ -466,11 +497,19 @@ def run_refresh_drain(
         )
         if fault_hook is not None:
             fault_hook(int(epoch_id), "before_sink_write")
-        out.write.mode("overwrite").parquet(
-            os.path.join(sink, f"epoch={int(epoch_id)}")
-        )
+        epoch_dir = os.path.join(sink, f"epoch={int(epoch_id)}")
+        out.write.mode("overwrite").parquet(epoch_dir)
         if fault_hook is not None:
             fault_hook(int(epoch_id), "after_sink_write")
+        # the DURABLE commit point: the drain-owned marker (see
+        # _COMMIT_MARKER — not the committer's _SUCCESS file). A crash
+        # before this line leaves the epoch uncommitted (the fully
+        # written partition is overwritten by the replay); a crash
+        # after it leaves a committed epoch the replay skips.
+        with open(os.path.join(epoch_dir, _COMMIT_MARKER), "w"):
+            pass
+        if fault_hook is not None:
+            fault_hook(int(epoch_id), "after_commit_marker")
         # everything fallible is done — commit the epoch's state
         state["offset"] += batch_tokens
         state["seen"] = new_seen
