@@ -782,16 +782,24 @@ def main() -> None:
     # and the PRINTED line keeps the same schema but trims `queries` to
     # the slowest entries that fit, with n_queries/n_queries_shown
     # making the trim explicit. `value` is always the full-suite total.
-    with open(
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_last.json"
-        ),
-        "w",
-    ) as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL_last.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    # BENCH_FULL_last.json is a mutable working file — every run
+    # overwrites it, and the r12 round lost a driver run's full table
+    # exactly that way. Each run ALSO writes an immutable snapshot:
+    # BENCH_FULL_<tag>.json, tag = $SPARK_GRAFT_BENCH_TAG if set (the
+    # round ritual sets e.g. r13_canonical) else a UTC timestamp, so a
+    # later invocation can never clobber an earlier run's record.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or time.strftime(
+        "%Y%m%dT%H%M%SZ", time.gmtime()
+    )
+    snapshot = f"BENCH_FULL_{tag}.json"
+    with open(os.path.join(here, snapshot), "w") as fh:
         json.dump(payload, fh, indent=1)
     line = {k: v for k, v in payload.items() if k != "scale_probe"}
     line["n_queries"] = len(timings)
-    line["full_table"] = "BENCH_FULL_last.json"
+    line["full_table"] = snapshot
     # 1-minute load average at completion: a 225 s driver run vs a
     # 168 s idle canonical run is pure box load, and without this field
     # that is only provable by forensics. Self-labeling beats arguing.
