@@ -725,10 +725,27 @@ def scale_probe(spark, sf_dir: str) -> dict:
     return probe
 
 
+def cpu_spin_ms() -> float:
+    """Fixed 20M-iteration pure-Python spin, in ms — a raw single-core
+    speed probe. The sandbox VM's clock policy varies run to run (r13:
+    idle single-core measured 2.0× slower than the same core under
+    load — power-save downclocking that uniformly inflates the
+    driver-side single-threaded phases every sub-second query pays).
+    Like loadavg_1m, this makes a slow-clock window self-labeling: a
+    run with cpu_spin_ms far above its round-over-round neighbors is a
+    clock-policy artifact, not a plan regression."""
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return round((time.time() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    spin_ms = cpu_spin_ms()
     spark = get_session("bench")
 
     # Warmup (untimed): JVM + codegen + parquet footer caches.
@@ -770,6 +787,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpu_spin_ms": spin_ms,
     }
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE") == "1":
         payload["scale_probe"] = scale_probe(spark, sf_dir)
@@ -804,6 +822,9 @@ def main() -> None:
     # 168 s idle canonical run is pure box load, and without this field
     # that is only provable by forensics. Self-labeling beats arguing.
     line["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    # (cpu_spin_ms rides along from the payload: raw single-core speed
+    # at run start, labeling slow-clock windows the way loadavg_1m
+    # labels busy-box windows)
     shown = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
     while True:
         line["queries"] = shown
