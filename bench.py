@@ -788,6 +788,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpu_spin_ms": spin_ms,
+        # measured at completion, same as the printed line's field —
+        # the full-table snapshot must be self-labeling on its own
+        "loadavg_1m": round(os.getloadavg()[0], 2),
     }
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE") == "1":
         payload["scale_probe"] = scale_probe(spark, sf_dir)
@@ -818,13 +821,11 @@ def main() -> None:
     line = {k: v for k, v in payload.items() if k != "scale_probe"}
     line["n_queries"] = len(timings)
     line["full_table"] = snapshot
-    # 1-minute load average at completion: a 225 s driver run vs a
-    # 168 s idle canonical run is pure box load, and without this field
-    # that is only provable by forensics. Self-labeling beats arguing.
-    line["loadavg_1m"] = round(os.getloadavg()[0], 2)
-    # (cpu_spin_ms rides along from the payload: raw single-core speed
-    # at run start, labeling slow-clock windows the way loadavg_1m
-    # labels busy-box windows)
+    # (loadavg_1m and cpu_spin_ms ride along from the payload:
+    # 1-minute load at completion labels busy-box windows, raw
+    # single-core speed at run start labels slow-clock windows — a
+    # 225 s run vs a 168 s idle canonical is provable from the line
+    # itself instead of by forensics. Self-labeling beats arguing.)
     shown = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
     while True:
         line["queries"] = shown
