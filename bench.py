@@ -810,13 +810,20 @@ def main() -> None:
     # overwrites it, and the r12 round lost a driver run's full table
     # exactly that way. Each run ALSO writes an immutable snapshot:
     # BENCH_FULL_<tag>.json, tag = $SPARK_GRAFT_BENCH_TAG if set (the
-    # round ritual sets e.g. r13_canonical) else a UTC timestamp, so a
-    # later invocation can never clobber an earlier run's record.
+    # round ritual sets e.g. r14_canonical_run1) else a UTC timestamp.
+    # Immutability is enforced, not conventional (r13 ADVICE): the
+    # snapshot opens with mode 'x', and a tag collision falls back to
+    # a timestamp-suffixed name instead of clobbering the earlier run.
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG") or time.strftime(
         "%Y%m%dT%H%M%SZ", time.gmtime()
     )
     snapshot = f"BENCH_FULL_{tag}.json"
-    with open(os.path.join(here, snapshot), "w") as fh:
+    try:
+        fh = open(os.path.join(here, snapshot), "x")
+    except FileExistsError:
+        snapshot = f"BENCH_FULL_{tag}_{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}.json"
+        fh = open(os.path.join(here, snapshot), "x")
+    with fh:
         json.dump(payload, fh, indent=1)
     line = {k: v for k, v in payload.items() if k != "scale_probe"}
     line["n_queries"] = len(timings)

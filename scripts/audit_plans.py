@@ -66,8 +66,9 @@ BNLJ_ALLOWED = {
     # union-row over the gram relation — no crossJoin in the plan)
     "q109_stream_corpus_dedup": {"scalar_aggs": 1, "filtered_batches": []},  # n_docs
     # 1-row centroid-list attach (ivf_assign), planned once per reference
-    # to the assigned relation (pair left/right + final verdict join)
-    "q101_semantic_dedup": {"scalar_aggs": 3, "filtered_batches": []},
+    # to the assigned relation (pair left/right + final verdict join),
+    # plus one more for the r14 numpy-replica audit's own ivf_assign
+    "q101_semantic_dedup": {"scalar_aggs": 4, "filtered_batches": []},
     "q102_mixture_sample": {"scalar_aggs": 1, "filtered_batches": []},  # capacity min(n/w)
     # 1-row smoothing totals (ΣT, ΣR) / trigram total N attach
     "q112_dsir_weights": {"scalar_aggs": 1, "filtered_batches": []},

@@ -1,0 +1,111 @@
+"""Builds the round-14 canonical bench record — and PINS the
+eligibility rule the r13 forensics established (r13 verdict item 4),
+so "canonical = two best fresh runs" is code, not convention:
+
+  * a run is canonical-ELIGIBLE iff its self-labels are in band:
+      - cpu_spin_ms <= SPIN_BAND (1.15) x the minimum spin across all
+        candidate runs passed in (the round's cleanest observed clock)
+      - loadavg_1m  <  LOAD_CAP (2.0)
+  * out-of-band runs are REJECTED with the reason printed; the
+    canonical table is the per-query min over the two eligible runs
+    with the lowest totals; fewer than two eligible runs = hard error
+    (collect more runs — never hand-pick around the rule).
+
+This removes the r13 mid-round SUPERSEDED/CANONICAL retitling: a run
+either qualifies when it lands or it doesn't, and the judge can
+re-derive the verdict from the committed snapshots alone. Also prints
+the comparable-key diff vs the round-13 canonical table in BASELINE.md
+and the dot-separated per-query listing BASELINE.md records. Usage:
+
+    python scripts/build_canonical_r14.py RUN_A.json RUN_B.json [...]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import statistics
+import sys
+
+SPIN_BAND = 1.15
+LOAD_CAP = 2.0
+PREV_CANONICAL = "### Round-13 FINAL bench (169-query headline, runs 7 & 11) — CANONICAL"
+
+
+def main() -> None:
+    runs = []
+    for path in sys.argv[1:]:
+        d = json.load(open(path))
+        runs.append((path, d))
+    if len(runs) < 2:
+        sys.exit("need at least two run snapshots")
+
+    min_spin = min(d["cpu_spin_ms"] for _, d in runs)
+    eligible = []
+    for path, d in runs:
+        spin, load = d["cpu_spin_ms"], d["loadavg_1m"]
+        why = []
+        if spin > SPIN_BAND * min_spin:
+            why.append(f"spin {spin} > {SPIN_BAND} x min {min_spin}")
+        if load >= LOAD_CAP:
+            why.append(f"loadavg {load} >= {LOAD_CAP}")
+        if why:
+            print(f"REJECTED {path}: {'; '.join(why)}")
+        else:
+            print(f"eligible {path}: total {d['value']} spin {spin} load {load}")
+            eligible.append((path, d))
+    if len(eligible) < 2:
+        sys.exit(
+            f"only {len(eligible)} eligible run(s) — collect more runs; "
+            "the band is the rule, not a suggestion"
+        )
+    eligible.sort(key=lambda pd: pd[1]["value"])
+    (pa, a), (pb, b) = eligible[0], eligible[1]
+    print(f"canonical pair: {pa} + {pb}")
+
+    qa, qb = a["queries"], b["queries"]
+    assert set(qa) == set(qb), "run key sets differ"
+    mins = {k: min(qa[k], qb[k]) for k in qa}
+    total = round(sum(mins.values()), 3)
+    print(f"run totals: {a['value']} / {b['value']}; min-of-2 sum {total} "
+          f"over {len(mins)} queries")
+    print(f"spins: {a.get('cpu_spin_ms')} / {b.get('cpu_spin_ms')} ms; "
+          f"loadavg: {a.get('loadavg_1m')} / {b.get('loadavg_1m')}")
+
+    # comparable diff vs the r13 canonical table
+    txt = open("BASELINE.md").read()
+    sec = txt.split(PREV_CANONICAL)[1].split("### ")[0]
+    prev = {m.group(1): float(m.group(2))
+            for m in re.finditer(r"(q\d+)\s+([\d.]+)", sec)}
+    pref = lambda k: k.split("_")[0]  # noqa: E731
+    cur = {pref(k): v for k, v in mins.items()}
+    common = sorted(set(prev) & set(cur), key=lambda k: int(k[1:]))
+    s_prev = sum(prev[k] for k in common)
+    s_cur = sum(cur[k] for k in common)
+    rats = [cur[k] / prev[k] for k in common if prev[k] >= 0.2]
+    print(f"comparable-{len(common)} subset: {round(s_cur,1)} s vs r13's "
+          f"{round(s_prev,1)} s ({round(s_cur/s_prev,2)}x); median per-key "
+          f"ratio {round(statistics.median(rats),2)}")
+    gate = [(k, prev[k], cur[k]) for k in common
+            if cur[k] > 1.3 * prev[k] and cur[k] - prev[k] > 0.5]
+    print(f"keys beyond the 1.3x/0.5s gate: {len(gate)}")
+    for k, o, n in sorted(gate, key=lambda t: t[2] - t[1], reverse=True)[:20]:
+        print(f"  {k}: {o} -> {round(n,2)}")
+
+    # the BASELINE.md per-query listing
+    items = sorted(cur.items(), key=lambda kv: int(kv[0][1:]))
+    parts = [f"{k} {v:.2f}" for k, v in items]
+    out, line = [], ""
+    for p in parts:
+        if len(line) + len(p) + 3 > 72:
+            out.append(line + " ·")
+            line = p
+        else:
+            line = (line + " · " + p) if line else p
+    out.append(line)
+    print()
+    print("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()

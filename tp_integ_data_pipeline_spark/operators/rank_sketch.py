@@ -24,9 +24,12 @@ v, w) are exactly what a daily pipeline would persist and re-merge
 without rescanning raw data — same re-aggregable contract as the HLL
 (q120), CMS (q165), and KMV (q168) partials.
 
-No reference-repo counterpart (SURVEY.md §2.10 extension surface);
-rows-only by nature (multi-level float resampling is not SQL), with
-the error-bound property suite standing in for the oracle.
+No reference-repo counterpart (SURVEY.md §2.10 extension surface).
+The multi-level float resampling is not SQL, but its rank-error
+CONTRACT is: since round 14 the registry query (q181) is hash-graded
+through the exact-rank audit (|rank(est) - p·n| <= 2n/k + n_salts,
+recomputed from raw data), with the error-bound property suite
+covering the estimates themselves.
 """
 
 from __future__ import annotations
@@ -119,6 +122,52 @@ def summary_quantiles(summary: DataFrame, probs: list[float]) -> DataFrame:
         .groupBy("key", "p")
         .agg(F.min("v").alias("est"))
         .orderBy("key", "p")
+    )
+
+
+def rank_error_audit(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    est: DataFrame,
+    k: int = 256,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Audit quantile estimates against raw data: for each (key, p,
+    est) row of ``est``, recompute the EXACT rank of est within its
+    key group (count of values <= est — one pass over ``df`` with the
+    model-sized estimate relation broadcast) and emit per (key, p):
+    the exact group size ``n``, ``rank_err_ok`` =
+    |rank(est) - p·n| <= 2n/k + n_salts (the two-level MRL bound plus
+    the stage-1 fan-out slack), and ``est_in_data`` (MRL picks data
+    elements, never interpolates — equality is exact on untouched
+    doubles). When the sketch honors its contract the booleans are
+    constant TRUE and n is SQL-exact, which is what lets q181 be
+    hash-graded (r13 verdict item 3). Cost at 100 TB: one broadcast
+    hash join + map-side partial agg — same class as any grouped
+    count. Mutation-tested in tests/test_round14_ops.py (corrupted
+    estimates flip the booleans)."""
+    audited = (
+        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value"))
+        .join(F.broadcast(est), "key")
+        .groupBy("key", "p", "est")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") <= F.col("est"), 1).otherwise(0)).alias(
+                "est_rank"
+            ),
+            F.max(F.col("value") == F.col("est")).alias("est_in_data"),
+        )
+    )
+    bound = F.lit(2.0) * F.col("n") / F.lit(k) + F.lit(n_salts)
+    return audited.select(
+        "key",
+        "p",
+        F.col("n").cast("long").alias("n"),
+        (F.abs(F.col("est_rank") - F.col("p") * F.col("n")) <= bound).alias(
+            "rank_err_ok"
+        ),
+        "est_in_data",
     )
 
 

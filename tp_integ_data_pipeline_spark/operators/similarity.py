@@ -321,6 +321,46 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_exact_replica(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Independent brute-force replica of semantic_dedup's drop
+    predicate, for auditing: per cell, a dense numpy Gram matrix
+    (float64 matmul — a different cosine code path from the engine's
+    zip_with/aggregate left-fold) marks each vector dropped iff some
+    LOWER-id same-cell neighbor has cosine >= ``threshold``. Returns
+    ``(id, drop_exact)`` — one row per input vector. GIVEN the cell
+    assignment, (keep == NOT drop_exact) per vector is semantic_dedup's
+    exact characterization, which is what lets q101 be hash-graded
+    (r13 verdict item 3). Cost is Σ|cell|² — the same class as the
+    operator itself (SemDeDup confines pairwise work to cells); one
+    Arrow batch per cell. Mutation-tested in tests/test_round14_ops.py
+    (a flipped keep flag is detected)."""
+    import numpy as np
+    import pandas as pd
+
+    def replica(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["n_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["nv"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        gram = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+        drop = (np.tril(gram, -1) >= threshold).any(axis=1)
+        return pd.DataFrame({"id": ids, "drop_exact": drop})
+
+    return (
+        ivf_assign(emb, centroids, id_col, vec_col)
+        .groupBy("cell")
+        .applyInPandas(replica, schema="id long, drop_exact boolean")
+    )
+
+
 def srp_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Signed-random-projection bit signature (n_planes bits) as long.
 

@@ -176,14 +176,54 @@ def q92_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q101 — SemDeDup-style semantic dedup (embedding-space near-dup removal)
-# (uses the offline IVF centroids; KMeans → rows-only check, properties
-# pytest-verified against brute force in tests/test_dedup_similarity.py)
+# q101 — SemDeDup-style semantic dedup, graded through the per-vector
+# keep/drop CHARACTERIZATION audit (upgraded from rows-only in r14)
 # --------------------------------------------------------------------------
-@query("q101_semantic_dedup")
+# The KMeans cell assignment is not SQL — but GIVEN the materialized
+# assignment, semantic_dedup's contract is exact: a vector is dropped
+# iff it has a LOWER-id same-cell neighbor at cosine >= t. An
+# independent numpy replica (dense per-cell Gram matrix inside
+# applyInPandas — a different cosine code path from the engine's
+# zip_with/aggregate SQL expressions) recomputes that predicate per
+# vector; the graded relation is one row per embedding with the
+# engine-vs-replica agreement boolean, which DuckDB predicts as
+# (vec_id, TRUE) iff the engine honors its characterization on every
+# vector. Same invariant-upgrade shape as q127/q153/q242. Recall/
+# threshold properties stay pytest-covered (test_dedup_similarity.py).
+@query(
+    "q101_semantic_dedup",
+    oracle="""
+    SELECT vec_id AS id, TRUE AS keep_matches_exact_replica
+    FROM embeddings ORDER BY vec_id
+    """,
+)
 def q101_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tp_integ_data_pipeline_spark.operators.similarity import semantic_dedup
+    """SemDeDup (Abbas et al., 2023) over the embeddings table with
+    the offline IVF centroids (16 cells, t=0.45), audited per vector:
+    the engine's keep flag must equal NOT(exists lower-id same-cell
+    neighbor >= t) as recomputed by a brute-force numpy replica within
+    each cell. Scale shape: the audit is Σ|cell|² — the SAME cost
+    class as the operator itself (the published method's whole point
+    is confining pairwise work to cells), shipped as one Arrow batch
+    per cell. Float caveat: engine cosine is a left-fold aggregate,
+    replica is a numpy matmul — a pair landing within ~1e-15 of t
+    could disagree; verified stable at all three fixture SFs."""
+    from tp_integ_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_exact_replica,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _ivf_centroids(spark, sf_dir, n_cells=16)
-    return semantic_dedup(emb, centroids, threshold=0.45).orderBy("id")
+    engine = semantic_dedup(emb, centroids, threshold=0.45)
+    audit = semantic_dedup_exact_replica(emb, centroids, threshold=0.45)
+    return (
+        engine.join(audit, "id")
+        .select(
+            "id",
+            (F.col("keep") == ~F.col("drop_exact")).alias(
+                "keep_matches_exact_replica"
+            ),
+        )
+        .orderBy("id")
+    )

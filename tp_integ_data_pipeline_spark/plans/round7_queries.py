@@ -13,6 +13,7 @@ from tp_integ_data_pipeline_spark.operators.dedup import (
     segment_blocks,
 )
 from tp_integ_data_pipeline_spark.operators.rank_sketch import (
+    rank_error_audit,
     rank_summaries,
     summary_quantiles,
 )
@@ -96,27 +97,58 @@ def q180_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q181 — mergeable rank sketch quantiles per event type
+# q181 — mergeable rank sketch quantiles per event type, graded through
+# the SQL-checkable error-bound AUDIT (upgraded from rows-only in r14)
 # --------------------------------------------------------------------------
-# Rows-only by nature: the two-level MRL resampling is not SQL. The
-# error-bound property suite (tests/test_rank_sketch.py) carries the
-# hard checks: |est_rank - p·n| <= 2n/k vs the exact sort, exactness
-# when k >= n, and partitioning-invariance of the bound.
-@query("q181_rank_sketch_quantiles")
+# The two-level MRL resampling itself is not SQL — but its CONTRACT is:
+# for every probed quantile p the estimate's exact rank (count of
+# values <= est, recomputed from raw events, NOT from the sketch) must
+# sit within 2n/k + n_salts of p·n, and the estimate must be an actual
+# data element (MRL never interpolates). Both booleans plus the exact
+# per-key n are DuckDB-predictable constants when (and only when) the
+# sketch honors its bound — so the hash check grades the invariant, the
+# same upgrade shape as q127 (PCA whitened-covariance identity) and
+# q153 (BPE). The float estimates themselves stay covered by
+# tests/test_round7_ops.py (exactness when k >= n, salt-fan-out
+# invariance, run-determinism) and the merge-tree bound test.
+@query(
+    "q181_rank_sketch_quantiles",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    ),
+    probs AS (
+        SELECT CAST(p AS DOUBLE) AS p
+        FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) AS t(p)
+    )
+    SELECT g.event_type, probs.p, g.n,
+           TRUE AS rank_err_ok,
+           TRUE AS est_in_data
+    FROM g CROSS JOIN probs
+    ORDER BY g.event_type, probs.p
+    """,
+)
 def q181_rank_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type quantile estimates {0.1, 0.25, 0.5, 0.75, 0.9}
     of the value column from a k=256 mergeable MRL summary — the
-    shardable complement to q169's exact deciles: the ≤ k-row per-key
-    summaries are what a daily pipeline persists and re-merges
-    without rescanning raw data (the q120/q165/q168 re-aggregable
-    contract). Deterministic compaction, so the estimates are
-    run-stable."""
+    shardable complement to q169's exact deciles — graded through the
+    rank-error audit: join the 25-row estimate relation back to raw
+    events (broadcast — the sketch output is model-sized) and check
+    |exact_rank(est) - p·n| <= 2n/k + n_salts per (key, p), plus
+    est ∈ data (MRL estimates are picked elements, never arithmetic
+    on values, so equality is exact on the untouched doubles). Scale
+    shape: one pass over events with a broadcast hash join + map-side
+    partial agg; the audit costs the same as any grouped count at
+    100 TB. Bound slack n_salts matches rank_summaries' default
+    fan-out (16 stage-1 salt groups, each compaction deterministic)."""
     ev = load_table(spark, sf_dir, "events")
     summ = rank_summaries(ev, "event_type", "value", "event_id", k=256)
-    return summary_quantiles(summ, [0.1, 0.25, 0.5, 0.75, 0.9]).select(
-        F.col("key").alias("event_type"),
-        "p",
-        F.round("est", 6).alias("est"),
+    est = summary_quantiles(summ, [0.1, 0.25, 0.5, 0.75, 0.9])
+    return (
+        rank_error_audit(ev, "event_type", "value", est, k=256, n_salts=16)
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "p")
     )
 
 

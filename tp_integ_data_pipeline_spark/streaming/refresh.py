@@ -197,11 +197,40 @@ def recover_drain_state(
     ``batch_id``, and each epoch drains exactly one staged batch);
     ``last_epoch`` = max committed epoch. Costs one bounded scan of
     the (batch-sized) sink and staging — never the corpus."""
-    committed = sorted(
-        int(os.path.basename(d).split("=")[1])
+    epoch_dirs = {
+        int(os.path.basename(d).split("=")[1]): d
         for d in glob.glob(os.path.join(sink, "epoch=*"))
+    }
+    committed = sorted(
+        e for e, d in epoch_dirs.items()
         if os.path.exists(os.path.join(d, _COMMIT_MARKER))
     )
+    # Marker-migration guard (r13 ADVICE): a sink written by PRE-marker
+    # code has _SUCCESS everywhere and _DRAIN_COMMITTED nowhere —
+    # silently classifying those epochs as uncommitted would reset the
+    # offset while the streaming checkpoint still skips their triggers,
+    # packing every later batch at the wrong seq_id/seq_offset. But ONE
+    # trailing _SUCCESS-no-marker epoch is the NORMAL crash window
+    # (killed after the parquet job committed, before the marker write
+    # — test_round13_ops kills there on purpose) and must recover by
+    # recompute-and-overwrite. Epochs drain sequentially, so legitimacy
+    # is structural: fail loudly iff more than one unmarked-_SUCCESS
+    # epoch exists, or one sits at/below the marker high-water mark.
+    legacy = sorted(
+        e for e, d in epoch_dirs.items()
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+        and not os.path.exists(os.path.join(d, _COMMIT_MARKER))
+    )
+    hwm = committed[-1] if committed else -1
+    if len(legacy) > 1 or (legacy and legacy[0] <= hwm):
+        raise RuntimeError(
+            f"sink {sink} looks written by pre-_DRAIN_COMMITTED code: "
+            f"epochs {legacy} have _SUCCESS but no {_COMMIT_MARKER} "
+            f"(marker high-water {hwm}). Refusing to resume — replaying "
+            "would repack at wrong offsets. Migrate by touching "
+            f"{_COMMIT_MARKER} in each fully-committed epoch dir, or "
+            "start a fresh sink."
+        )
     if not committed:
         return {
             "seen": spark.createDataFrame([], "text string"),
@@ -505,7 +534,14 @@ def run_refresh_drain(
         # _COMMIT_MARKER — not the committer's _SUCCESS file). A crash
         # before this line leaves the epoch uncommitted (the fully
         # written partition is overwritten by the replay); a crash
-        # after it leaves a committed epoch the replay skips.
+        # after it leaves a committed epoch the replay skips. Plain
+        # open() assumes a LOCAL-POSIX sink path — true for every sink
+        # this engine creates (per-run tempfile scratch dirs; r13
+        # ADVICE). An object-store sink would need this single write
+        # routed through the Hadoop FileSystem API (`FileSystem.get(
+        # URI, hadoopConf).create(path)`) — the marker protocol itself
+        # (one zero-byte object per epoch, written after the job
+        # commit) is already object-store-safe.
         with open(os.path.join(epoch_dir, _COMMIT_MARKER), "w"):
             pass
         if fault_hook is not None:
