@@ -58,9 +58,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r10 keys remain: q147 q148 q149 q150 q151 q152 q154 q155 q156
 # q157 q158 q159 q160 q161 q162 q248 q249 q250 q251 q252 q253 q254
 # = 15+7) — round 16 fronts those and fills from the oldest r11
-# cohort. Expected r15 no_oracle keys: q26 q52 q122 q139 (approx
-# aggs / IVF / stream left-outer / IVF-PQ, rows-only by nature;
-# q101 was upgraded to an invariant hash check in round 14).
+# cohort. Expected r15 no_oracle keys: q52 q122 q139 (IVF / stream
+# left-outer / IVF-PQ, rows-only by nature; q101 and q26 were
+# upgraded to invariant hash checks in round 14).
 _ROTATE_FRONT = (
     "q211 q212 q213 q214 q215 q216 q217 q218 q219 q220 q221 q222 "
     "q223 q224 q225 q226 q227 q228 q229 q230 q231 q232 "

@@ -178,15 +178,70 @@ def q25_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q26 — approximate aggregates (no SQL oracle: sketch-based)
+# q26 — approximate aggregates, graded through the SQL-checkable
+# error-contract AUDIT (upgraded from rows-only in r14, the q181 shape)
 # --------------------------------------------------------------------------
-@query("q26_approx_aggregates")
+# The sketches (HLL++ approx_count_distinct, Greenwald-Khanna-style
+# percentile_approx) are not SQL — their published CONTRACTS are:
+# |hll - exact| within 3x the rsd (0.05 default) of the exact distinct
+# count, and the approx median an ACTUAL data value whose exact rank
+# sits within n/accuracy (+1 tie slack) of 0.5n. Exact counts are SQL;
+# when the sketches honor their contracts the booleans are constant
+# TRUE — so DuckDB predicts the whole relation. At 100 TB a pipeline
+# runs the approx side alone; this audit (one extra broadcast-join
+# pass, itself fully distributed) is what certifies the sketch against
+# its contract at validation SFs.
+@query(
+    "q26_approx_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_distinct_ok,
+           TRUE AS median_rank_ok,
+           TRUE AS median_in_data
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q26_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("med"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n"),
+    )
+    audited = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(agg), "l_returnflag")
+        .groupBy("l_returnflag", "approx_parts", "med", "exact_parts", "n")
+        .agg(
+            F.sum((F.col("l_extendedprice") < F.col("med")).cast("long")).alias(
+                "cnt_lt"
+            ),
+            F.sum((F.col("l_extendedprice") <= F.col("med")).cast("long")).alias(
+                "cnt_le"
+            ),
+            F.max(F.col("l_extendedprice") == F.col("med")).alias("median_in_data"),
+        )
+    )
+    # with duplicate values rank is an interval [cnt_lt, cnt_le]; the
+    # target 0.5n must land within it, extended by the GK rank-error
+    # n/accuracy (default accuracy 10000) plus 1 for the ceil
+    slack = F.col("n") / F.lit(10000) + F.lit(1)
+    target = F.lit(0.5) * F.col("n")
+    return audited.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.lit(3 * 0.05) * F.col("exact_parts")
+        ).alias("approx_distinct_ok"),
+        (
+            (target >= F.col("cnt_lt") - slack) & (target <= F.col("cnt_le") + slack)
+        ).alias("median_rank_ok"),
+        "median_in_data",
     ).orderBy("l_returnflag")
 
 
