@@ -28,7 +28,11 @@ import statistics
 import sys
 
 SPIN_BAND = 1.15
-LOAD_CAP = 2.0
+# loadavg_1m is measured at run COMPLETION, so it includes the bench's
+# own local[32] work — clean r13 canonical runs labeled 3.1-5.4. The
+# cap screens CO-RESIDENT load on top of that (the contaminated r13
+# driver window labeled 7.69); cpu_spin_ms is the primary gate.
+LOAD_CAP = 7.0
 PREV_CANONICAL = "### Round-13 FINAL bench (169-query headline, runs 7 & 11) — CANONICAL"
 
 
