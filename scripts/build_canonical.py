@@ -1,0 +1,144 @@
+"""Round-agnostic canonical bench builder — the standing successor to
+scripts/build_canonical_r14.py (kept as the frozen round-14 record).
+It PINS the eligibility rule the r13 forensics established (r13
+verdict item 4), so "canonical = two best fresh runs" is code, not
+convention:
+
+  * a run is canonical-ELIGIBLE iff its self-labels are in band:
+      - cpu_spin_ms <= SPIN_BAND (1.15) x the minimum spin across all
+        candidate runs passed in (the round's cleanest observed clock)
+      - loadavg_1m  <  LOAD_CAP (7.0) — loadavg is sampled at run
+        COMPLETION so it includes the bench's own local[32] work;
+        clean runs label 3.1-5.4, the cap screens CO-RESIDENT load
+        (the contaminated r13 driver window labeled 7.69), and spin
+        is the primary gate
+  * out-of-band runs are REJECTED with the reason printed; the
+    canonical table is the per-query min over the two eligible runs
+    with the lowest totals; fewer than two eligible runs = hard error
+    (collect more runs — never hand-pick around the rule).
+
+The round number N is inferred from the snapshot filenames
+(BENCH_FULL_r{N}_canonical_run*.json; all candidates must agree), and
+the comparison target is the HIGHEST round M < N with a
+"### Round-M FINAL bench ... — CANONICAL" section in BASELINE.md —
+no per-round constant edits. A judge can re-derive any round's
+verdict from the committed snapshots alone:
+
+    python scripts/build_canonical.py BENCH_FULL_r15_canonical_run*.json
+
+Known dynamics (BASELINE.md round-14 window section): one new very-
+clean-spin run can tighten the band and reject previously-eligible
+runs — the canonical is deterministic over the committed snapshot
+set, so stop collecting once a good pair is in hand.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import statistics
+import sys
+
+SPIN_BAND = 1.15
+LOAD_CAP = 7.0
+
+
+def main() -> None:
+    runs = []
+    for path in sys.argv[1:]:
+        d = json.load(open(path))
+        runs.append((path, d))
+    if len(runs) < 2:
+        sys.exit("need at least two run snapshots")
+
+    rounds = set()
+    for path, _ in runs:
+        m = re.search(r"r(\d+)_canonical_run\d+", path)
+        if not m:
+            sys.exit(f"cannot infer round from snapshot name: {path}")
+        rounds.add(int(m.group(1)))
+    if len(rounds) != 1:
+        sys.exit(f"snapshots span multiple rounds: {sorted(rounds)}")
+    this_round = rounds.pop()
+
+    txt = open("BASELINE.md").read()
+    prev_hdrs = [
+        (int(m.group(1)), m.group(0))
+        for m in re.finditer(
+            r"### Round-(\d+) FINAL bench[^\n]*— CANONICAL$", txt, re.M
+        )
+        if int(m.group(1)) < this_round
+    ]
+    if not prev_hdrs:
+        sys.exit(f"no prior-round CANONICAL bench section before r{this_round}")
+    prev_round, prev_hdr = max(prev_hdrs)
+    print(f"round r{this_round}; comparing vs r{prev_round}: {prev_hdr!r}")
+
+    min_spin = min(d["cpu_spin_ms"] for _, d in runs)
+    eligible = []
+    for path, d in runs:
+        spin, load = d["cpu_spin_ms"], d["loadavg_1m"]
+        why = []
+        if spin > SPIN_BAND * min_spin:
+            why.append(f"spin {spin} > {SPIN_BAND} x min {min_spin}")
+        if load >= LOAD_CAP:
+            why.append(f"loadavg {load} >= {LOAD_CAP}")
+        if why:
+            print(f"REJECTED {path}: {'; '.join(why)}")
+        else:
+            print(f"eligible {path}: total {d['value']} spin {spin} load {load}")
+            eligible.append((path, d))
+    if len(eligible) < 2:
+        sys.exit(
+            f"only {len(eligible)} eligible run(s) — collect more runs; "
+            "the band is the rule, not a suggestion"
+        )
+    eligible.sort(key=lambda pd: pd[1]["value"])
+    (pa, a), (pb, b) = eligible[0], eligible[1]
+    print(f"canonical pair: {pa} + {pb}")
+
+    qa, qb = a["queries"], b["queries"]
+    assert set(qa) == set(qb), "run key sets differ"
+    mins = {k: min(qa[k], qb[k]) for k in qa}
+    total = round(sum(mins.values()), 3)
+    print(f"run totals: {a['value']} / {b['value']}; min-of-2 sum {total} "
+          f"over {len(mins)} queries")
+    print(f"spins: {a.get('cpu_spin_ms')} / {b.get('cpu_spin_ms')} ms; "
+          f"loadavg: {a.get('loadavg_1m')} / {b.get('loadavg_1m')}")
+
+    # comparable diff vs the previous round's canonical table
+    sec = txt.split(prev_hdr)[1].split("### ")[0]
+    prev = {m.group(1): float(m.group(2))
+            for m in re.finditer(r"(q\d+)\s+([\d.]+)", sec)}
+    pref = lambda k: k.split("_")[0]  # noqa: E731
+    cur = {pref(k): v for k, v in mins.items()}
+    common = sorted(set(prev) & set(cur), key=lambda k: int(k[1:]))
+    s_prev = sum(prev[k] for k in common)
+    s_cur = sum(cur[k] for k in common)
+    rats = [cur[k] / prev[k] for k in common if prev[k] >= 0.2]
+    print(f"comparable-{len(common)} subset: {round(s_cur,1)} s vs "
+          f"r{prev_round}'s {round(s_prev,1)} s ({round(s_cur/s_prev,2)}x); "
+          f"median per-key ratio {round(statistics.median(rats),2)}")
+    gate = [(k, prev[k], cur[k]) for k in common
+            if cur[k] > 1.3 * prev[k] and cur[k] - prev[k] > 0.5]
+    print(f"keys beyond the 1.3x/0.5s gate: {len(gate)}")
+    for k, o, n in sorted(gate, key=lambda t: t[2] - t[1], reverse=True)[:20]:
+        print(f"  {k}: {o} -> {round(n,2)}")
+
+    # the BASELINE.md per-query listing
+    items = sorted(cur.items(), key=lambda kv: int(kv[0][1:]))
+    parts = [f"{k} {v:.2f}" for k, v in items]
+    out, line = [], ""
+    for p in parts:
+        if len(line) + len(p) + 3 > 72:
+            out.append(line + " ·")
+            line = p
+        else:
+            line = (line + " · " + p) if line else p
+    out.append(line)
+    print()
+    print("\n".join(out))
+
+
+if __name__ == "__main__":
+    main()
