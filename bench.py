@@ -821,8 +821,22 @@ def main() -> None:
     try:
         fh = open(os.path.join(here, snapshot), "x")
     except FileExistsError:
-        snapshot = f"BENCH_FULL_{tag}_{time.strftime('%Y%m%dT%H%M%SZ', time.gmtime())}.json"
-        fh = open(os.path.join(here, snapshot), "x")
+        # r14 ADVICE: the timestamp fallback alone can still collide
+        # (two tagged runs finishing in the same UTC second) and a
+        # second FileExistsError would crash the bench at the very end,
+        # losing the run's full table. pid + a counter make the name
+        # unique without ever clobbering an earlier snapshot.
+        stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        for i in range(1000):
+            suffix = f"{stamp}_p{os.getpid()}" + (f"_{i}" if i else "")
+            snapshot = f"BENCH_FULL_{tag}_{suffix}.json"
+            try:
+                fh = open(os.path.join(here, snapshot), "x")
+                break
+            except FileExistsError:
+                continue
+        else:  # pragma: no cover - 1000 collisions is not a real scenario
+            raise
     with fh:
         json.dump(payload, fh, indent=1)
     line = {k: v for k, v in payload.items() if k != "scale_probe"}
