@@ -31,7 +31,11 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 def get_profiling_session(event_dir: str) -> SparkSession:
     """Mirror of session.get_session plus event logging (profiling only)."""
-    from tp_integ_data_pipeline_spark.session import DEFAULT_CPUS, _ship_package
+    from tp_integ_data_pipeline_spark.session import (
+        AQE_MIN_PARTITION_SIZE,
+        DEFAULT_CPUS,
+        _ship_package,
+    )
 
     builder = (
         SparkSession.builder.master(f"local[{DEFAULT_CPUS}]")
@@ -39,6 +43,10 @@ def get_profiling_session(event_dir: str) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            AQE_MIN_PARTITION_SIZE,
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -54,6 +62,9 @@ def get_profiling_session(event_dir: str) -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
+    from tp_integ_data_pipeline_spark.session import _install_worker_shim
+
+    _install_worker_shim(spark)
     return spark
 
 

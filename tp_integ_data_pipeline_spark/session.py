@@ -19,6 +19,24 @@ from pyspark.sql import SparkSession
 # spark.sql.adaptive.coalescePartitions for the rest.
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# AQE coalescing floor (round-15, guide §2.2/§2.5). AQE's partition
+# coalescing is BYTES-ONLY: with parallelismFirst=true (default) it
+# still merges any post-shuffle stage whose total bytes are below
+# ~minPartitionSize × parallelism down to a handful of partitions.
+# For byte-dense relations that is right; for COMPUTE-dense ones it
+# serializes the stage — measured here on q175: the 1.6 MB distinct
+# candidate-pair relation feeds an array_intersect verify over ~100-
+# element token arrays, and the default 1 MB floor collapsed it to ONE
+# task (2.4 s serial; q175 4.9→2.1 s, q163 14.8→4.4 s, q185 4.6→1.2 s
+# in the same-session A/B with the floor at 128k).
+# The floor ONLY binds for sub-advisory relations (large shuffles are
+# governed by advisoryPartitionSizeInBytes), so lowering it does not
+# touch the fewer-larger-partitions discipline for data-sized stages
+# at any scale; it just lets parallelismFirst actually deliver
+# parallelism when bytes underestimate compute. Env-overridable for
+# cluster tuning.
+AQE_MIN_PARTITION_SIZE = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "128k")
+
 
 def get_session(app_name: str = "tp_integ_data_pipeline_spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
@@ -28,6 +46,10 @@ def get_session(app_name: str = "tp_integ_data_pipeline_spark", cpus: int | None
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            AQE_MIN_PARTITION_SIZE,
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Runtime bloom-filter semi-join reduction: on a selective join
         # the big side is pre-filtered by a bloom filter built from the
@@ -232,6 +254,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.minPartitionSize", AQE_MIN_PARTITION_SIZE),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
