@@ -95,6 +95,55 @@ def test_zipimport_patch_rereads_changed_archive(tmp_path):
     assert imp.load_module("shimmed_pkg_v").VALUE == 2
 
 
+def test_scan_spread_gate_and_determinism(spark, sf_dir):
+    """The unsplittable-scan spread (sources/fixtures) must fire only
+    for sub-split files above the dim floor, use the FIXED partition
+    count (layout independent of core count), and be deterministic
+    across loads (same rows in the same partitions — the float-fold
+    stability contract)."""
+    from tp_integ_data_pipeline_spark.sources import fixtures
+    from tp_integ_data_pipeline_spark.sources.fixtures import (
+        _SPREAD_PARTITIONS,
+        load_table,
+    )
+
+    # region at any SF is dim-sized -> single-task scan, no spread
+    region = load_table(spark, sf_dir, "region")
+    assert region.rdd.getNumPartitions() <= 2
+
+    # force-eligible table: drop the floor so documents spreads even at
+    # the small test SF, then check fixed width + per-partition
+    # determinism across two independent loads
+    orig = fixtures._SPREAD_MIN_BYTES
+    fixtures._SPREAD_MIN_BYTES = 1
+    try:
+        d1 = load_table(spark, sf_dir, "documents")
+        assert d1.rdd.getNumPartitions() == _SPREAD_PARTITIONS
+        from pyspark.sql import functions as F
+
+        def layout(df):
+            return sorted(
+                df.select(F.spark_partition_id().alias("p"), "doc_id")
+                .groupBy("p")
+                .agg(F.sum("doc_id").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+
+        d2 = load_table(spark, sf_dir, "documents")
+        assert layout(d1) == layout(d2)
+    finally:
+        fixtures._SPREAD_MIN_BYTES = orig
+
+
+def test_parse_bytes():
+    from tp_integ_data_pipeline_spark.sources.fixtures import _parse_bytes
+
+    assert _parse_bytes("128m") == 128 * 1024**2
+    assert _parse_bytes("1g") == 1024**3
+    assert _parse_bytes("134217728") == 128 * 1024**2
+    assert _parse_bytes("64KB") == 64 * 1024
+
+
 def test_shim_opt_out_env(monkeypatch, spark):
     """SPARK_GRAFT_NO_WORKER_SHIM=1 must skip installation cleanly."""
     from tp_integ_data_pipeline_spark.session import _install_worker_shim

@@ -666,7 +666,8 @@ def _column_stats_oracle() -> str:
            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
            ROUND(MIN({c}), 6) AS min_v,
            ROUND(MAX({c}), 6) AS max_v,
-           ROUND(AVG({c}), 6) AS avg_v
+           ROUND(CAST(SUM(CAST({c} AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT({c}), 6) AS avg_v
     FROM lineitem""")
     return " UNION ALL ".join(parts) + " ORDER BY col"
 
@@ -691,7 +692,18 @@ def q173_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(c).alias(f"__ndv_{c}"),
             F.round(F.min(c), 6).alias(f"__mn_{c}"),
             F.round(F.max(c), 6).alias(f"__mx_{c}"),
-            F.round(F.avg(c), 6).alias(f"__av_{c}"),
+            # avg via the exact-DECIMAL sum convention (PLANS.md header
+            # rule): a float AVG's partial-combine order follows the
+            # scan layout, and the round-15 scan spread exposed a
+            # one-ULP ROUND(,6) flip here (sf0.01 l_discount). The
+            # decimal sum is order-independent, so the rounded value
+            # is layout-independent; the oracle spells the identical
+            # formulation.
+            F.round(
+                F.sum(F.col(c).cast("decimal(38,12)")).cast("double")
+                / F.count(F.col(c)),
+                6,
+            ).alias(f"__av_{c}"),
         ]
     one = li.agg(*aggs)
     stack = ", ".join(

@@ -10,6 +10,8 @@ engines see identical values.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,7 +35,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts") if name == "events" else None
     if ts_type == "bigint":
         # ns → µs integer division (`div`, not `/`: double would lose
@@ -45,7 +48,82 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # an instant yields the same values the bigint path produced —
         # one stable events schema across Spark minor versions.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return _spread_unsplittable_scan(spark, df, path)
+
+
+def _spread_unsplittable_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-15 (guide §2.5 input skew): the fixture tables are single
+    row-group parquet FILES, so the scan is ONE task and every
+    row-local transform before the first exchange — shingle explodes,
+    char-gram generation, tokenization — runs serially regardless of
+    core count (measured: q175's shingle+freq stage was a single
+    894 ms task on 32 idle cores). The guide's remedy for unsplittable
+    inputs is to repartition immediately after the read; this helper
+    applies it ONLY when the whole input fits in one scan split (file
+    size ≤ spark.sql.files.maxPartitionBytes), i.e. exactly the case
+    where the scan cannot parallelize itself and the redistribution
+    shuffle is bounded by ONE split of data — at production scale
+    inputs span many splits/files and this is a no-op. The partition
+    count follows the session's scheduling parallelism, the same
+    scale-adaptive source the shuffle-partition default uses.
+
+    Every registered query's graded output is partition-layout
+    independent (exact/decimal aggregates, deterministic folds for the
+    float-graded keys, keyed winner rules — the r4–r6 hardening), so
+    spreading the scan changes wall-clock only; the full 3-SF oracle
+    differential re-proves this on the final round-15 code."""
+    try:
+        size = os.path.getsize(path)
+        max_split = int(
+            _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        )
+        # lower bound: spreading a dim-sized table (region, nation,
+        # supplier) would ADD a 32-task wave to every consumer for no
+        # map-side work worth parallelizing; those stay single-task
+        # (and keep their broadcast-build cost at one partition).
+        if size > max_split or size < _SPREAD_MIN_BYTES:
+            return df
+        # FIXED partition count, not defaultParallelism: the spread
+        # changes which rows fold together in first-level float
+        # partials, so the layout must be a pure function of the file
+        # (the r4 determinism lesson — q173's ROUND(AVG) flipped one
+        # ULP when the layout followed core count). Round-robin from a
+        # single-split scan is deterministic (file order in, fixed
+        # cycle out, sortBeforeRepartition pinning retries), so a
+        # constant count makes every downstream fold identical on any
+        # machine/core count. 32 matches the bench box; override via
+        # SPARK_GRAFT_SPREAD_PARTITIONS for other deployments.
+        return df.repartition(_SPREAD_PARTITIONS)
+    except Exception:  # pragma: no cover - conservative fallback
+        return df
+
+
+# Tables below this size keep the plain single-task scan: their serial
+# map work is tiny, so the spread's extra exchange is pure overhead.
+# Measured: spreading part/customer (176/308 KB at sf0.1) REGRESSED the
+# linkage family, which consumes them through broadcast-fed
+# delete-variant joins with light map work (q145 1.6->2.2 s, q176
+# 2.4->3.6 s interleaved A/B; no join-strategy flip — purely the extra
+# exchanges). 512 KB spreads exactly the compute-dense relations
+# (documents/embeddings/events/orders/lineitem at sf0.1), where the A/B
+# shows 2-4x per-query wins (q57 4.3->1.0 s, q56 4.2->1.8 s,
+# q198 2.6->0.6 s, q41 3.0->1.1 s, q01 1.8->1.1 s).
+_SPREAD_MIN_BYTES = 512 * 1024
+
+# Deterministic spread width (see _spread_unsplittable_scan): constant
+# so the fold layout never follows the environment.
+_SPREAD_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SPREAD_PARTITIONS", "32"))
+
+
+def _parse_bytes(v: str) -> int:
+    v = v.strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    for suffix, mult in units.items():
+        if v.endswith(suffix + "b"):
+            return int(float(v[:-2]) * mult)
+        if v.endswith(suffix):
+            return int(float(v[:-1]) * mult)
+    return int(v)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES) -> None:
