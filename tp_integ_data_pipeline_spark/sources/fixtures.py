@@ -48,10 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # an instant yields the same values the bigint path produced —
         # one stable events schema across Spark minor versions.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return _spread_unsplittable_scan(spark, df, path)
+    return _spread_unsplittable_scan(spark, df, path, name)
 
 
-def _spread_unsplittable_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+def _spread_unsplittable_scan(
+    spark: SparkSession, df: DataFrame, path: str, name: str
+) -> DataFrame:
     """Round-15 (guide §2.5 input skew): the fixture tables are single
     row-group parquet FILES, so the scan is ONE task and every
     row-local transform before the first exchange — shingle explodes,
@@ -73,6 +75,8 @@ def _spread_unsplittable_scan(spark: SparkSession, df: DataFrame, path: str) -> 
     spreading the scan changes wall-clock only; the full 3-SF oracle
     differential re-proves this on the final round-15 code."""
     try:
+        if name not in _SPREAD_TABLES:
+            return df
         size = os.path.getsize(path)
         max_split = int(
             _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
@@ -98,16 +102,24 @@ def _spread_unsplittable_scan(spark: SparkSession, df: DataFrame, path: str) -> 
         return df
 
 
-# Tables below this size keep the plain single-task scan: their serial
-# map work is tiny, so the spread's extra exchange is pure overhead.
-# Measured: spreading part/customer (176/308 KB at sf0.1) REGRESSED the
-# linkage family, which consumes them through broadcast-fed
-# delete-variant joins with light map work (q145 1.6->2.2 s, q176
-# 2.4->3.6 s interleaved A/B; no join-strategy flip — purely the extra
-# exchanges). 512 KB spreads exactly the compute-dense relations
-# (documents/embeddings/events/orders/lineitem at sf0.1), where the A/B
-# shows 2-4x per-query wins (q57 4.3->1.0 s, q56 4.2->1.8 s,
-# q198 2.6->0.6 s, q41 3.0->1.1 s, q01 1.8->1.1 s).
+# The spread is worth paying ONLY where consumers are uniformly
+# row-local-compute-heavy — the unstructured corpora, whose every
+# consumer explodes text into grams/shingles/tokens or folds vectors
+# (documents: q41/q42/q56/q57/q105–q113/q153/q193/q195/q198/…;
+# embeddings: the similarity family). Measured both directions at
+# sf0.1:
+#   * documents consumers: q57 4.3→1.0 s, q56 4.2→1.8 s,
+#     q198 2.6→0.6 s, q41 3.0→1.1 s, q113 2.9→1.4 s (A/B, min-of-2);
+#   * relational facts (lineitem/orders/events) REGRESSED when spread
+#     — their consumers aggregate/sketch in the scan stage with light
+#     map work, so the extra full-table exchange only costs (q202
+#     1.9→4.4 s, q124 4.8→8.2 s, q138 2.6→4.1 s, q171 1.5→2.9 s
+#     across the two bench passes that tried it), exactly like the
+#     dim-fed linkage family (q145 1.6→2.2 s, q176 2.4→3.6 s when
+#     part/customer were spread).
+# So the spread is an allowlist of the corpus tables plus size gates;
+# everything else keeps the plain scan.
+_SPREAD_TABLES = {"documents", "embeddings"}
 _SPREAD_MIN_BYTES = 512 * 1024
 
 # Deterministic spread width (see _spread_unsplittable_scan): constant
