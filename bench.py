@@ -745,6 +745,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # 1-minute load BEFORE any work starts: the true co-residency
+    # label. The at-completion loadavg_1m (kept below for continuity)
+    # mixes in the bench's OWN local[32] work, and the round-15 code
+    # legitimately runs hotter (more parallel stages after the scan
+    # spread / AQE floor), so completion load no longer separates
+    # co-resident contamination from healthy self-load.
+    loadavg_start = round(os.getloadavg()[0], 2)
     spin_ms = cpu_spin_ms()
     spark = get_session("bench")
 
@@ -791,6 +798,7 @@ def main() -> None:
         # measured at completion, same as the printed line's field —
         # the full-table snapshot must be self-labeling on its own
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "loadavg_1m_start": loadavg_start,
     }
     if os.environ.get("SPARK_GRAFT_SCALE_PROBE") == "1":
         payload["scale_probe"] = scale_probe(spark, sf_dir)
