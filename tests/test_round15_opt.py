@@ -107,16 +107,23 @@ def test_scan_spread_gate_and_determinism(spark, sf_dir):
         load_table,
     )
 
-    # region at any SF is dim-sized -> single-task scan, no spread
-    region = load_table(spark, sf_dir, "region")
-    assert region.rdd.getNumPartitions() <= 2
+    # round 16: the spread is consumer-opt-in via session conf (set per
+    # query by plans/registry.apply_query_confs) — OFF by default
+    d0 = load_table(spark, sf_dir, "documents")
+    assert d0.rdd.getNumPartitions() <= 2
 
-    # force-eligible table: drop the floor so documents spreads even at
-    # the small test SF, then check fixed width + per-partition
-    # determinism across two independent loads
+    spark.conf.set("spark.tp_integ.spreadCorpusScan", "true")
     orig = fixtures._SPREAD_MIN_BYTES
     fixtures._SPREAD_MIN_BYTES = 1
     try:
+        # region at any SF is dim-sized -> single-task scan, no spread
+        # (not an allowlisted corpus table)
+        region = load_table(spark, sf_dir, "region")
+        assert region.rdd.getNumPartitions() <= 2
+
+        # force-eligible table: the floor is dropped so documents
+        # spreads even at the small test SF; check fixed width +
+        # per-partition determinism across two independent loads
         d1 = load_table(spark, sf_dir, "documents")
         assert d1.rdd.getNumPartitions() == _SPREAD_PARTITIONS
         from pyspark.sql import functions as F
@@ -133,6 +140,7 @@ def test_scan_spread_gate_and_determinism(spark, sf_dir):
         assert layout(d1) == layout(d2)
     finally:
         fixtures._SPREAD_MIN_BYTES = orig
+        spark.conf.set("spark.tp_integ.spreadCorpusScan", "false")
 
 
 def test_parse_bytes():

@@ -26,9 +26,36 @@ Shape, at 100 TB:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set runtime confs for an EAGER region and restore on exit.
+    Only valid around code that runs its actions inside the region
+    (the IRLS loop collects every iteration, so it qualifies)."""
+    saved: dict[str, str | None] = {}
+    for key, v in confs.items():
+        try:
+            saved[key] = spark.conf.get(key, None)
+            spark.conf.set(key, v)
+        except Exception:  # pragma: no cover - immutable conf
+            pass
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            try:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+            except Exception:  # pragma: no cover
+                pass
 
 
 def feature_bucket(col: F.Column, n_buckets: int) -> F.Column:
@@ -141,60 +168,78 @@ def logreg_irls_train(
         features.repartition(train_partitions, "id").localCheckpoint(eager=True)
     )
     lab = labels.repartition(train_partitions, "id").localCheckpoint(eager=True)
-    # the per-doc feature outer product is ITERATION-INDEPENDENT —
-    # build the (id, j, k, xx) pair relation once (id-keyed self
-    # equi-join, row-locally bounded by per-doc distinct features,
-    # exchange-free on the co-partitioned input) and checkpoint it;
-    # each Newton step then only re-weights it.
-    pairs = (
-        feats.alias("a")
-        .join(feats.alias("b"), F.col("a.id") == F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id"),
-            F.col("a.j").alias("j"),
-            F.col("b.j").alias("k"),
-            (F.col("a.x") * F.col("b.x")).alias("xx"),
-        )
-        .join(lab, "id")
-        .localCheckpoint(eager=True)
-    )
-    bias_j = d - 1
-    beta = np.zeros(d)
-    for _ in range(n_iters):
-        blit = F.lit([float(b) for b in beta])
-        m = feats.groupBy("id").agg(
-            F.sum(F.col("x") * F.element_at(blit, F.col("j") + 1)).alias("z")
-        )
-        m = m.select("id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p"))
-        rows = (
-            pairs.join(m, "id")
-            .groupBy("j", "k")
-            .agg(
-                F.sum(F.col("p") * (1.0 - F.col("p")) * F.col("xx")).alias("h"),
-                F.sum(
-                    F.when(F.col("k") == bias_j, (F.col("y") - F.col("p")) * F.col("xx"))
-                ).alias("g"),
+    # Everything from the pair build onward reduces MODEL-SIZED
+    # relations (≤ d² rows per iteration), yet inherited the session's
+    # corpus-scale shuffle width — at bench scale that is pure task-
+    # wave scheduling per Newton step (the r15 scaling block showed
+    # q242 running 2.3× FASTER on 8 cores than 32). The loop is eager
+    # (one collect per iteration), so a scoped conf is exact: size the
+    # only remaining exchange — the (j, k) rollup — to the
+    # co-partitioned relation width instead. Scale-correct by
+    # construction: the rollup's input is bounded by d², never by the
+    # corpus, so its width follows train_partitions, not cluster size.
+    spark_sess = features.sparkSession
+    with _scoped_conf(
+        spark_sess, {"spark.sql.shuffle.partitions": str(train_partitions)}
+    ):
+        # the per-doc feature outer product is ITERATION-INDEPENDENT —
+        # build the (id, j, k, xx) pair relation once (id-keyed self
+        # equi-join, row-locally bounded by per-doc distinct features,
+        # exchange-free on the co-partitioned input) and checkpoint it;
+        # each Newton step then only re-weights it.
+        pairs = (
+            feats.alias("a")
+            .join(feats.alias("b"), F.col("a.id") == F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id"),
+                F.col("a.j").alias("j"),
+                F.col("b.j").alias("k"),
+                (F.col("a.x") * F.col("b.x")).alias("xx"),
             )
-            .collect()
+            .join(lab, "id")
+            .localCheckpoint(eager=True)
         )
-        # the gradient rides exclusively on k = bias rows: features
-        # built WITHOUT the bias row would silently train to β = 0
-        # (g ≡ −λβ = 0 from the start) — fail loudly instead
-        if rows and not any(r["k"] == bias_j for r in rows):
-            raise ValueError(
-                "logreg_irls_train: features carry no bias row "
-                f"(j = {bias_j}); build them with "
-                "hashed_word_features(..., bias=True) and d = n_buckets + 1"
+        bias_j = d - 1
+        beta = np.zeros(d)
+        for _ in range(n_iters):
+            blit = F.lit([float(b) for b in beta])
+            m = feats.groupBy("id").agg(
+                F.sum(F.col("x") * F.element_at(blit, F.col("j") + 1)).alias("z")
             )
-        g = -l2 * beta
-        H = l2 * np.eye(d)
-        for r in rows:
-            H[r["j"], r["k"]] += r["h"]
-            if r["k"] == bias_j and r["g"] is not None:
-                g[r["j"]] += r["g"]
-        if tol is not None and np.abs(g).max() < tol:
-            break
-        beta = beta + np.linalg.solve(H, g)
+            m = m.select(
+                "id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p")
+            )
+            rows = (
+                pairs.join(m, "id")
+                .groupBy("j", "k")
+                .agg(
+                    F.sum(F.col("p") * (1.0 - F.col("p")) * F.col("xx")).alias("h"),
+                    F.sum(
+                        F.when(
+                            F.col("k") == bias_j, (F.col("y") - F.col("p")) * F.col("xx")
+                        )
+                    ).alias("g"),
+                )
+                .collect()
+            )
+            # the gradient rides exclusively on k = bias rows: features
+            # built WITHOUT the bias row would silently train to β = 0
+            # (g ≡ −λβ = 0 from the start) — fail loudly instead
+            if rows and not any(r["k"] == bias_j for r in rows):
+                raise ValueError(
+                    "logreg_irls_train: features carry no bias row "
+                    f"(j = {bias_j}); build them with "
+                    "hashed_word_features(..., bias=True) and d = n_buckets + 1"
+                )
+            g = -l2 * beta
+            H = l2 * np.eye(d)
+            for r in rows:
+                H[r["j"], r["k"]] += r["h"]
+                if r["k"] == bias_j and r["g"] is not None:
+                    g[r["j"]] += r["g"]
+            if tol is not None and np.abs(g).max() < tol:
+                break
+            beta = beta + np.linalg.solve(H, g)
     return beta
 
 

@@ -666,7 +666,7 @@ def _column_stats_oracle() -> str:
            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
            ROUND(MIN({c}), 6) AS min_v,
            ROUND(MAX({c}), 6) AS max_v,
-           ROUND(CAST(SUM(CAST({c} AS DECIMAL(38,12))) AS DOUBLE)
+           ROUND((CAST(SUM(CAST(ROUND({c} * 100) AS BIGINT)) AS DOUBLE) / 100.0)
                  / COUNT({c}), 6) AS avg_v
     FROM lineitem""")
     return " UNION ALL ".join(parts) + " ORDER BY col"
@@ -692,15 +692,21 @@ def q173_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(c).alias(f"__ndv_{c}"),
             F.round(F.min(c), 6).alias(f"__mn_{c}"),
             F.round(F.max(c), 6).alias(f"__mx_{c}"),
-            # avg via the exact-DECIMAL sum convention (PLANS.md header
-            # rule): a float AVG's partial-combine order follows the
-            # scan layout, and the round-15 scan spread exposed a
-            # one-ULP ROUND(,6) flip here (sf0.01 l_discount). The
-            # decimal sum is order-independent, so the rounded value
-            # is layout-independent; the oracle spells the identical
-            # formulation.
+            # avg via an exact INTEGER-CENTS sum: a float AVG's
+            # partial-combine order follows the scan layout (the r15
+            # scan spread exposed a one-ULP ROUND(,6) flip here), and
+            # r15's DECIMAL(38,12) fix was order-independent but paid
+            # Decimal128 arithmetic on all four measures (1.68× the
+            # query, r15 VERDICT item 2). All four fact measures are
+            # exactly 2-decimal at every SF (max |frac(100·c)| ≤ 1e-9,
+            # re-verified round 16), so SUM(CAST(ROUND(c*100) AS LONG))
+            # is exact, order-independent, and runs as codegen'd long
+            # arithmetic; the oracle spells the identical formulation,
+            # and the final double division + ROUND(,6) is the same
+            # IEEE op in both engines. Hash re-proven at 3 SFs.
             F.round(
-                F.sum(F.col(c).cast("decimal(38,12)")).cast("double")
+                F.sum(F.round(F.col(c) * 100).cast("long")).cast("double")
+                / F.lit(100.0)
                 / F.count(F.col(c)),
                 6,
             ).alias(f"__av_{c}"),

