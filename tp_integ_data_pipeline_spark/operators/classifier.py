@@ -123,6 +123,7 @@ def logreg_irls_train(
     l2: float = 1.0,
     train_partitions: int = 4,
     tol: float | None = None,
+    stats: dict | None = None,
 ) -> np.ndarray:
     """IRLS / Newton for L2-regularized logistic regression.
 
@@ -201,7 +202,9 @@ def logreg_irls_train(
         )
         bias_j = d - 1
         beta = np.zeros(d)
+        iters_run = 0
         for _ in range(n_iters):
+            iters_run += 1
             blit = F.lit([float(b) for b in beta])
             m = feats.groupBy("id").agg(
                 F.sum(F.col("x") * F.element_at(blit, F.col("j") + 1)).alias("z")
@@ -240,6 +243,9 @@ def logreg_irls_train(
             if tol is not None and np.abs(g).max() < tol:
                 break
             beta = beta + np.linalg.solve(H, g)
+    if stats is not None:
+        # cluster reduces run (the last one is the convergence check)
+        stats["collect_rounds"] = iters_run
     return beta
 
 

@@ -49,6 +49,9 @@ BASELINE_CONFS: dict[str, str] = {
         "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"
     ),
     "spark.tp_integ.spreadCorpusScan": "false",
+    # mirrors session.get_session/tune_for_session; here so per-query
+    # overrides (streaming state-store width) are always reset too
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 # The r15 floor, now scoped: AQE's bytes-only coalescing serializes
@@ -62,6 +65,20 @@ _DENSE = {
         "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE_DENSE", "128k"
     )
 }
+# Streaming state-store width: a streaming stateful operator keys its
+# state store off spark.sql.shuffle.partitions at query start, and at
+# fixture scale 32 state partitions is pure per-trigger machinery (32
+# state files + commits per micro-batch for ~100k rows of state).
+# Width should track STATE SIZE, not core count — env-parameterized
+# with a local default; production deployments size it to their state
+# volume (these finite memory-sink streams are fresh per call, so no
+# checkpoint-compat concern). Measured: q232 2.84 -> 1.92 s min-of-3.
+_STREAM_STATE = {
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"
+    )
+}
+
 # The r15 corpus-scan spread (sources/fixtures.py), now opt-in: worth
 # paying only where the consumer's per-row map work dominates (gram /
 # shingle explodes, tokenization, hashing) — measured per key, see
@@ -91,7 +108,25 @@ QUERY_CONFS: dict[str, dict[str, str]] = {
     "q195_ngram_diversity": {**_SPREAD},
     "q197_consecutive_line_collapse": {**_SPREAD},
     "q198_char_entropy": {**_SPREAD},
-    "q261_stream_admission": {**_SPREAD},
+    # round-16 isolated A/Bs (scripts/ab_query.py, min-of-3 interleaved):
+    # q179 2.38 -> 1.95 (spread+dense), q167 1.75 -> 1.36 (spread)
+    "q179_containment_join": {**_SPREAD, **_DENSE},
+    "q167_source_novelty": {**_SPREAD},
+    # -- streaming stateful / micro-batch drains: state-store width --
+    # (q232 2.84 -> 1.92, q60 1.67 -> 1.08, q261 8.49 -> 6.80 min-of-3)
+    "q60_stream_tumbling_window": {**_STREAM_STATE},
+    "q61_stream_dedup": {**_STREAM_STATE},
+    "q64_stateful_counter": {**_STREAM_STATE},
+    "q68_continuous_rollup": {**_STREAM_STATE},
+    "q89_stream_late_dedup": {**_STREAM_STATE},
+    "q91_stream_stream_join": {**_STREAM_STATE},
+    "q122_stream_left_outer_join": {**_STREAM_STATE},
+    "q143_stream_static_join": {**_STREAM_STATE},
+    "q232_stream_session_window": {**_STREAM_STATE},
+    "q235_stream_tumbling_append": {**_STREAM_STATE},
+    "q236_stream_sliding_append": {**_STREAM_STATE},
+    "q261_stream_admission": {**_SPREAD, **_STREAM_STATE},
+    "q267_chain_admission": {**_STREAM_STATE},
     # -- compute-dense small-shuffle winners (AQE 128k floor) --
     "q175_prefix_similarity_join": {**_SPREAD, **_DENSE},
     "q185_cross_source_dup_matrix": {**_SPREAD, **_DENSE},
@@ -102,6 +137,17 @@ QUERY_CONFS: dict[str, dict[str, str]] = {
 }
 
 
+# The reset invariant: every key any query overrides MUST have a
+# baseline entry, or the override would leak into the next query.
+# Enforced at import so a new entry can't silently break scoping.
+for _n, _c in QUERY_CONFS.items():
+    _extra = set(_c) - set(BASELINE_CONFS)
+    if _extra:
+        raise ValueError(
+            f"QUERY_CONFS[{_n}] overrides {_extra} without a BASELINE_CONFS entry"
+        )
+
+
 def apply_query_confs(spark: SparkSession, name: str) -> None:
     """Reset BASELINE_CONFS, then apply ``name``'s overrides (if any).
     Runtime-settable confs only; failures fall back to session values
@@ -109,7 +155,7 @@ def apply_query_confs(spark: SparkSession, name: str) -> None:
     overrides = QUERY_CONFS.get(name, {})
     for key, value in BASELINE_CONFS.items():
         try:
-            spark.conf.set(key, overrides[key] if key in overrides else value)
+            spark.conf.set(key, overrides.get(key, value))
         except Exception:  # pragma: no cover - immutable conf in some envs
             pass
 
