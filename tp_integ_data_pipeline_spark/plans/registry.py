@@ -79,6 +79,19 @@ _STREAM_STATE = {
     )
 }
 
+# Iterative-loop shuffle width: fixed-iteration graph/recursion loops
+# (PageRank, recursive walk) carry NODE-SIZED state through 3-4
+# exchanges per iteration; at the session's corpus-scale width every
+# iteration pays full task waves for kilobyte partitions (the r15
+# scaling block: q141 ran 1.7x FASTER on 8 cores). Width follows the
+# loop state, not the cluster — env-parameterized for deployments
+# whose graphs are data-sized.
+_NARROW = {
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_ITER_SHUFFLE_PARTITIONS", "8"
+    )
+}
+
 # The r15 corpus-scan spread (sources/fixtures.py), now opt-in: worth
 # paying only where the consumer's per-row map work dominates (gram /
 # shingle explodes, tokenization, hashing) — measured per key, see
@@ -130,10 +143,18 @@ QUERY_CONFS: dict[str, dict[str, str]] = {
     # -- compute-dense small-shuffle winners (AQE 128k floor) --
     "q175_prefix_similarity_join": {**_SPREAD, **_DENSE},
     "q185_cross_source_dup_matrix": {**_SPREAD, **_DENSE},
-    "q163_triangle_count": {**_DENSE},
+    "q163_triangle_count": {**_DENSE, **_NARROW},
     "q126_embedding_covariance": {**_DENSE},
-    "q124_recursive_walk": {**_DENSE},
     "q103_incremental_neardup": {**_DENSE},
+    # -- iterative loops: bounded per-round state, narrow width --
+    # (min-of-3 interleaved: q141 4.42 -> 3.45, q124 4.16 -> 3.42,
+    #  q163 3.49 -> 3.16; min-of-2: q138 2.94 -> 2.46)
+    "q141_pagerank": {**_NARROW},
+    "q124_recursive_walk": {**_DENSE, **_NARROW},
+    "q138_incremental_view": {**_NARROW},
+    # q153 BPE: learned-merge application — compute-dense sub-MB
+    # shuffles (min-of-2: 3.43 -> 2.82 with the 128k floor)
+    "q153_bpe_tokenizer": {**_DENSE},
 }
 
 
