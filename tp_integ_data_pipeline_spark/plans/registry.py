@@ -116,7 +116,8 @@ QUERY_CONFS: dict[str, dict[str, str]] = {
     "q112_dsir_weights": {**_SPREAD},
     "q113_trigram_surprisal": {**_SPREAD},
     "q165_count_min_sketch": {**_SPREAD, **_DENSE},
-    "q184_cdc_chunks": {**_SPREAD},
+    "q184_cdc_chunks": {**_SPREAD, **_DENSE},
+    "q50_knn_bruteforce": {**_SPREAD},
     "q193_backoff_lm_score": {**_SPREAD},
     "q195_ngram_diversity": {**_SPREAD},
     "q197_consecutive_line_collapse": {**_SPREAD},
