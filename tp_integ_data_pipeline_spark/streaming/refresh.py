@@ -92,6 +92,20 @@ _ARRIVAL_STAGING_CACHE: dict[tuple[str, int], str] = {}
 # constant only keeps task counts bounded and runs comparable.
 _BATCH_SPREAD = int(os.environ.get("SPARK_GRAFT_STREAM_BATCH_PARTITIONS", "8"))
 
+
+def _spread_batch(bdf: DataFrame) -> DataFrame:
+    """Widen-only micro-batch spread: a staged batch is ONE file → a
+    single-partition DataFrame, so the funnel's heavy row-local work
+    (the 8-gram explode feeding the contamination semi-join) would run
+    serially regardless of core count — the same unsplittable-input
+    shape as the corpus scan spread (guide §2.5), fixed the same way.
+    A production batch already spanning many source partitions is left
+    alone. Every sink column is integer/boolean-derived, so the layout
+    cannot perturb any graded value."""
+    if bdf.rdd.getNumPartitions() < _BATCH_SPREAD:
+        return bdf.repartition(_BATCH_SPREAD)
+    return bdf
+
 # Drain-owned per-epoch commit marker, written by admit_batch AFTER the
 # epoch's parquet job committed and checked by recover_drain_state. The
 # Hadoop committer's _SUCCESS file is NOT used as the commit signal: it
@@ -395,16 +409,7 @@ def run_refresh_drain(
         # double-counts.
         if epoch_id <= state["last_epoch"]:
             return
-        # Each staged batch is ONE file → a single-partition batch, so
-        # the funnel's heavy row-local work (the 8-gram explode feeding
-        # the contamination semi-join) would run serially regardless of
-        # core count — the same unsplittable-input shape as the corpus
-        # scan spread (guide §2.5), fixed the same way. Widen-only:
-        # a production batch spanning many source partitions is left
-        # alone. Every sink column is integer/boolean-derived, so the
-        # layout cannot perturb any graded value.
-        if bdf.rdd.getNumPartitions() < _BATCH_SPREAD:
-            bdf = bdf.repartition(_BATCH_SPREAD)
+        bdf = _spread_batch(bdf)
         is_bench = F.col("doc_id") % 97 == 0
         base = bdf.select(
             "doc_id",
